@@ -1,0 +1,32 @@
+"""Test configuration: force an 8-device virtual CPU mesh before JAX initializes.
+
+This is the TPU-idiomatic analog of a fake-NCCL backend (SURVEY.md §4): sharding
+tests run against a virtual 8-device CPU mesh via
+``--xla_force_host_platform_device_count``.
+"""
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+xla_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in xla_flags:
+    os.environ["XLA_FLAGS"] = (
+        xla_flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+# x64 on: parity tests run both stacks in double precision so that "math is
+# identical" shows up as ~1e-9 agreement instead of fp32 accumulation noise.
+os.environ["JAX_ENABLE_X64"] = "1"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", True)
+# The env var alone is not honored when a TPU plugin (axon) is installed; the
+# config update forces the virtual 8-device CPU backend for the test session.
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(0)

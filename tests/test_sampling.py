@@ -1,0 +1,145 @@
+"""Sampler parity vs HF logits processors/warpers and the reference's extras."""
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from visualcla_tpu.engine import sampling as S
+
+
+def _np(t):
+    return t.detach().cpu().numpy()
+
+
+@pytest.fixture
+def logits_batch():
+    rng = np.random.default_rng(42)
+    return rng.normal(size=(3, 64)).astype(np.float32) * 3.0
+
+
+class TestWarpersVsHF:
+    def test_top_k(self, logits_batch):
+        from transformers.generation.logits_process import TopKLogitsWarper
+
+        ref = _np(TopKLogitsWarper(top_k=7)(None, torch.tensor(logits_batch)))
+        ours = np.asarray(S.warp_top_k(jnp.asarray(logits_batch), 7))
+        # compare keep/remove masks + surviving values
+        np.testing.assert_array_equal(np.isinf(ours) | (ours < -1e30), ref < -1e30)
+        keep = ref > -1e30
+        np.testing.assert_allclose(ours[keep], ref[keep], rtol=1e-6)
+
+    def test_top_p(self, logits_batch):
+        from transformers.generation.logits_process import TopPLogitsWarper
+
+        ref = _np(TopPLogitsWarper(top_p=0.9)(None, torch.tensor(logits_batch)))
+        ours = np.asarray(S.warp_top_p(jnp.asarray(logits_batch), 0.9))
+        np.testing.assert_array_equal(ours < -1e30, ref < -1e30)
+        keep = ref > -1e30
+        np.testing.assert_allclose(ours[keep], ref[keep], rtol=1e-6)
+
+    def test_repetition_penalty(self, logits_batch):
+        from transformers.generation.logits_process import RepetitionPenaltyLogitsProcessor
+
+        gen = np.array([[1, 5, 5, 9], [0, 2, 3, 4], [10, 11, 12, 13]])
+        ref = _np(
+            RepetitionPenaltyLogitsProcessor(penalty=1.1)(
+                torch.tensor(gen), torch.tensor(logits_batch)
+            )
+        )
+        valid = np.ones_like(gen, bool)
+        ours = np.asarray(
+            S.apply_repetition_penalty(
+                jnp.asarray(logits_batch), jnp.asarray(gen), jnp.asarray(valid), 1.1
+            )
+        )
+        np.testing.assert_allclose(ours, ref, rtol=1e-6)
+
+    def test_no_repeat_ngram(self):
+        from transformers.generation.logits_process import NoRepeatNGramLogitsProcessor
+
+        rng = np.random.default_rng(7)
+        logits = rng.normal(size=(2, 32)).astype(np.float32)
+        # context contains a repeated bigram prefix: ... 3 4 ... 3 -> next 4 banned
+        gen = np.array([[1, 3, 4, 2, 3], [5, 6, 7, 8, 9]])
+        ref = _np(
+            NoRepeatNGramLogitsProcessor(ngram_size=2)(
+                torch.tensor(gen), torch.tensor(logits)
+            )
+        )
+        T = 8  # fixed-size buffer with padding, as in the decode loop
+        buf = np.zeros((2, T), np.int64)
+        buf[:, :5] = gen
+        ours = np.asarray(
+            S.apply_no_repeat_ngram(
+                jnp.asarray(logits), jnp.asarray(buf), jnp.asarray([5, 5]), 2
+            )
+        )
+        np.testing.assert_array_equal(ours < -1e30, np.isinf(ref) & (ref < 0))
+        keep = ~(np.isinf(ref) & (ref < 0))
+        np.testing.assert_allclose(ours[keep], logits[keep], rtol=1e-6)
+
+    def test_tfs_vs_reference_impl(self, logits_batch):
+        """Reference TailFreeLogitsWarper (modeling_utils.py:250-287) re-run here."""
+        scores = torch.tensor(logits_batch)
+        tfs = 0.8
+        sorted_logits, sorted_indices = torch.sort(scores, descending=True)
+        probs = sorted_logits.softmax(dim=-1)
+        d2 = probs.diff().diff().abs()
+        normalized_d2 = d2 / d2.sum(dim=-1, keepdim=True)
+        normalized_d2_cdf = normalized_d2.cumsum(dim=-1)
+        sorted_indices_to_remove = normalized_d2_cdf > tfs
+        sorted_indices_to_remove = torch.cat(
+            (
+                torch.zeros(scores.shape[0], 1, dtype=torch.bool),
+                sorted_indices_to_remove,
+                torch.ones(scores.shape[0], 1, dtype=torch.bool),
+            ),
+            dim=-1,
+        )
+        indices_to_remove = sorted_indices_to_remove.scatter(
+            1, sorted_indices, sorted_indices_to_remove
+        )
+        ref = _np(scores.masked_fill(indices_to_remove, -float("inf")))
+
+        ours = np.asarray(S.warp_tfs(jnp.asarray(logits_batch), tfs))
+        np.testing.assert_array_equal(ours < -1e30, np.isneginf(ref))
+        keep = ~np.isneginf(ref)
+        np.testing.assert_allclose(ours[keep], ref[keep], rtol=1e-6)
+
+    def test_top_a_vs_reference_impl(self, logits_batch):
+        """Reference TopALogitsWarper (modeling_utils.py:290-313) re-run here."""
+        scores = torch.tensor(logits_batch)
+        top_a = 0.5
+        sorted_logits, sorted_indices = torch.sort(scores, descending=True)
+        probs = sorted_logits.softmax(dim=-1)
+        probs_max = probs[..., 0, None]
+        sorted_indices_to_remove = probs < probs_max * probs_max * top_a
+        indices_to_remove = sorted_indices_to_remove.scatter(
+            1, sorted_indices, sorted_indices_to_remove
+        )
+        ref = _np(scores.masked_fill(indices_to_remove, -float("inf")))
+
+        ours = np.asarray(S.warp_top_a(jnp.asarray(logits_batch), top_a))
+        np.testing.assert_array_equal(ours < -1e30, np.isneginf(ref))
+
+    def test_mirostat_state_updates(self):
+        """Mirostat-2: mu decreases after a high-surprise pick, increases after
+        low-surprise; truncation keeps at least the top token."""
+        logits = jnp.asarray(np.array([[5.0, 4.0, 1.0, 0.0]], np.float32))
+        mu = jnp.asarray([10.0], jnp.float32)
+        key = jax.random.PRNGKey(0)
+        token, new_mu = S.mirostat_step(logits, mu, key, tau=5.0, eta=0.1)
+        assert token.shape == (1,)
+        assert 0 <= int(token[0]) < 4
+        assert float(new_mu[0]) != 10.0  # state moved
+
+    def test_greedy_ignores_warpers(self):
+        cfg = S.SamplingConfig.greedy()
+        logits = jnp.asarray(np.array([[0.1, 3.0, -1.0]], np.float32))
+        token, _ = S.sample_step(
+            logits, jnp.zeros((1, 4), jnp.int32), jnp.zeros((1,), jnp.int32),
+            jax.random.PRNGKey(0), jnp.zeros((1,)), cfg,
+        )
+        assert int(token[0]) == 1

@@ -1,0 +1,73 @@
+"""TP/DP sharding on a virtual 8-device CPU mesh (SURVEY.md §4: the TPU-idiomatic
+analog of a fake-NCCL multi-host test).  Sharded execution must be numerically
+identical (f64) to single-device execution."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from visualcla_tpu.core.config import tiny_visualcla_config
+from visualcla_tpu.models import llama, visualcla
+from visualcla_tpu.parallel import sharding
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 (virtual) devices")
+    return sharding.make_mesh(n_data=2, n_model=4)
+
+
+def test_mesh_axes(mesh8):
+    assert mesh8.shape == {"data": 2, "model": 4}
+
+
+def test_sharded_forward_matches_single_device(mesh8):
+    cfg = tiny_visualcla_config()
+    params = visualcla.init_params(jax.random.PRNGKey(0), cfg, jnp.float64)
+
+    rng = np.random.default_rng(0)
+    B, S = 2, 16
+    ids = rng.integers(3, 90, (B, S))
+    ids[:, 3] = 100
+    pixels = rng.normal(size=(B, 3, 28, 28))
+    img_pos = np.full((B,), 3, np.int32)
+    mask = np.ones((B, S), np.int32)
+
+    def run(p, ids, mask, img_pos, pixels):
+        cache = llama.init_kv_cache(cfg.text_config, B, S, jnp.float64)
+        logits, _ = visualcla.prefill_forward(
+            p, cfg, ids, mask, img_pos, pixels, cache
+        )
+        return logits
+
+    ref = np.asarray(
+        run(params, jnp.asarray(ids), jnp.asarray(mask), jnp.asarray(img_pos), jnp.asarray(pixels))
+    )
+
+    sharded_params = sharding.shard_params(params, mesh8)
+    # verify at least one big tensor actually got model-sharded
+    qspec = sharded_params["text"]["layers"]["q_proj"].sharding.spec
+    assert "model" in str(qspec)
+
+    data_sh = NamedSharding(mesh8, P("data"))
+    with mesh8:
+        out = jax.jit(run)(
+            sharded_params,
+            jax.device_put(jnp.asarray(ids), data_sh),
+            jax.device_put(jnp.asarray(mask), data_sh),
+            jax.device_put(jnp.asarray(img_pos), data_sh),
+            jax.device_put(jnp.asarray(pixels), data_sh),
+        )
+    # logits are fp32 by contract; sharded all-reduce ordering gives ~1e-8 noise
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-6, rtol=1e-6)
+
+
+def test_spec_validation_skips_indivisible_dims(mesh8):
+    # hidden=16 with model=4 divides; a 6-dim axis must fall back to replicated
+    spec = sharding._valid_spec(P(None, "model"), (3, 6), mesh8)
+    assert spec == P()
+    spec = sharding._valid_spec(P(None, "model"), (3, 8), mesh8)
+    assert spec == P(None, "model")

@@ -1,0 +1,269 @@
+"""Generation engine: jitted multimodal prefill + KV-cached decode.
+
+Replaces HF ``GenerationMixin.generate`` as used by the reference
+(modeling_visualcla.py:382-391).  Reference semantics preserved:
+- generate() is called with ``inputs_embeds`` so the returned ids contain ONLY
+  generated tokens, and processors see only the generated context;
+- stop on EOS or max_new_tokens; batch rows that finish early are padded.
+
+Two decode drivers share one jitted step:
+- ``generate``: fully-fused ``lax.while_loop`` on device (bench/serving path) —
+  zero host round-trips until the loop exits;
+- ``stream``: per-token jitted step driven from Python, yielding each token
+  (the TPU analog of the reference's Stream/Iteratorize thread+queue,
+  modeling_utils.py:404-472 — no threads needed: the generator IS the loop).
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Iterator, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.config import VisualCLAConfig
+from ..models import llama, visualcla
+from .sampling import SamplingConfig, sample_step
+
+
+@dataclasses.dataclass
+class DecodeState:
+    """Pytree carried through the decode loop."""
+
+    cache: dict
+    kv_valid: jnp.ndarray  # (B, Smax) bool
+    cur_slot: jnp.ndarray  # () int32 — next cache slot to write
+    positions: jnp.ndarray  # (B,) int32 — next rope position per row
+    gen_ids: jnp.ndarray  # (B, T) int32 generated tokens
+    gen_len: jnp.ndarray  # () int32 number of decode steps taken
+    last_token: jnp.ndarray  # (B,) int32
+    finished: jnp.ndarray  # (B,) bool
+    key: jax.Array
+    mu: jnp.ndarray  # (B,) fp32 mirostat state
+
+
+jax.tree_util.register_dataclass(
+    DecodeState,
+    data_fields=[
+        "cache", "kv_valid", "cur_slot", "positions", "gen_ids", "gen_len",
+        "last_token", "finished", "key", "mu",
+    ],
+    meta_fields=[],
+)
+
+
+class Engine:
+    """Owns the jitted prefill/decode programs for one model + static shapes.
+
+    Prompts are LEFT-padded to a bucket length so the last prompt token always
+    sits at the bucket's final slot and decode writes contiguously after it —
+    one compiled program per bucket, static shapes everywhere.
+    """
+
+    def __init__(
+        self,
+        params,
+        cfg: VisualCLAConfig,
+        *,
+        eos_token_id: int,
+        pad_token_id: int = 0,
+        max_seq_len: int = 2048,
+        prompt_buckets: Tuple[int, ...] = (128, 256, 512, 1024, 2048),
+        dtype=jnp.bfloat16,
+    ):
+        self.params = params
+        self.cfg = cfg
+        self.eos_token_id = eos_token_id
+        self.pad_token_id = pad_token_id
+        self.max_seq_len = max_seq_len
+        self.prompt_buckets = tuple(b for b in prompt_buckets if b <= max_seq_len)
+        self.dtype = dtype
+
+        self._prefill = jax.jit(
+            self._prefill_impl, static_argnames=("sampling",), donate_argnames=("cache",)
+        )
+        self._decode_step = jax.jit(
+            self._decode_step_impl, static_argnames=("sampling",), donate_argnames=("state",)
+        )
+        self._decode_loop = jax.jit(
+            self._decode_loop_impl,
+            static_argnames=("sampling", "max_steps"),
+            donate_argnames=("state",),
+        )
+
+    # -- bucket / padding ---------------------------------------------------
+
+    def bucket_len(self, prompt_len: int) -> int:
+        for b in self.prompt_buckets:
+            if prompt_len <= b:
+                return b
+        raise ValueError(
+            f"prompt length {prompt_len} exceeds max bucket {self.prompt_buckets[-1]}"
+        )
+
+    def pad_prompt(self, input_ids: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+        """Left-pad (B, S) prompt ids to a bucket.  Returns (padded_ids, mask)."""
+        B, S = input_ids.shape
+        L = self.bucket_len(S)
+        ids = np.full((B, L), self.pad_token_id, np.int32)
+        mask = np.zeros((B, L), np.int32)
+        ids[:, L - S :] = input_ids
+        mask[:, L - S :] = 1
+        # honor caller-provided pads inside input_ids (id == pad_token_id at head)
+        return ids, mask
+
+    # -- jitted impls ---------------------------------------------------------
+
+    def _prefill_impl(
+        self, params, input_ids, attention_mask, img_start_pos, pixel_values,
+        cache, key, sampling: SamplingConfig,
+    ):
+        cfg = self.cfg
+        B, S = input_ids.shape
+        Smax = cache["k"].shape[2]
+        embeds = visualcla.multimodal_embeds(params, cfg, input_ids, img_start_pos, pixel_values)
+        positions = jnp.maximum(jnp.cumsum(attention_mask, axis=-1) - 1, 0).astype(jnp.int32)
+        kv_valid = jnp.concatenate(
+            [attention_mask.astype(bool), jnp.zeros((B, Smax - S), bool)], axis=-1
+        )
+        hidden, cache = llama.forward(
+            params["text"], cfg.text_config, embeds, positions, cache, kv_valid, jnp.int32(0)
+        )
+        last_logits = llama.logits(params["text"], hidden[:, -1:, :])[:, 0]  # (B, V)
+
+        T = sampling.max_new_tokens
+        gen_ids = jnp.zeros((B, T), jnp.int32)
+        gen_len = jnp.int32(0)
+        key, sub = jax.random.split(key)
+        mu = jnp.full((B,), 2.0 * sampling.mirostat_tau, jnp.float32)
+        token, mu = sample_step(last_logits, gen_ids, jnp.zeros((B,), jnp.int32), sub, mu, sampling)
+        gen_ids = gen_ids.at[:, 0].set(token)
+        finished = token == self.eos_token_id
+        state = DecodeState(
+            cache=cache,
+            kv_valid=kv_valid,
+            cur_slot=jnp.int32(S),
+            positions=positions[:, -1] + 1,
+            gen_ids=gen_ids,
+            gen_len=jnp.int32(1),
+            last_token=token,
+            finished=finished,
+            key=key,
+            mu=mu,
+        )
+        return state
+
+    def _decode_step_impl(self, params, state: DecodeState, sampling: SamplingConfig):
+        cfg = self.cfg
+        B = state.last_token.shape[0]
+        embeds = llama.embed(params["text"], state.last_token[:, None])
+        kv_valid = state.kv_valid.at[:, state.cur_slot].set(True)
+        hidden, cache = llama.forward(
+            params["text"], cfg.text_config, embeds,
+            state.positions[:, None], state.cache, kv_valid, state.cur_slot,
+        )
+        step_logits = llama.logits(params["text"], hidden)[:, 0]
+        key, sub = jax.random.split(state.key)
+        gen_len_b = jnp.full((B,), state.gen_len, jnp.int32)
+        token, mu = sample_step(step_logits, state.gen_ids, gen_len_b, sub, state.mu, sampling)
+        # finished rows keep emitting pad (HF pads finished rows)
+        token = jnp.where(state.finished, jnp.int32(self.pad_token_id), token)
+        gen_ids = state.gen_ids.at[:, state.gen_len].set(token)
+        finished = state.finished | (token == self.eos_token_id)
+        return DecodeState(
+            cache=cache,
+            kv_valid=kv_valid,
+            cur_slot=state.cur_slot + 1,
+            positions=state.positions + 1,
+            gen_ids=gen_ids,
+            gen_len=state.gen_len + 1,
+            last_token=token,
+            finished=finished,
+            key=key,
+            mu=mu,
+        )
+
+    def _decode_loop_impl(self, params, state: DecodeState, sampling: SamplingConfig, max_steps: int):
+        Smax = state.kv_valid.shape[1]
+
+        def cond(s: DecodeState):
+            return (
+                (s.gen_len < max_steps)
+                & ~jnp.all(s.finished)
+                & (s.cur_slot < Smax)
+            )
+
+        def body(s: DecodeState):
+            return self._decode_step_impl(params, s, sampling)
+
+        return jax.lax.while_loop(cond, body, state)
+
+    # -- public API -----------------------------------------------------------
+
+    def start(
+        self,
+        input_ids: np.ndarray,  # (B, S) int
+        pixel_values: Optional[np.ndarray],  # (B, 3, H, W) or None
+        img_start_pos: Optional[np.ndarray],  # (B,) or None
+        sampling: SamplingConfig,
+        seed: int = 0,
+    ) -> DecodeState:
+        """Run prefill (+ first sampled token).  Returns device DecodeState."""
+        input_ids = np.asarray(input_ids, np.int32)
+        B, S = input_ids.shape
+        padded, mask = self.pad_prompt(input_ids)
+        offset = padded.shape[1] - S
+        if img_start_pos is None:
+            img_pos = np.full((B,), -1, np.int32)
+        else:
+            img_pos = np.where(
+                np.asarray(img_start_pos) < 0, -1, np.asarray(img_start_pos) + offset
+            ).astype(np.int32)
+        if pixel_values is not None:
+            pixel_values = jnp.asarray(pixel_values, self.dtype)
+        cache = llama.init_kv_cache(
+            self.cfg.text_config, B, self.max_seq_len, self.dtype
+        )
+        key = jax.random.PRNGKey(seed)
+        return self._prefill(
+            self.params, jnp.asarray(padded), jnp.asarray(mask),
+            jnp.asarray(img_pos), pixel_values, cache, key, sampling,
+        )
+
+    def generate(
+        self,
+        input_ids: np.ndarray,
+        pixel_values: Optional[np.ndarray] = None,
+        img_start_pos: Optional[np.ndarray] = None,
+        sampling: Optional[SamplingConfig] = None,
+        seed: int = 0,
+    ) -> np.ndarray:
+        """Blocking generate.  Returns (B, <=max_new_tokens) generated ids, truncated
+        at EOS per the HF contract (EOS included, then pads stripped by decode)."""
+        sampling = sampling or SamplingConfig.greedy()
+        state = self.start(input_ids, pixel_values, img_start_pos, sampling, seed)
+        state = self._decode_loop(self.params, state, sampling, sampling.max_new_tokens)
+        gen_len = int(state.gen_len)
+        return np.asarray(state.gen_ids)[:, :gen_len]
+
+    def stream(
+        self,
+        input_ids: np.ndarray,
+        pixel_values: Optional[np.ndarray] = None,
+        img_start_pos: Optional[np.ndarray] = None,
+        sampling: Optional[SamplingConfig] = None,
+        seed: int = 0,
+    ) -> Iterator[np.ndarray]:
+        """Yield the (B,) token ids of each decode step as they are produced."""
+        sampling = sampling or SamplingConfig.greedy()
+        state = self.start(input_ids, pixel_values, img_start_pos, sampling, seed)
+        yield np.asarray(state.last_token)
+        while (
+            int(state.gen_len) < sampling.max_new_tokens
+            and not bool(np.all(np.asarray(state.finished)))
+            and int(state.cur_slot) < self.max_seq_len
+        ):
+            state = self._decode_step(self.params, state, sampling)
+            yield np.asarray(state.last_token)

@@ -1,0 +1,269 @@
+"""On-device sampling stack, semantics-compatible with the reference.
+
+Replicates HF's logits processors/warpers in the exact order HF applies them for
+the reference's DEFAULT_GENERATION_CONFIG (modeling_utils.py:36-47):
+repetition penalty -> no-repeat-ngram -> temperature -> top-k -> top-p,
+plus the reference's extra samplers installed by ``hijack_samplers``
+(modeling_utils.py:250-400): tail-free sampling, top-a, and mirostat-2 (which
+replaces every warper except temperature and carries a per-sequence ``mu`` state).
+
+Everything is pure-functional jnp so the whole sampler runs inside the jitted
+decode step.  Note HF semantics when generating from ``inputs_embeds`` (the
+VisualCLA path, modeling_visualcla.py:382): the penalty/ngram context is the
+*generated* tokens only, not the prompt — hence ``gen_ids``/``gen_len`` below.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = float(jnp.finfo(jnp.float32).min)
+
+
+@dataclasses.dataclass(frozen=True)
+class SamplingConfig:
+    """Mirror of the reference's GenerationConfig surface (hashable: jit-static)."""
+
+    max_new_tokens: int = 512
+    do_sample: bool = True
+    temperature: float = 0.5
+    top_k: int = 40
+    top_p: float = 0.9
+    repetition_penalty: float = 1.1
+    no_repeat_ngram_size: int = 15
+    # extras installed by hijack_samplers (reference modeling_utils.py:386-400)
+    tfs: float = 1.0
+    top_a: float = 0.0
+    mirostat_mode: int = 0
+    mirostat_tau: float = 5.0
+    mirostat_eta: float = 0.1
+
+    @classmethod
+    def greedy(cls, max_new_tokens: int = 512) -> "SamplingConfig":
+        """Pure greedy decoding (HF do_sample=False with default processors:
+        no penalties, no warpers)."""
+        return cls(
+            max_new_tokens=max_new_tokens,
+            do_sample=False,
+            temperature=1.0,
+            top_k=0,
+            top_p=1.0,
+            repetition_penalty=1.0,
+            no_repeat_ngram_size=0,
+        )
+
+
+def default_sampling_config() -> SamplingConfig:
+    """The reference's DEFAULT_GENERATION_CONFIG (modeling_utils.py:36-47)."""
+    return SamplingConfig()
+
+
+# ---------------------------------------------------------------------------
+# processors (context-dependent)
+# ---------------------------------------------------------------------------
+
+def apply_repetition_penalty(
+    logits: jnp.ndarray,  # (B, V) fp32
+    gen_ids: jnp.ndarray,  # (B, T) previously generated ids
+    gen_valid: jnp.ndarray,  # (B, T) bool
+    penalty: float,
+) -> jnp.ndarray:
+    """HF RepetitionPenaltyLogitsProcessor: score<0 -> *p, score>=0 -> /p at seen ids."""
+    B, V = logits.shape
+    seen = jnp.zeros((B, V), bool)
+    one = jnp.ones_like(gen_ids, dtype=bool) & gen_valid
+    seen = seen.at[jnp.arange(B)[:, None], gen_ids].max(one)
+    penalized = jnp.where(logits < 0, logits * penalty, logits / penalty)
+    return jnp.where(seen, penalized, logits)
+
+
+def apply_no_repeat_ngram(
+    logits: jnp.ndarray,  # (B, V)
+    gen_ids: jnp.ndarray,  # (B, T)
+    gen_len: jnp.ndarray,  # (B,) int32 — number of valid generated tokens
+    ngram_size: int,
+) -> jnp.ndarray:
+    """HF NoRepeatNGramLogitsProcessor over the generated-token context.
+
+    Bans token x if [last (n-1) tokens, x] already occurs in the context.
+    Vectorized over all windows of the fixed-size gen buffer with validity masks.
+    """
+    if ngram_size <= 0:
+        return logits
+    B, T = gen_ids.shape
+    n = ngram_size
+    if T < n:
+        return logits
+    # window w (0-indexed): prefix gen_ids[w : w+n-1], banned token gen_ids[w+n-1]
+    num_w = T - n + 1
+    idx = jnp.arange(num_w)[:, None] + jnp.arange(n - 1)[None, :]  # (num_w, n-1)
+    prefixes = gen_ids[:, idx]  # (B, num_w, n-1)
+    banned = gen_ids[:, jnp.arange(num_w) + n - 1]  # (B, num_w)
+    # current prefix: the last n-1 generated tokens = gen_ids[gen_len-(n-1) : gen_len]
+    start = gen_len[:, None] - (n - 1) + jnp.arange(n - 1)[None, :]  # (B, n-1)
+    cur = jnp.take_along_axis(gen_ids, jnp.clip(start, 0, T - 1), axis=1)
+    match = jnp.all(prefixes == cur[:, None, :], axis=-1)  # (B, num_w)
+    # window valid only if fully inside the generated region AND banned token is a
+    # *past* token (window end < gen_len) AND we have n-1 tokens of context
+    w_ok = (jnp.arange(num_w)[None, :] + n - 1) < gen_len[:, None]
+    have_ctx = gen_len[:, None] >= (n - 1)
+    match = match & w_ok & have_ctx
+    ban_mask = jnp.zeros_like(logits, bool)
+    ban_mask = ban_mask.at[jnp.arange(B)[:, None], banned].max(match)
+    return jnp.where(ban_mask, NEG_INF, logits)
+
+
+# ---------------------------------------------------------------------------
+# warpers (distribution shaping)
+# ---------------------------------------------------------------------------
+
+def warp_temperature(logits: jnp.ndarray, temperature: float) -> jnp.ndarray:
+    return logits / temperature
+
+
+def warp_top_k(logits: jnp.ndarray, k: int) -> jnp.ndarray:
+    if k <= 0:
+        return logits
+    V = logits.shape[-1]
+    k = min(k, V)
+    kth = jnp.sort(logits, axis=-1)[..., -k][..., None]
+    return jnp.where(logits < kth, NEG_INF, logits)
+
+
+def warp_top_p(logits: jnp.ndarray, p: float, min_tokens_to_keep: int = 1) -> jnp.ndarray:
+    """HF TopPLogitsWarper: sort ASCENDING, remove tokens whose cumulative prob
+    (from the low end) is <= 1-p, always keeping the top ``min_tokens_to_keep``."""
+    if p >= 1.0:
+        return logits
+    sorted_logits = jnp.sort(logits, axis=-1)  # ascending
+    sorted_idx = jnp.argsort(logits, axis=-1)
+    cum = jnp.cumsum(jax.nn.softmax(sorted_logits, axis=-1), axis=-1)
+    remove_sorted = cum <= (1.0 - p)
+    if min_tokens_to_keep > 0:
+        remove_sorted = remove_sorted.at[..., -min_tokens_to_keep:].set(False)
+    # scatter back to vocab order
+    remove = jnp.zeros_like(remove_sorted)
+    remove = jnp.put_along_axis(remove, sorted_idx, remove_sorted, axis=-1, inplace=False)
+    return jnp.where(remove, NEG_INF, logits)
+
+
+def warp_tfs(logits: jnp.ndarray, tfs: float, min_tokens_to_keep: int = 1) -> jnp.ndarray:
+    """Tail-free sampling, matching the reference's TailFreeLogitsWarper
+    (modeling_utils.py:250-287) including its off-by-the-same boundary handling."""
+    if tfs >= 1.0:
+        return logits
+    V = logits.shape[-1]
+    order = jnp.argsort(-logits, axis=-1)  # descending
+    sorted_logits = jnp.take_along_axis(logits, order, axis=-1)
+    probs = jax.nn.softmax(sorted_logits, axis=-1)
+    d2 = jnp.abs(jnp.diff(jnp.diff(probs, axis=-1), axis=-1))  # (B, V-2)
+    norm_d2 = d2 / jnp.sum(d2, axis=-1, keepdims=True)
+    cdf = jnp.cumsum(norm_d2, axis=-1)
+    remove_mid = cdf > tfs  # (B, V-2)
+    B = logits.shape[0]
+    remove_sorted = jnp.concatenate(
+        [jnp.zeros((B, 1), bool), remove_mid, jnp.ones((B, 1), bool)], axis=-1
+    )
+    if min_tokens_to_keep > 1:
+        remove_sorted = remove_sorted.at[..., :min_tokens_to_keep].set(False)
+    remove = jnp.zeros_like(remove_sorted)
+    remove = jnp.put_along_axis(remove, order, remove_sorted, axis=-1, inplace=False)
+    return jnp.where(remove, NEG_INF, logits)
+
+
+def warp_top_a(logits: jnp.ndarray, top_a: float, min_tokens_to_keep: int = 1) -> jnp.ndarray:
+    """Top-A (reference TopALogitsWarper modeling_utils.py:290-313):
+    remove tokens with prob < max_prob^2 * top_a."""
+    if top_a <= 0.0:
+        return logits
+    probs = jax.nn.softmax(logits, axis=-1)
+    pmax = jnp.max(probs, axis=-1, keepdims=True)
+    remove = probs < pmax * pmax * top_a
+    if min_tokens_to_keep > 0:
+        # keep at least the argmax (always survives the threshold anyway)
+        pass
+    return jnp.where(remove, NEG_INF, logits)
+
+
+# ---------------------------------------------------------------------------
+# mirostat-2 (stateful)
+# ---------------------------------------------------------------------------
+
+def mirostat_step(
+    logits: jnp.ndarray,  # (B, V) — already temperature-warped
+    mu: jnp.ndarray,  # (B,) fp32
+    key: jax.Array,
+    tau: float,
+    eta: float,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Mirostat v2 (reference MirostatLogitsWarper modeling_utils.py:316-358):
+    truncate tokens with surprise (-log2 p) > mu, renormalize, sample, update mu.
+    Returns (token (B,), new_mu (B,))."""
+    order = jnp.argsort(-logits, axis=-1)
+    sorted_logits = jnp.take_along_axis(logits, order, axis=-1)
+    probs = jax.nn.softmax(sorted_logits, axis=-1)
+    surprise = -jnp.log2(jnp.maximum(probs, 1e-30))
+    keep = surprise <= mu[:, None]
+    keep = keep.at[:, 0].set(True)  # always keep the top token
+    trunc = jnp.where(keep, sorted_logits, NEG_INF)
+    pick = jax.random.categorical(key, trunc, axis=-1)  # index into sorted order
+    token = jnp.take_along_axis(order, pick[:, None], axis=-1)[:, 0]
+    p_pick = jnp.take_along_axis(
+        jax.nn.softmax(trunc, axis=-1), pick[:, None], axis=-1
+    )[:, 0]
+    observed = -jnp.log2(jnp.maximum(p_pick, 1e-30))
+    new_mu = mu - eta * (observed - tau)
+    return token, new_mu
+
+
+# ---------------------------------------------------------------------------
+# full sampler step
+# ---------------------------------------------------------------------------
+
+def sample_step(
+    logits: jnp.ndarray,  # (B, V) fp32 next-token logits
+    gen_ids: jnp.ndarray,  # (B, T) generated-so-far buffer
+    gen_len: jnp.ndarray,  # (B,) int32
+    key: jax.Array,
+    mu: jnp.ndarray,  # (B,) mirostat state
+    cfg: SamplingConfig,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """One sampling step.  Returns (token (B,) int32, new_mu).
+
+    Order matches HF generate with the reference's hijack_samplers patch:
+    processors (rep-penalty, no-repeat-ngram) then warpers
+    (temperature, top-k, top-p, tfs, top-a) or mirostat (temperature only).
+    """
+    logits = logits.astype(jnp.float32)
+    T = gen_ids.shape[1]
+    gen_valid = jnp.arange(T)[None, :] < gen_len[:, None]
+
+    if cfg.repetition_penalty != 1.0:
+        logits = apply_repetition_penalty(logits, gen_ids, gen_valid, cfg.repetition_penalty)
+    if cfg.no_repeat_ngram_size > 0:
+        logits = apply_no_repeat_ngram(logits, gen_ids, gen_len, cfg.no_repeat_ngram_size)
+
+    if not cfg.do_sample:
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32), mu
+
+    if cfg.temperature != 1.0:
+        logits = warp_temperature(logits, cfg.temperature)
+
+    if cfg.mirostat_mode == 2:
+        token, mu = mirostat_step(logits, mu, key, cfg.mirostat_tau, cfg.mirostat_eta)
+        return token.astype(jnp.int32), mu
+
+    if cfg.top_k > 0:
+        logits = warp_top_k(logits, cfg.top_k)
+    if cfg.top_p < 1.0:
+        logits = warp_top_p(logits, cfg.top_p)
+    if cfg.tfs < 1.0:
+        logits = warp_tfs(logits, cfg.tfs)
+    if cfg.top_a > 0.0:
+        logits = warp_top_a(logits, cfg.top_a)
+
+    token = jax.random.categorical(key, logits, axis=-1)
+    return token.astype(jnp.int32), mu

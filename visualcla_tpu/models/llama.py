@@ -1,0 +1,160 @@
+"""LLaMA decoder — pure-functional JAX, stacked layers scanned with ``lax.scan``.
+
+Replaces the reference's HF ``LlamaForCausalLM`` (used at
+/root/reference/models/visualcla/modeling_visualcla.py:151-156).  Numerics match HF
+exactly for greedy-parity: fp32 RMSNorm statistics, fp32 rope tables, fp32 softmax,
+fp32 logits.
+
+Design (TPU-first, not a port):
+- Params are a flat dict pytree; all per-layer weights are stacked on a leading
+  layer axis so one ``lax.scan`` traces a single layer (fast compiles, natural
+  rematerialization point, and layer-stacked arrays shard cleanly under GSPMD).
+- Weight layout is (in_features, out_features) so every projection is ``x @ W``
+  — the MXU-native orientation; the checkpoint converter transposes torch weights.
+- One unified ``forward`` covers prefill and decode: the KV cache is a fixed-shape
+  (L, B, S_max, N_kv, H) buffer, the current chunk is written at ``write_slot`` and
+  attention runs over the whole buffer under an additive validity/causality bias.
+  Static shapes throughout — XLA never sees a dynamic sequence length.
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.config import LlamaConfig
+from ..ops.attention import causal_bias, dot_product_attention
+from ..ops.norms import rms_norm
+from ..ops.rope import apply_rope, rope_table
+
+Params = dict
+
+
+def init_params(rng: jax.Array, cfg: LlamaConfig, dtype=jnp.float32) -> Params:
+    """Random init (tests/bench); real weights come from checkpoint/."""
+    L, H, I = cfg.num_hidden_layers, cfg.hidden_size, cfg.intermediate_size
+    N, Nkv, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+    keys = jax.random.split(rng, 8)
+
+    def norm(key, shape, scale=0.02):
+        return (jax.random.normal(key, shape, jnp.float32) * scale).astype(dtype)
+
+    return {
+        "embed_tokens": norm(keys[0], (cfg.vocab_size, H)),
+        "layers": {
+            "input_norm": jnp.ones((L, H), dtype),
+            "q_proj": norm(keys[1], (L, H, N * hd)),
+            "k_proj": norm(keys[2], (L, H, Nkv * hd)),
+            "v_proj": norm(keys[3], (L, H, Nkv * hd)),
+            "o_proj": norm(keys[4], (L, N * hd, H)),
+            "post_norm": jnp.ones((L, H), dtype),
+            "gate_proj": norm(keys[5], (L, H, I)),
+            "up_proj": norm(keys[6], (L, H, I)),
+            "down_proj": norm(keys[7], (L, I, H)),
+        },
+        "final_norm": jnp.ones((H,), dtype),
+        "lm_head": norm(keys[0], (H, cfg.vocab_size)),
+    }
+
+
+def init_kv_cache(
+    cfg: LlamaConfig, batch: int, max_len: int, dtype=jnp.float32
+) -> dict:
+    L, Nkv, hd = cfg.num_hidden_layers, cfg.num_key_value_heads, cfg.head_dim
+    shape = (L, batch, max_len, Nkv, hd)
+    return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+
+
+def embed(params: Params, input_ids: jnp.ndarray) -> jnp.ndarray:
+    """Token embedding lookup (B, S) -> (B, S, H)."""
+    return jnp.take(params["embed_tokens"], input_ids, axis=0)
+
+
+def forward(
+    params: Params,
+    cfg: LlamaConfig,
+    inputs_embeds: jnp.ndarray,  # (B, Sq, H)
+    rope_positions: jnp.ndarray,  # (B, Sq) int32 — RoPE position ids
+    kv_cache: dict,  # {'k','v': (L, B, Smax, Nkv, hd)}
+    kv_valid: jnp.ndarray,  # (B, Smax) bool — valid AFTER this chunk is written
+    write_slot: jnp.ndarray,  # scalar int32 — cache slot of the chunk's first token
+) -> Tuple[jnp.ndarray, dict]:
+    """Run the decoder stack.  Returns (final_norm hidden (B, Sq, H), new kv_cache).
+
+    Causality uses cache *slot* order (query at slot ``write_slot+i`` sees kv slots
+    <= its own), so left-padded batches work; ``rope_positions`` is independent and
+    carries the HF ``position_ids`` semantics (cumsum of attention mask - 1).
+    """
+    B, Sq, H = inputs_embeds.shape
+    Smax = kv_cache["k"].shape[2]
+    N, Nkv, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+
+    cos, sin = rope_table(rope_positions, hd, cfg.rope_theta)  # (B, Sq, hd) fp32
+
+    q_slots = write_slot + jnp.arange(Sq, dtype=jnp.int32)[None, :]  # (1, Sq)
+    q_slots = jnp.broadcast_to(q_slots, (B, Sq))
+    kv_slots = jnp.broadcast_to(jnp.arange(Smax, dtype=jnp.int32)[None, :], (B, Smax))
+    bias = causal_bias(q_slots, kv_valid, kv_slots)  # (B, 1, Sq, Smax) fp32
+
+    def layer(carry, xs):
+        h, k_cache, v_cache = carry
+        p, l = xs
+        x = rms_norm(h, p["input_norm"], cfg.rms_norm_eps)
+        q = (x @ p["q_proj"]).reshape(B, Sq, N, hd)
+        k = (x @ p["k_proj"]).reshape(B, Sq, Nkv, hd)
+        v = (x @ p["v_proj"]).reshape(B, Sq, Nkv, hd)
+        q, k = apply_rope(q, k, cos, sin)
+        zero = jnp.int32(0)
+        idx = (l, zero, jnp.asarray(write_slot, jnp.int32), zero, zero)
+        k_cache = jax.lax.dynamic_update_slice(k_cache, k[None], idx)
+        v_cache = jax.lax.dynamic_update_slice(v_cache, v[None], idx)
+        k_all = jax.lax.dynamic_index_in_dim(k_cache, l, axis=0, keepdims=False)
+        v_all = jax.lax.dynamic_index_in_dim(v_cache, l, axis=0, keepdims=False)
+        attn = dot_product_attention(q, k_all, v_all, bias)
+        h = h + attn.reshape(B, Sq, N * hd) @ p["o_proj"]
+        x2 = rms_norm(h, p["post_norm"], cfg.rms_norm_eps)
+        gate = jax.nn.silu(x2 @ p["gate_proj"]) * (x2 @ p["up_proj"])
+        h = h + gate @ p["down_proj"]
+        return (h, k_cache, v_cache), None
+
+    L = cfg.num_hidden_layers
+    (h, k_cache, v_cache), _ = jax.lax.scan(
+        layer,
+        (inputs_embeds, kv_cache["k"], kv_cache["v"]),
+        (params["layers"], jnp.arange(L, dtype=jnp.int32)),
+    )
+    h = rms_norm(h, params["final_norm"], cfg.rms_norm_eps)
+    return h, {"k": k_cache, "v": v_cache}
+
+
+def logits(params: Params, hidden: jnp.ndarray) -> jnp.ndarray:
+    """LM head; accumulate in >=fp32, return fp32 (HF casts logits to .float())."""
+    acc = jnp.promote_types(hidden.dtype, jnp.float32)
+    return jnp.dot(
+        hidden, params["lm_head"], preferred_element_type=acc
+    ).astype(jnp.float32)
+
+
+def forward_logits(
+    params: Params,
+    cfg: LlamaConfig,
+    input_ids: jnp.ndarray,
+    attention_mask: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Convenience full-sequence forward for tests: (B, S) ids -> (B, S, V) logits."""
+    B, S = input_ids.shape
+    if attention_mask is None:
+        attention_mask = jnp.ones((B, S), jnp.int32)
+    positions = jnp.maximum(jnp.cumsum(attention_mask, axis=-1) - 1, 0)
+    cache = init_kv_cache(cfg, B, S, params["embed_tokens"].dtype)
+    h, _ = forward(
+        params,
+        cfg,
+        embed(params, input_ids),
+        positions.astype(jnp.int32),
+        cache,
+        attention_mask.astype(bool),
+        jnp.int32(0),
+    )
+    return logits(params, h)

@@ -1,0 +1,75 @@
+"""Attention ops — XLA reference path.
+
+``dot_product_attention`` is the numerics-defining implementation (fp32 softmax,
+matching HF eager attention).  The Pallas flash kernels in ``ops/pallas/`` are
+drop-in replacements selected by the dispatch helpers here; everything funnels
+through the same (B, S, N, H) layout so kernels can be swapped per-phase
+(prefill vs decode) without touching model code.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = float(jnp.finfo(jnp.float32).min)
+
+
+def dot_product_attention(
+    q: jnp.ndarray,  # (B, Sq, N, H)
+    k: jnp.ndarray,  # (B, Sk, Nkv, H)
+    v: jnp.ndarray,  # (B, Sk, Nkv, H)
+    bias: Optional[jnp.ndarray] = None,  # (B, 1|N, Sq, Sk) additive
+    scale: Optional[float] = None,
+    softmax_dtype: str = "fp32",
+) -> jnp.ndarray:
+    """Dense attention.  Returns (B, Sq, N, H) in q.dtype.
+
+    softmax_dtype:
+      - "fp32": scores+softmax hard-cast to fp32, like HF's eager attention for
+        LLaMA/CLIP (``softmax(..., dtype=torch.float32)``) — bit-matches HF at any
+        model precision.
+      - "native": promote(q.dtype, fp32) — like code that softmaxes in the input
+        dtype (the reference's resampler), while keeping bf16 runtime safe.
+    """
+    b, sq, n, h = q.shape
+    nkv = k.shape[2]
+    if n != nkv:  # grouped-query: repeat KV heads
+        rep = n // nkv
+        k = jnp.repeat(k, rep, axis=2)
+        v = jnp.repeat(v, rep, axis=2)
+    if scale is None:
+        scale = h ** -0.5
+    if softmax_dtype == "fp32":
+        acc = jnp.float32
+    else:
+        acc = jnp.promote_types(q.dtype, jnp.float32)
+    # (B, N, Sq, Sk) — scores in the matmul dtype, then upcast like torch does
+    logits = jnp.einsum(
+        "bqnh,bknh->bnqk", q, k,
+        preferred_element_type=jnp.promote_types(q.dtype, jnp.float32),
+    )
+    logits = logits * scale
+    if bias is not None:
+        logits = logits + bias.astype(logits.dtype)
+    probs = jax.nn.softmax(logits.astype(acc), axis=-1).astype(q.dtype)
+    out = jnp.einsum("bnqk,bknh->bqnh", probs, v)
+    return out
+
+
+def causal_bias(
+    q_positions: jnp.ndarray,  # (B, Sq) int32 absolute positions of queries
+    kv_valid: jnp.ndarray,  # (B, Sk) bool — which kv slots hold real tokens
+    kv_positions: jnp.ndarray,  # (B, Sk) int32 absolute positions of kv slots
+) -> jnp.ndarray:
+    """Additive fp32 bias (B, 1, Sq, Sk): causal + validity masking."""
+    ok = kv_valid[:, None, :] & (kv_positions[:, None, :] <= q_positions[:, :, None])
+    bias = jnp.where(ok, 0.0, NEG_INF).astype(jnp.float32)
+    return bias[:, None, :, :]
+
+
+def padding_bias(kv_valid: jnp.ndarray) -> jnp.ndarray:
+    """Additive fp32 bias (B, 1, 1, Sk) masking invalid kv slots (bidirectional)."""
+    bias = jnp.where(kv_valid, 0.0, NEG_INF).astype(jnp.float32)
+    return bias[:, None, None, :]
