@@ -1,0 +1,171 @@
+"""Multimodal training step (full fine-tune or masked/LoRA-style subsets).
+
+The reference ships no training code — its README only *describes* the 2-stage
+LoRA recipe (reference README_EN.md:75-91: stage 1 image-text pretraining of
+resampler+projection+vision-LoRA, stage 2 multimodal+text instruction SFT with
+text-LoRA added).  This module supplies the TPU-native training capability:
+
+- pure-functional ``train_step`` (loss -> grad -> optax update) built to be
+  ``jit``-ed over a ``Mesh`` with GSPMD shardings (TP on ``model`` axis, DP on
+  ``data``) — collectives (grad all-reduce over ``data``, TP partial-sum
+  all-reduce over ``model``) are inserted by XLA from the shardings;
+- HF-convention causal LM loss: labels aligned to inputs, shifted internally,
+  ``-100`` ignored — so data pipelines written against the reference stack work
+  unchanged;
+- trainable-subset masks reproducing the reference's two training stages.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Mapping, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..core.config import VisualCLAConfig
+from ..models import llama, visualcla
+
+Params = Any
+IGNORE_INDEX = -100
+
+
+@dataclasses.dataclass
+class TrainState:
+    """Carried training state (pytree)."""
+
+    params: Params
+    opt_state: Any
+    step: jnp.ndarray  # () int32
+
+
+jax.tree_util.register_dataclass(
+    TrainState, data_fields=["params", "opt_state", "step"], meta_fields=[]
+)
+
+
+def causal_lm_loss(
+    logits: jnp.ndarray,  # (B, S, V) fp32
+    labels: jnp.ndarray,  # (B, S) int32, IGNORE_INDEX masked
+) -> jnp.ndarray:
+    """Next-token cross-entropy, mean over non-ignored positions (HF semantics:
+    shift internally, ignore_index=-100)."""
+    logits = logits[:, :-1].astype(jnp.float32)
+    targets = labels[:, 1:]
+    mask = (targets != IGNORE_INDEX).astype(jnp.float32)
+    safe_targets = jnp.where(targets == IGNORE_INDEX, 0, targets)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, safe_targets[..., None], axis=-1)[..., 0]
+    return jnp.sum(nll * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+
+
+def train_forward_logits(
+    params: Params,
+    cfg: VisualCLAConfig,
+    input_ids: jnp.ndarray,
+    attention_mask: jnp.ndarray,
+    img_start_pos: jnp.ndarray,
+    pixel_values: Optional[jnp.ndarray],
+) -> jnp.ndarray:
+    """Full multimodal forward for training: (B, S) -> (B, S, V) fp32 logits."""
+    B, S = input_ids.shape
+    embeds = visualcla.multimodal_embeds(params, cfg, input_ids, img_start_pos, pixel_values)
+    positions = jnp.maximum(jnp.cumsum(attention_mask, axis=-1) - 1, 0).astype(jnp.int32)
+    cache = llama.init_kv_cache(cfg.text_config, B, S, embeds.dtype)
+    hidden, _ = llama.forward(
+        params["text"], cfg.text_config, embeds, positions, cache,
+        attention_mask.astype(bool), jnp.int32(0),
+    )
+    return llama.logits(params["text"], hidden)
+
+
+# ---------------------------------------------------------------------------
+# trainable-subset masks (the reference's two LoRA training stages)
+# ---------------------------------------------------------------------------
+
+def stage1_trainable(path: tuple) -> bool:
+    """Pretraining stage: resampler + projection (+ vision tower); LLM frozen.
+    (reference README_EN.md:79-84)."""
+    return path[0] in ("resampler", "projection", "vision")
+
+
+def stage2_trainable(path: tuple) -> bool:
+    """Instruction-SFT stage: everything trains (text LoRA added in the
+    reference; here the analog is unfreezing the text tower too)."""
+    return True
+
+
+def _mask_tree(params: Params, predicate: Callable[[tuple], bool]):
+    def walk(tree, prefix=()):
+        if isinstance(tree, Mapping):
+            return {k: walk(v, prefix + (k,)) for k, v in tree.items()}
+        return bool(predicate(prefix))
+
+    return walk(params)
+
+
+def make_optimizer(
+    learning_rate: float = 1e-4,
+    weight_decay: float = 0.0,
+    b1: float = 0.9,
+    b2: float = 0.999,
+    grad_clip: float = 1.0,
+    warmup_steps: int = 0,
+    total_steps: int = 10_000,
+    schedule: str = "cosine",
+) -> optax.GradientTransformation:
+    if schedule == "cosine":
+        lr = optax.warmup_cosine_decay_schedule(
+            0.0, learning_rate, max(warmup_steps, 1), max(total_steps, 2)
+        )
+    else:
+        lr = learning_rate
+    return optax.chain(
+        optax.clip_by_global_norm(grad_clip),
+        optax.adamw(lr, b1=b1, b2=b2, weight_decay=weight_decay),
+    )
+
+
+def make_train_step(
+    cfg: VisualCLAConfig,
+    optimizer: optax.GradientTransformation,
+    trainable: Optional[Callable[[tuple], bool]] = None,
+):
+    """Build a pure ``train_step(state, batch) -> (state, metrics)``.
+
+    ``batch`` keys: input_ids (B,S), attention_mask (B,S), labels (B,S),
+    img_start_pos (B,), pixel_values (B,3,H,W) or None.
+    Jit this over a Mesh with params sharded by ``parallel.sharding.param_specs``
+    and batch arrays P('data', ...) — XLA inserts TP/DP collectives.
+    """
+
+    def loss_fn(params, batch):
+        logits = train_forward_logits(
+            params, cfg,
+            batch["input_ids"], batch["attention_mask"],
+            batch["img_start_pos"], batch.get("pixel_values"),
+        )
+        return causal_lm_loss(logits, batch["labels"])
+
+    def train_step(state: TrainState, batch):
+        loss, grads = jax.value_and_grad(loss_fn)(state.params, batch)
+        if trainable is not None:
+            mask = _mask_tree(state.params, trainable)
+            grads = jax.tree.map(
+                lambda g, m: g if m else jnp.zeros_like(g), grads, mask
+            )
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        gnorm = optax.global_norm(grads)
+        return (
+            TrainState(params=params, opt_state=opt_state, step=state.step + 1),
+            {"loss": loss, "grad_norm": gnorm},
+        )
+
+    return train_step
+
+
+def init_train_state(params: Params, optimizer: optax.GradientTransformation) -> TrainState:
+    return TrainState(
+        params=params, opt_state=optimizer.init(params), step=jnp.int32(0)
+    )
