@@ -1,0 +1,252 @@
+"""Checkpoint converter tests: merged-dir conversion, LoRA folding, native I/O."""
+import json
+import os
+
+import numpy as np
+import pytest
+import torch
+
+from tests import hf_ref
+from visualcla_tpu.checkpoint import (
+    convert_merged,
+    convert_unmerged,
+    load_checkpoint,
+    save_checkpoint,
+    flatten_tree,
+)
+from visualcla_tpu.checkpoint.lora import fold_lora, resize_embeddings
+from visualcla_tpu.core.config import tiny_visualcla_config
+
+
+def build_merged_dir(tmp, seed=0):
+    """Fabricate a reference-layout merged checkpoint with tiny towers."""
+    text, text_cfg = hf_ref.tiny_hf_llama(seed=seed)
+    vision, vision_cfg = hf_ref.tiny_hf_clip_vision(seed=seed)
+    ref_mod = hf_ref.load_reference_resampler_module()
+    assert ref_mod is not None
+    res_cfg = ref_mod.VisualResamplerConfig(
+        hidden_size=8, num_hidden_layers=2, num_attention_heads=2,
+        intermediate_size=16, num_query_tokens=4, vocab_size=10,
+    )
+    torch.manual_seed(seed + 1)
+    resampler = ref_mod.VisualResamplerModel(res_cfg, add_pooling_layer=False).eval()
+    for p in resampler.parameters():
+        torch.nn.init.normal_(p, std=0.3)
+    proj = torch.nn.Linear(8, 16)
+
+    merged = os.path.join(tmp, "merged")
+    os.makedirs(merged, exist_ok=True)
+    text.save_pretrained(os.path.join(merged, "text_encoder"))
+    vision.save_pretrained(os.path.join(merged, "vision_encoder"))
+    root_sd = {"visual_resampler." + k: v for k, v in resampler.state_dict().items()}
+    root_sd["image_projection_layer.weight"] = proj.weight.data
+    root_sd["image_projection_layer.bias"] = proj.bias.data
+    torch.save(root_sd, os.path.join(merged, "pytorch_model.bin"))
+    with open(os.path.join(merged, "config.json"), "w") as f:
+        json.dump(
+            {
+                "model_type": "visualcla",
+                "text_config": text_cfg.to_dict(),
+                "vision_config": vision_cfg.to_dict(),
+                "use_visual_resampler": True,
+                "visual_resampler_config": res_cfg.to_dict(),
+            },
+            f,
+        )
+    return merged, (text, vision, resampler, proj)
+
+
+def test_convert_merged_roundtrip(tmp_path):
+    merged, (text, vision, resampler, proj) = build_merged_dir(str(tmp_path))
+    out = os.path.join(str(tmp_path), "native")
+    convert_merged(merged, out, dtype="float32")
+    params, cfg = load_checkpoint(out)
+
+    assert cfg.text_config.vocab_size == text.config.vocab_size
+    assert cfg.visual_resampler_config.num_query_tokens == 4
+    assert not cfg.visual_resampler_config.add_pooling_layer
+
+    # spot-check exact weight equality through both mapping paths
+    expect_text = hf_ref.llama_params_from_hf(text)
+    np.testing.assert_array_equal(
+        np.asarray(params["text"]["layers"]["q_proj"]),
+        expect_text["layers"]["q_proj"],
+    )
+    expect_vit = hf_ref.vit_params_from_hf(vision)
+    np.testing.assert_array_equal(
+        np.asarray(params["vision"]["patch_embedding"]), expect_vit["patch_embedding"]
+    )
+    expect_res = hf_ref.resampler_params_from_ref(resampler)
+    np.testing.assert_array_equal(
+        np.asarray(params["resampler"]["query_embedding"]),
+        expect_res["query_embedding"],
+    )
+    np.testing.assert_array_equal(
+        np.asarray(params["projection"]["weight"]), proj.weight.data.numpy().T
+    )
+
+    # converted params must run end-to-end
+    import jax.numpy as jnp
+    from visualcla_tpu.models import visualcla as vmod
+
+    B, S = 1, 12
+    ids = np.zeros((B, S), np.int32)
+    ids[0, 1] = 1
+    logits = None
+    from visualcla_tpu.train import train_forward_logits
+
+    logits = train_forward_logits(
+        params, cfg, jnp.asarray(ids), jnp.ones((B, S), jnp.int32),
+        jnp.full((B,), -1, jnp.int32), None,
+    )
+    assert np.all(np.isfinite(np.asarray(logits)))
+
+
+def test_bf16_checkpoint_io(tmp_path):
+    import jax.numpy as jnp
+
+    cfg = tiny_visualcla_config()
+    from visualcla_tpu.models import visualcla as vmod
+    import jax
+
+    params = vmod.init_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+    out = str(tmp_path / "bf16")
+    save_checkpoint(out, params, cfg, dtype="bfloat16")
+    loaded, cfg2 = load_checkpoint(out)
+    flat = flatten_tree(loaded)
+    assert all(
+        v.dtype == jnp.bfloat16 for v in flat.values()
+        if jnp.issubdtype(v.dtype, jnp.floating)
+    )
+    assert cfg2.text_config.vocab_size == cfg.text_config.vocab_size
+
+
+def test_fold_lora_matches_torch():
+    torch.manual_seed(3)
+    out_f, in_f, r = 12, 8, 4
+    W = torch.randn(out_f, in_f)
+    A = torch.randn(r, in_f) * 0.1
+    B = torch.randn(out_f, r) * 0.1
+    alpha = 8
+    base = {"model.layers.0.self_attn.q_proj.weight": W.numpy().copy()}
+    adapter = {
+        "base_model.model.model.layers.0.self_attn.q_proj.lora_A.weight": A.numpy(),
+        "base_model.model.model.layers.0.self_attn.q_proj.lora_B.weight": B.numpy(),
+    }
+    folded = fold_lora(base, adapter, {"lora_alpha": alpha, "r": r})
+    expect = (W + (B @ A) * (alpha / r)).numpy()
+    np.testing.assert_allclose(
+        folded["model.layers.0.self_attn.q_proj.weight"], expect, atol=1e-5
+    )
+
+
+def test_fold_lora_modules_to_save_and_resize():
+    rng = np.random.default_rng(0)
+    base = {
+        "model.embed_tokens.weight": rng.standard_normal((10, 4)).astype(np.float32),
+        "lm_head.weight": rng.standard_normal((10, 4)).astype(np.float32),
+    }
+    resized = resize_embeddings(base, 14)
+    assert resized["model.embed_tokens.weight"].shape == (14, 4)
+    new_embed = rng.standard_normal((14, 4)).astype(np.float32)
+    adapter = {
+        "base_model.model.model.embed_tokens.modules_to_save.default.weight": new_embed,
+    }
+    folded = fold_lora(resized, adapter, {"lora_alpha": 1, "r": 1})
+    np.testing.assert_array_equal(folded["model.embed_tokens.weight"], new_embed)
+
+
+def test_fold_lora_raises_on_no_match():
+    with pytest.raises(ValueError):
+        fold_lora(
+            {"some.weight": np.zeros((2, 2), np.float32)},
+            {"base_model.model.other.lora_A.weight": np.zeros((1, 2), np.float32),
+             "base_model.model.other.lora_B.weight": np.zeros((2, 1), np.float32)},
+            {"lora_alpha": 1, "r": 1},
+        )
+
+
+def test_convert_unmerged_with_fabricated_adapter(tmp_path):
+    """Full unmerged pipeline: base towers + composite VisualCLA adapter."""
+    text, text_cfg = hf_ref.tiny_hf_llama(seed=1)
+    vision, vision_cfg = hf_ref.tiny_hf_clip_vision(seed=1)
+    ref_mod = hf_ref.load_reference_resampler_module()
+    res_cfg = ref_mod.VisualResamplerConfig(
+        hidden_size=8, num_hidden_layers=2, num_attention_heads=2,
+        intermediate_size=16, num_query_tokens=4, vocab_size=10,
+    )
+    torch.manual_seed(9)
+    resampler = ref_mod.VisualResamplerModel(res_cfg, add_pooling_layer=False)
+    proj = torch.nn.Linear(8, 16)
+
+    base_t = os.path.join(str(tmp_path), "text")
+    base_v = os.path.join(str(tmp_path), "vision")
+    text.save_pretrained(base_t)
+    vision.save_pretrained(base_v)
+
+    # fabricate a composite adapter: text q_proj LoRA + resized embed replacement
+    # + vision fc1 LoRA + full resampler/projector (reference key layout,
+    # convert_ckpt_for_tgwebui.py:46-68)
+    new_vocab = text_cfg.vocab_size + 4
+    rng = np.random.default_rng(5)
+    r, alpha = 2, 4
+    h = text_cfg.hidden_size
+    adapter = {}
+    A = rng.standard_normal((r, h)).astype(np.float32) * 0.1
+    B = rng.standard_normal((h, r)).astype(np.float32) * 0.1
+    adapter["base_model.model.text_model.model.layers.0.self_attn.q_proj.lora_A.weight"] = A
+    adapter["base_model.model.text_model.model.layers.0.self_attn.q_proj.lora_B.weight"] = B
+    new_embed = rng.standard_normal((new_vocab, h)).astype(np.float32)
+    new_head = rng.standard_normal((new_vocab, h)).astype(np.float32)
+    adapter["base_model.model.text_model.model.embed_tokens.modules_to_save.default.weight"] = new_embed
+    adapter["base_model.model.text_model.lm_head.modules_to_save.default.weight"] = new_head
+    vh = vision_cfg.hidden_size
+    Av = rng.standard_normal((r, vh)).astype(np.float32) * 0.1
+    Bv = rng.standard_normal((vh * 2, r)).astype(np.float32) * 0.1
+    adapter["base_model.model.vision_model.vision_model.encoder.layers.0.mlp.fc1.lora_A.weight"] = Av
+    adapter["base_model.model.vision_model.vision_model.encoder.layers.0.mlp.fc1.lora_B.weight"] = Bv
+    for k, v in resampler.state_dict().items():
+        adapter["base_model.model.visual_resampler." + k] = v.numpy()
+    adapter["base_model.model.image_projection_layer.weight"] = proj.weight.data.numpy()
+    adapter["base_model.model.image_projection_layer.bias"] = proj.bias.data.numpy()
+
+    lora_dir = os.path.join(str(tmp_path), "lora")
+    os.makedirs(lora_dir)
+    torch.save({k: torch.from_numpy(np.asarray(v)) for k, v in adapter.items()},
+               os.path.join(lora_dir, "adapter_model.bin"))
+    with open(os.path.join(lora_dir, "adapter_config.json"), "w") as f:
+        json.dump({"r": r, "lora_alpha": alpha, "fan_in_fan_out": False}, f)
+    with open(os.path.join(lora_dir, "config.json"), "w") as f:
+        json.dump(
+            {
+                "text_config": text_cfg.to_dict(),
+                "vision_config": vision_cfg.to_dict(),
+                "use_visual_resampler": True,
+                "visual_resampler_config": res_cfg.to_dict(),
+            },
+            f,
+        )
+
+    out = os.path.join(str(tmp_path), "native")
+    convert_unmerged(base_t, base_v, [lora_dir], out, dtype="float32")
+    params, cfg = load_checkpoint(out)
+
+    assert cfg.text_config.vocab_size == new_vocab
+    np.testing.assert_array_equal(np.asarray(params["text"]["embed_tokens"]), new_embed)
+    np.testing.assert_array_equal(np.asarray(params["text"]["lm_head"]), new_head.T)
+    # folded text q_proj layer 0
+    W0 = text.state_dict()["model.layers.0.self_attn.q_proj.weight"].numpy()
+    expect = (W0 + (B @ A) * (alpha / r)).T
+    np.testing.assert_allclose(
+        np.asarray(params["text"]["layers"]["q_proj"][0]), expect, atol=1e-5
+    )
+    # folded vision fc1 layer 0
+    Wf = vision.state_dict()["vision_model.encoder.layers.0.mlp.fc1.weight"].numpy()
+    expectf = (Wf + (Bv @ Av) * (alpha / r)).T
+    np.testing.assert_allclose(
+        np.asarray(params["vision"]["layers"]["fc1"][0]), expectf, atol=1e-5
+    )
+    np.testing.assert_array_equal(
+        np.asarray(params["projection"]["weight"]), proj.weight.data.numpy().T
+    )
+    assert np.asarray(params["resampler"]["query_embedding"]).shape == (4, 8)
