@@ -1,0 +1,323 @@
+"""Public API — mirrors the reference package surface on the TPU stack.
+
+Reference: models/visualcla/__init__.py:1-8 exports ``chat``, ``chat_in_stream``,
+``get_model_and_tokenizer_and_processor``, ``hijack_samplers``.  Semantics follow
+models/visualcla/modeling_utils.py:83-247 (documented per function below), with
+the HF/torch machinery replaced by the JAX Engine + native checkpoint loader.
+"""
+from __future__ import annotations
+
+import copy
+import dataclasses
+import logging
+import os
+from typing import Iterator, Optional, Tuple, Union
+
+import numpy as np
+
+from .core.config import VisualCLAConfig
+from .engine.generate import Engine
+from .engine.sampling import SamplingConfig, default_sampling_config
+from .processor import ImageProcessor, VisualCLAProcessor
+from .text import VisualCLATokenizer, encoding_text
+from .text.prompt import img_marker_positions
+
+logger = logging.getLogger(__name__)
+
+DEFAULT_GENERATION_CONFIG = default_sampling_config()
+
+
+class VisualCLA:
+    """The loaded model bundle: params on device + jitted engine + host tooling.
+
+    Plays the role of the reference's ``VisualCLAModel`` instance as used by the
+    chat layer (attributes ``tokenizer``, ``image_processor``, ``num_patch``,
+    ``image_at_head`` attached in get_model_and_tokenizer_and_processor,
+    modeling_utils.py:132-139).
+    """
+
+    def __init__(
+        self,
+        params,
+        config: VisualCLAConfig,
+        tokenizer: VisualCLATokenizer,
+        image_processor: ImageProcessor,
+        *,
+        dtype=None,
+        max_seq_len: int = 2048,
+        mesh=None,
+    ):
+        import jax.numpy as jnp
+
+        self.params = params
+        self.config = config
+        self.tokenizer = tokenizer
+        self.image_processor = image_processor
+        self.image_at_head = False
+        self.mesh = mesh
+        if config.visual_resampler_config.num_query_tokens != -1:
+            self.num_patch = config.visual_resampler_config.num_query_tokens
+        else:
+            self.num_patch = (
+                image_processor.image_size // image_processor.patch_size
+            ) ** 2 + 1
+        self.engine = Engine(
+            params,
+            config,
+            eos_token_id=tokenizer.eos_token_id,
+            pad_token_id=tokenizer.pad_token_id,
+            max_seq_len=max_seq_len,
+            dtype=dtype if dtype is not None else jnp.bfloat16,
+            mesh=mesh,
+        )
+
+    # reference VisualCLAModel.generate contract: returns generated-only ids
+    def generate(
+        self,
+        input_ids: np.ndarray,
+        attention_mask: Optional[np.ndarray] = None,
+        pixel_values: Optional[np.ndarray] = None,
+        generation_config: Optional[SamplingConfig] = None,
+        seed: int = 0,
+    ) -> np.ndarray:
+        sampling = as_sampling_config(generation_config)
+        img_pos = img_marker_positions(input_ids, self.tokenizer.img_start_token_id)
+        return self.engine.generate(
+            input_ids, pixel_values, img_pos, sampling, seed=seed
+        )
+
+    def stream_generate(self, input_ids, pixel_values=None,
+                        generation_config=None, seed: int = 0):
+        sampling = as_sampling_config(generation_config)
+        img_pos = img_marker_positions(input_ids, self.tokenizer.img_start_token_id)
+        return self.engine.stream(input_ids, pixel_values, img_pos, sampling, seed=seed)
+
+
+def as_sampling_config(gc) -> SamplingConfig:
+    """Accept SamplingConfig / dict / HF-style object / None."""
+    if gc is None:
+        return DEFAULT_GENERATION_CONFIG
+    if isinstance(gc, SamplingConfig):
+        return gc
+    if isinstance(gc, dict):
+        fields = {f.name for f in dataclasses.fields(SamplingConfig)}
+        return SamplingConfig(**{k: v for k, v in gc.items() if k in fields})
+    # HF GenerationConfig-like object
+    fields = {f.name for f in dataclasses.fields(SamplingConfig)}
+    kw = {}
+    for f in fields:
+        v = getattr(gc, f, None)
+        if v is not None:
+            kw[f] = v
+    return SamplingConfig(**kw)
+
+
+def get_model_and_tokenizer_and_processor(
+    visualcla_model: Optional[str] = None,
+    text_model: Optional[str] = None,
+    vision_model: Optional[str] = None,
+    lora_model: Optional[str] = None,
+    torch_dtype=None,  # accepted for API compat; ignored (dtype below rules)
+    default_device=None,  # accepted for API compat
+    device_map=None,  # accepted for API compat
+    load_in_8bit: bool = False,
+    *,
+    dtype=None,
+    max_seq_len: int = 2048,
+    mesh=None,
+):
+    """Load (model, tokenizer, processor) — reference modeling_utils.py:83-141.
+
+    ``visualcla_model`` may be a native checkpoint dir (params.safetensors) or a
+    reference merged dir (text_encoder/ + vision_encoder/ + pytorch_model*.bin,
+    converted in-memory).  The unmerged path takes base ``text_model`` +
+    ``vision_model`` HF dirs and folds ``lora_model`` offline.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    if dtype is None:
+        dtype = jnp.bfloat16
+
+    tok_dir = visualcla_model or lora_model
+    tokenizer = VisualCLATokenizer.from_pretrained(tok_dir)
+
+    if visualcla_model is not None:
+        if os.path.exists(os.path.join(visualcla_model, "params.safetensors")):
+            from .checkpoint.serialize import load_checkpoint
+
+            params, cfg = load_checkpoint(visualcla_model, mesh=mesh, dtype=dtype)
+        else:
+            logger.info("converting reference merged checkpoint in-memory")
+            from .checkpoint.convert import _sync_config
+            from .checkpoint.mapping import (
+                llama_tree_from_sd, projection_tree_from_sd,
+                resampler_tree_from_sd, vit_tree_from_sd,
+            )
+            from .checkpoint.torch_io import load_state_dict
+
+            cfg = VisualCLAConfig.from_pretrained(visualcla_model)
+            params = {
+                "text": llama_tree_from_sd(
+                    load_state_dict(os.path.join(visualcla_model, "text_encoder"))
+                ),
+                "vision": vit_tree_from_sd(
+                    load_state_dict(os.path.join(visualcla_model, "vision_encoder"))
+                ),
+            }
+            root_sd = load_state_dict(visualcla_model)
+            params["projection"] = projection_tree_from_sd(root_sd)
+            if cfg.use_visual_resampler:
+                params["resampler"] = resampler_tree_from_sd(root_sd)
+            cfg = _sync_config(cfg, params)
+            params = _place(params, dtype, mesh)
+    else:
+        assert text_model is not None and vision_model is not None
+        import tempfile
+
+        from .checkpoint.convert import convert_unmerged
+        from .checkpoint.serialize import load_checkpoint
+
+        with tempfile.TemporaryDirectory() as tmp:
+            convert_unmerged(
+                text_model, vision_model,
+                lora_model.split(",") if isinstance(lora_model, str) else list(lora_model or []),
+                tmp, dtype="float32" if dtype == jnp.float32 else "bfloat16",
+                vocab_size=len(tokenizer),
+            )
+            params, cfg = load_checkpoint(tmp, mesh=mesh, dtype=dtype)
+
+    if load_in_8bit:
+        from .ops.quantization import quantize_tree
+
+        params = quantize_tree(params)
+
+    proc_src = visualcla_model or vision_model or lora_model
+    if proc_src and os.path.exists(os.path.join(proc_src, "preprocessor_config.json")):
+        image_processor = ImageProcessor.from_pretrained(proc_src)
+    else:
+        image_processor = ImageProcessor()
+    image_processor.patch_size = cfg.vision_config.patch_size
+
+    model = VisualCLA(
+        params, cfg, tokenizer, image_processor,
+        dtype=dtype, max_seq_len=max_seq_len, mesh=mesh,
+    )
+    processor = VisualCLAProcessor(image_processor, tokenizer)
+    return model, tokenizer, processor
+
+
+def _place(params, dtype, mesh):
+    import jax
+    import jax.numpy as jnp
+
+    params = jax.tree.map(
+        lambda x: jnp.asarray(x, dtype)
+        if np.issubdtype(np.asarray(x).dtype, np.floating)
+        else jnp.asarray(x),
+        params,
+    )
+    if mesh is not None:
+        from .parallel import sharding
+
+        params = sharding.shard_params(params, mesh)
+    return params
+
+
+# ---------------------------------------------------------------------------
+# chat (reference modeling_utils.py:143-178)
+# ---------------------------------------------------------------------------
+
+def _prepare_inputs(model: VisualCLA, image, text, history):
+    if isinstance(image, str):
+        pixel_values = model.image_processor(image)["pixel_values"]
+    elif hasattr(image, "convert"):  # PIL
+        pixel_values = model.image_processor(image)["pixel_values"]
+    else:
+        pixel_values = np.asarray(image) if image is not None else None
+    test_input = encoding_text(history, text, model.num_patch, model.tokenizer)
+    if len(history) == 0:
+        history.append({"type": "instruction", "value": text, "first_instruction": True})
+    else:
+        history.append({"type": "instruction", "value": text})
+    return test_input, pixel_values
+
+
+def chat(
+    model: VisualCLA,
+    image: Union[str, object, None],
+    text: str,
+    history: Optional[list] = None,
+    generation_config=None,
+    *,
+    verbose: bool = True,
+    seed: int = 0,
+) -> Tuple[str, list]:
+    """Blocking chat turn.  Mutates+returns history like the reference."""
+    if history is None:
+        history = []
+    test_input, pixel_values = _prepare_inputs(model, image, text, history)
+    outputs = model.generate(
+        test_input["input_ids"],
+        attention_mask=test_input["attention_mask"],
+        pixel_values=pixel_values,
+        generation_config=generation_config,
+        seed=seed,
+    )
+    response = model.tokenizer.decode(outputs[0], skip_special_tokens=True)
+    history.append({"type": "response", "value": response})
+    if verbose:
+        print("Response:", response)
+        print("History:", history)
+    return response, history
+
+
+def chat_in_stream(
+    model: VisualCLA,
+    image: Union[str, object, None],
+    text: str,
+    history: Optional[list] = None,
+    generation_config=None,
+    *,
+    verbose: bool = True,
+    seed: int = 0,
+) -> Iterator[Tuple[str, list]]:
+    """Streaming chat turn: yields (partial_response, history) per decoded token
+    (reference modeling_utils.py:180-247, incl. the '▁'-prefix space fixup at
+    :234-236).  No producer thread needed — the jitted decode step IS the
+    iterator."""
+    if history is None:
+        history = []
+    sampling = as_sampling_config(generation_config)
+    test_input, pixel_values = _prepare_inputs(model, image, text, history)
+    old_history = copy.deepcopy(history)
+    eos = model.tokenizer.eos_token_id
+
+    gen_ids: list = []
+    response = ""
+    for step_tokens in model.stream_generate(
+        test_input["input_ids"], pixel_values, sampling, seed=seed
+    ):
+        tok = int(np.asarray(step_tokens)[0])
+        if tok == eos:
+            break
+        gen_ids.append(tok)
+        response = model.tokenizer.decode(gen_ids, skip_special_tokens=True)
+        if model.tokenizer.convert_ids_to_tokens([gen_ids[0]])[0].startswith("▁"):
+            response = " " + response
+        history = copy.deepcopy(old_history)
+        history.append({"type": "response", "value": response})
+        yield response, history
+    if verbose:
+        print("Response:", response)
+        print("History:", history)
+
+
+def hijack_samplers() -> None:
+    """Reference compat (modeling_utils.py:395-400): there the extra samplers
+    (TFS / top-a / mirostat) must be monkey-patched into HF's generate; here
+    they are first-class fields of SamplingConfig, always available.  No-op."""
+    logger.info(
+        "hijack_samplers(): TFS/top-a/mirostat are built into SamplingConfig "
+        "(tfs=, top_a=, mirostat_mode=) — nothing to patch."
+    )

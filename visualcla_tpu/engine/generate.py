@@ -72,6 +72,7 @@ class Engine:
         max_seq_len: int = 2048,
         prompt_buckets: Tuple[int, ...] = (128, 256, 512, 1024, 2048),
         dtype=jnp.bfloat16,
+        mesh=None,
     ):
         self.params = params
         self.cfg = cfg
@@ -80,6 +81,8 @@ class Engine:
         self.max_seq_len = max_seq_len
         self.prompt_buckets = tuple(b for b in prompt_buckets if b <= max_seq_len)
         self.dtype = dtype
+        self.mesh = mesh  # when set, KV cache is sharded (batch on 'data',
+        # kv heads on 'model') and GSPMD propagates TP from the param shardings
 
         self._prefill = jax.jit(
             self._prefill_impl, static_argnames=("sampling",), donate_argnames=("cache",)
@@ -226,6 +229,18 @@ class Engine:
         cache = llama.init_kv_cache(
             self.cfg.text_config, B, self.max_seq_len, self.dtype
         )
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding
+
+            from ..parallel import sharding as shd
+
+            specs = shd.kv_cache_specs()
+            cache = {
+                k: jax.device_put(
+                    v, NamedSharding(self.mesh, shd._valid_spec(specs[k], v.shape, self.mesh))
+                )
+                for k, v in cache.items()
+            }
         key = jax.random.PRNGKey(seed)
         return self._prefill(
             self.params, jnp.asarray(padded), jnp.asarray(mask),

@@ -26,6 +26,7 @@ import jax.numpy as jnp
 from ..core.config import LlamaConfig
 from ..ops.attention import causal_bias, dot_product_attention
 from ..ops.norms import rms_norm
+from ..ops.quantization import is_quantized, q_matmul, q_take
 from ..ops.rope import apply_rope, rope_table
 
 Params = dict
@@ -67,8 +68,11 @@ def init_kv_cache(
 
 
 def embed(params: Params, input_ids: jnp.ndarray) -> jnp.ndarray:
-    """Token embedding lookup (B, S) -> (B, S, H)."""
-    return jnp.take(params["embed_tokens"], input_ids, axis=0)
+    """Token embedding lookup (B, S) -> (B, S, H).  Supports int8 tables."""
+    w = params["embed_tokens"]
+    if is_quantized(w):
+        return q_take(w, input_ids, axis=0).astype(params["final_norm"].dtype)
+    return jnp.take(w, input_ids, axis=0)
 
 
 def forward(
@@ -101,9 +105,9 @@ def forward(
         h, k_cache, v_cache = carry
         p, l = xs
         x = rms_norm(h, p["input_norm"], cfg.rms_norm_eps)
-        q = (x @ p["q_proj"]).reshape(B, Sq, N, hd)
-        k = (x @ p["k_proj"]).reshape(B, Sq, Nkv, hd)
-        v = (x @ p["v_proj"]).reshape(B, Sq, Nkv, hd)
+        q = q_matmul(x, p["q_proj"]).reshape(B, Sq, N, hd)
+        k = q_matmul(x, p["k_proj"]).reshape(B, Sq, Nkv, hd)
+        v = q_matmul(x, p["v_proj"]).reshape(B, Sq, Nkv, hd)
         q, k = apply_rope(q, k, cos, sin)
         zero = jnp.int32(0)
         idx = (l, zero, jnp.asarray(write_slot, jnp.int32), zero, zero)
@@ -112,10 +116,10 @@ def forward(
         k_all = jax.lax.dynamic_index_in_dim(k_cache, l, axis=0, keepdims=False)
         v_all = jax.lax.dynamic_index_in_dim(v_cache, l, axis=0, keepdims=False)
         attn = dot_product_attention(q, k_all, v_all, bias)
-        h = h + attn.reshape(B, Sq, N * hd) @ p["o_proj"]
+        h = h + q_matmul(attn.reshape(B, Sq, N * hd), p["o_proj"])
         x2 = rms_norm(h, p["post_norm"], cfg.rms_norm_eps)
-        gate = jax.nn.silu(x2 @ p["gate_proj"]) * (x2 @ p["up_proj"])
-        h = h + gate @ p["down_proj"]
+        gate = jax.nn.silu(q_matmul(x2, p["gate_proj"])) * q_matmul(x2, p["up_proj"])
+        h = h + q_matmul(gate, p["down_proj"])
         return (h, k_cache, v_cache), None
 
     L = cfg.num_hidden_layers
@@ -131,9 +135,10 @@ def forward(
 def logits(params: Params, hidden: jnp.ndarray) -> jnp.ndarray:
     """LM head; accumulate in >=fp32, return fp32 (HF casts logits to .float())."""
     acc = jnp.promote_types(hidden.dtype, jnp.float32)
-    return jnp.dot(
-        hidden, params["lm_head"], preferred_element_type=acc
-    ).astype(jnp.float32)
+    w = params["lm_head"]
+    if is_quantized(w):
+        w = (w["q"].astype(hidden.dtype)) * w["scale"].astype(hidden.dtype)
+    return jnp.dot(hidden, w, preferred_element_type=acc).astype(jnp.float32)
 
 
 def forward_logits(

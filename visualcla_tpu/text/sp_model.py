@@ -67,6 +67,33 @@ class SPModel:
             proto.ParseFromString(f.read())
         return cls.from_proto(proto)
 
+    def save(self, path: str) -> None:
+        """Serialize to a real sentencepiece ``.model`` protobuf (round-trips
+        through ``load``; used to mint test fixtures and converted vocabs)."""
+        from transformers.convert_slow_tokenizer import import_protobuf
+
+        pb2 = import_protobuf()
+        proto = pb2.ModelProto()
+        for p, s, t in zip(self.pieces, self.scores, self.types):
+            sp = proto.pieces.add()
+            sp.piece = p
+            sp.score = s
+            sp.type = t
+        proto.trainer_spec.model_type = (
+            {"UNIGRAM": 1, "BPE": 2, "WORD": 3, "CHAR": 4}[self.model_type]
+        )
+        proto.trainer_spec.unk_id = self.unk_id
+        proto.trainer_spec.bos_id = self.bos_id
+        proto.trainer_spec.eos_id = self.eos_id
+        proto.trainer_spec.pad_id = self.pad_id
+        proto.trainer_spec.byte_fallback = self.has_byte_fallback
+        proto.normalizer_spec.name = "identity"
+        proto.normalizer_spec.add_dummy_prefix = self.add_dummy_prefix
+        proto.normalizer_spec.remove_extra_whitespaces = self.remove_extra_whitespaces
+        proto.normalizer_spec.escape_whitespaces = self.escape_whitespaces
+        with open(path, "wb") as f:
+            f.write(proto.SerializeToString())
+
     @classmethod
     def from_proto(cls, proto) -> "SPModel":
         pieces = [p.piece for p in proto.pieces]
