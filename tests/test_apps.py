@@ -1,0 +1,141 @@
+"""Front-end tests: evaluator, HTTP server, CLI REPL protocol, parse_text."""
+import json
+import os
+import threading
+
+import numpy as np
+import pytest
+
+from tests.test_api import make_native_ckpt
+
+
+@pytest.fixture(scope="module")
+def model_bundle(tmp_path_factory):
+    import jax.numpy as jnp
+    import visualcla_tpu as v
+
+    tmp = str(tmp_path_factory.mktemp("apps"))
+    ckpt, cfg = make_native_ckpt(tmp)
+    model, tokenizer, processor = v.get_model_and_tokenizer_and_processor(
+        visualcla_model=ckpt, dtype=jnp.float32, max_seq_len=256
+    )
+    return model, tokenizer, cfg, tmp
+
+
+def write_images(tmp, cfg, names):
+    from PIL import Image
+
+    img_dir = os.path.join(tmp, "imgs")
+    os.makedirs(img_dir, exist_ok=True)
+    rng = np.random.default_rng(0)
+    for n in names:
+        arr = rng.integers(0, 256, (64, 80, 3), dtype=np.uint8)
+        Image.fromarray(arr).save(os.path.join(img_dir, n))
+    return img_dir
+
+
+def test_evaluate_batch(model_bundle):
+    from visualcla_tpu.apps.evaluate import evaluate
+    from visualcla_tpu.engine.sampling import SamplingConfig
+
+    model, tokenizer, cfg, tmp = model_bundle
+    img_dir = write_images(tmp, cfg, ["a.png", "b.png", "c.png"])
+    questions = [
+        {"id": i, "image": n, "instruction": "ab", "question_id": i}
+        for i, n in enumerate(["a.png", "b.png", "c.png"])
+    ]
+    # tiny fixture uses image_size 28 -> align the processor
+    model.image_processor.image_size = cfg.vision_config.image_size
+    model.image_processor.crop_size = cfg.vision_config.image_size
+    results = evaluate(
+        model, questions, img_dir,
+        sampling=SamplingConfig.greedy(max_new_tokens=4), batch_size=2,
+    )
+    assert len(results) == 3
+    assert all("output" in r and isinstance(r["output"], str) for r in results)
+    assert [r["question_id"] for r in results] == [0, 1, 2]
+
+
+def test_http_server_round_trip(model_bundle):
+    import http.client
+
+    from visualcla_tpu.apps.serve import ChatWorker, make_handler
+    from http.server import ThreadingHTTPServer
+
+    model, tokenizer, cfg, tmp = model_bundle
+    model.image_processor.image_size = cfg.vision_config.image_size
+    model.image_processor.crop_size = cfg.vision_config.image_size
+    worker = ChatWorker(model)
+    server = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(worker))
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=120)
+        conn.request("GET", "/health")
+        assert json.loads(conn.getresponse().read())["status"] == "ok"
+
+        import base64, io
+        from PIL import Image
+
+        buf = io.BytesIO()
+        Image.fromarray(
+            np.random.default_rng(0).integers(0, 256, (40, 40, 3), dtype=np.uint8)
+        ).save(buf, format="PNG")
+        req = {
+            "text": "ab",
+            "image_b64": base64.b64encode(buf.getvalue()).decode(),
+            "generation_config": {"do_sample": False, "max_new_tokens": 4},
+        }
+        conn.request("POST", "/chat", body=json.dumps(req),
+                     headers={"Content-Type": "application/json"})
+        resp = json.loads(conn.getresponse().read())
+        assert "response" in resp, resp
+        assert resp["history"][-1]["type"] == "response"
+
+        conn.request("POST", "/chat", body=json.dumps({}))
+        assert conn.getresponse().status == 400
+    finally:
+        server.shutdown()
+
+
+def test_cli_repl_protocol(model_bundle, monkeypatch, capsys, tmp_path):
+    """Drive the REPL: change image -> ask -> clear -> exit."""
+    from PIL import Image
+
+    from visualcla_tpu.apps import inference as cli
+
+    model, tokenizer, cfg, tmp = model_bundle
+    model.image_processor.image_size = cfg.vision_config.image_size
+    model.image_processor.crop_size = cfg.vision_config.image_size
+    img = str(tmp_path / "x.png")
+    Image.fromarray(
+        np.random.default_rng(1).integers(0, 256, (50, 50, 3), dtype=np.uint8)
+    ).save(img)
+
+    monkeypatch.setattr(
+        "visualcla_tpu.get_model_and_tokenizer_and_processor",
+        lambda **kw: (model, tokenizer, None),
+    )
+    inputs = iter([f"change image:{img}", "ab", "clear", "exit"])
+    monkeypatch.setattr("builtins.input", lambda *a: next(inputs))
+    # keep generation short
+    import visualcla_tpu.api as api
+    from visualcla_tpu.engine.sampling import SamplingConfig
+
+    monkeypatch.setattr(api, "DEFAULT_GENERATION_CONFIG",
+                        SamplingConfig.greedy(max_new_tokens=4))
+    cli.main(["--visualcla_model", "ignored"])
+    out = capsys.readouterr().out
+    assert "Response:" in out
+    assert "Conversation history cleared." in out
+
+
+def test_parse_text_code_blocks():
+    from visualcla_tpu.apps.gradio_demo import parse_text
+
+    txt = "look:\n```python\nprint(1)\n```\ndone"
+    out = parse_text(txt)
+    assert '<pre><code class="language-python">' in out
+    assert "</code></pre>" in out
+    assert out.endswith("<br>done")

@@ -1,0 +1,1 @@
+"""Front-ends: CLI REPL (inference), Gradio demo, batch evaluator, HTTP server."""

@@ -1,0 +1,129 @@
+"""HTTP chat endpoint — the webui-plugin-equivalent serving surface.
+
+The reference's third front-end is a text-generation-webui plugin
+(scripts/inference/text_generation_webui/): an HTTP chat UI over the same
+embed-image + splice + generate pipeline.  This stdlib server exposes that
+pipeline as JSON over HTTP with no extra dependencies:
+
+  POST /chat   {"text": str, "image_b64": str|null, "history": [...],
+                "generation_config": {...}, "seed": int}
+            -> {"response": str, "history": [...]}
+  GET  /health -> {"status": "ok"}
+
+Requests are serialized through a worker queue (the engine is single-stream;
+batch serving rides the evaluator's batched path).
+"""
+from __future__ import annotations
+
+import argparse
+import base64
+import io
+import json
+import logging
+import queue
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+logger = logging.getLogger(__name__)
+
+
+class ChatWorker:
+    """Single consumer thread owning the model; requests enqueue and block."""
+
+    def __init__(self, model):
+        self.model = model
+        self.q: queue.Queue = queue.Queue()
+        self.thread = threading.Thread(target=self._run, daemon=True)
+        self.thread.start()
+
+    def _run(self):
+        from visualcla_tpu.api import as_sampling_config, chat
+
+        while True:
+            req, done = self.q.get()
+            try:
+                image = None
+                if req.get("image_b64"):
+                    from PIL import Image
+
+                    image = Image.open(io.BytesIO(base64.b64decode(req["image_b64"])))
+                history = req.get("history") or []
+                response, history = chat(
+                    self.model,
+                    image=image,
+                    text=req["text"],
+                    history=history,
+                    generation_config=as_sampling_config(req.get("generation_config")),
+                    verbose=False,
+                    seed=int(req.get("seed", 0)),
+                )
+                done.put({"response": response, "history": history})
+            except Exception as e:  # noqa: BLE001 — report to the client
+                logger.exception("chat request failed")
+                done.put({"error": str(e)})
+
+    def submit(self, req: dict, timeout: float = 600.0) -> dict:
+        done: queue.Queue = queue.Queue()
+        self.q.put((req, done))
+        return done.get(timeout=timeout)
+
+
+def make_handler(worker: ChatWorker):
+    class Handler(BaseHTTPRequestHandler):
+        def _send(self, code: int, payload: dict):
+            body = json.dumps(payload, ensure_ascii=False).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json; charset=utf-8")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):  # noqa: N802
+            if self.path == "/health":
+                self._send(200, {"status": "ok"})
+            else:
+                self._send(404, {"error": "not found"})
+
+        def do_POST(self):  # noqa: N802
+            if self.path != "/chat":
+                self._send(404, {"error": "not found"})
+                return
+            length = int(self.headers.get("Content-Length", 0))
+            try:
+                req = json.loads(self.rfile.read(length) or b"{}")
+                if "text" not in req:
+                    self._send(400, {"error": "missing 'text'"})
+                    return
+                result = worker.submit(req)
+                self._send(200 if "error" not in result else 500, result)
+            except json.JSONDecodeError:
+                self._send(400, {"error": "invalid json"})
+
+        def log_message(self, fmt, *args):  # route through logging
+            logger.info("%s - %s", self.address_string(), fmt % args)
+
+    return Handler
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--visualcla_model", required=True)
+    ap.add_argument("--load_in_8bit", action="store_true")
+    ap.add_argument("--host", default="0.0.0.0")
+    ap.add_argument("--port", type=int, default=8091)
+    args = ap.parse_args(argv)
+    logging.basicConfig(level=logging.INFO)
+
+    import visualcla_tpu as visualcla
+
+    model, _, _ = visualcla.get_model_and_tokenizer_and_processor(
+        visualcla_model=args.visualcla_model, load_in_8bit=args.load_in_8bit
+    )
+    worker = ChatWorker(model)
+    server = ThreadingHTTPServer((args.host, args.port), make_handler(worker))
+    logger.info("serving on %s:%d", args.host, args.port)
+    server.serve_forever()
+
+
+if __name__ == "__main__":
+    main()
