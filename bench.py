@@ -45,6 +45,12 @@ def build_engine(max_seq_len: int):
     ), cfg
 
 
+def _sync(x) -> None:
+    """Force completion: device_get a concrete value.  (block_until_ready is a
+    no-op under the axon tunnel platform, so timing must round-trip data.)"""
+    np.asarray(jax.device_get(x))
+
+
 def run(max_seq_len: int):
     from visualcla_tpu.engine.sampling import SamplingConfig
 
@@ -61,26 +67,26 @@ def run(max_seq_len: int):
 
     # -- warmup / compile ---------------------------------------------------
     st = engine.start(input_ids, pixel_values, img_start_pos, sampling)
-    jax.block_until_ready(st.gen_ids)
+    _sync(st.gen_ids[:, -1])
     st = engine._decode_loop(engine.params, st, sampling, sampling.max_new_tokens)
-    jax.block_until_ready(st.gen_ids)
+    _sync(st.gen_ids[:, -1])
 
     # -- TTFT (prefill incl. image encode + first token), p50 of 5 ----------
     ttfts = []
     for _ in range(5):
         t0 = time.perf_counter()
         st = engine.start(input_ids, pixel_values, img_start_pos, sampling)
-        jax.block_until_ready(st.last_token)
+        _sync(st.last_token)
         ttfts.append(time.perf_counter() - t0)
     ttft_ms = float(np.median(ttfts) * 1e3)
 
     # -- decode throughput (fused loop; token count is fixed: greedy on zeros
     #    params never hits EOS=2 since argmax of uniform logits is 0) --------
     st = engine.start(input_ids, pixel_values, img_start_pos, sampling)
-    jax.block_until_ready(st.last_token)
+    _sync(st.last_token)
     t0 = time.perf_counter()
     st = engine._decode_loop(engine.params, st, sampling, sampling.max_new_tokens)
-    jax.block_until_ready(st.gen_ids)
+    _sync(st.gen_ids[:, -1])
     dt = time.perf_counter() - t0
     n_decoded = int(st.gen_len) - 1  # first token was sampled in prefill
     tok_s = n_decoded / dt

@@ -1,0 +1,122 @@
+"""Pallas kernel tests (interpret mode on the CPU backend) vs the XLA path."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from visualcla_tpu.ops.attention import cached_attention, dot_product_attention
+from visualcla_tpu.ops.pallas.flash_attention import flash_attention
+
+
+def dense_ref(q, k, v, kv_valid, write_slot):
+    return cached_attention(q, k, v, kv_valid, write_slot, impl="xla")
+
+
+def rand(rng, shape, dtype=jnp.float32):
+    return jnp.asarray(rng.standard_normal(shape), dtype)
+
+
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+def test_flash_prefill_matches_dense(dtype):
+    rng = np.random.default_rng(0)
+    B, Sq, N, H = 2, 48, 4, 64
+    Smax = 96
+    q = rand(rng, (B, Sq, N, H), dtype)
+    k = rand(rng, (B, Smax, N, H), dtype)
+    v = rand(rng, (B, Smax, N, H), dtype)
+    # left-padded rows: row 0 has 40 valid, row 1 has 48
+    kv_valid = np.zeros((B, Smax), bool)
+    kv_valid[0, 8:48] = True
+    kv_valid[1, 0:48] = True
+    out = flash_attention(
+        q, k, v, jnp.asarray(kv_valid), jnp.int32(0),
+        block_q=16, block_kv=32, interpret=True,
+    )
+    ref = dense_ref(q, k, v, jnp.asarray(kv_valid), jnp.int32(0))
+    tol = 2e-6 if dtype == jnp.float32 else 2e-2
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32), atol=tol, rtol=tol
+    )
+
+
+def test_flash_decode_mid_cache():
+    rng = np.random.default_rng(1)
+    B, N, H, Smax = 2, 4, 64, 128
+    q = rand(rng, (B, 1, N, H))
+    k = rand(rng, (B, Smax, N, H))
+    v = rand(rng, (B, Smax, N, H))
+    write_slot = jnp.int32(77)
+    kv_valid = np.zeros((B, Smax), bool)
+    kv_valid[:, 10:78] = True  # slots up to and including the new token
+    out = flash_attention(
+        q, k, v, jnp.asarray(kv_valid), write_slot,
+        block_q=8, block_kv=32, interpret=True,
+    )
+    ref = dense_ref(q, k, v, jnp.asarray(kv_valid), write_slot)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-6)
+
+
+def test_flash_gqa_repeat():
+    rng = np.random.default_rng(2)
+    B, Sq, N, Nkv, H, Smax = 1, 16, 8, 2, 32, 32
+    q = rand(rng, (B, Sq, N, H))
+    k = rand(rng, (B, Smax, Nkv, H))
+    v = rand(rng, (B, Smax, Nkv, H))
+    kv_valid = jnp.ones((B, Smax), bool)
+    out = flash_attention(q, k, v, kv_valid, jnp.int32(16),
+                          block_q=8, block_kv=32, interpret=True)
+    ref = dense_ref(q, k, v, kv_valid, jnp.int32(16))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-6)
+
+
+def test_flash_uneven_shapes_pad():
+    """Sq/Skv not multiples of the block sizes."""
+    rng = np.random.default_rng(3)
+    B, Sq, N, H, Smax = 1, 23, 2, 64, 70
+    q = rand(rng, (B, Sq, N, H))
+    k = rand(rng, (B, Smax, N, H))
+    v = rand(rng, (B, Smax, N, H))
+    kv_valid = np.zeros((B, Smax), bool)
+    kv_valid[:, :23] = True
+    out = flash_attention(q, k, v, jnp.asarray(kv_valid), jnp.int32(0),
+                          block_q=16, block_kv=32, interpret=True)
+    ref = dense_ref(q, k, v, jnp.asarray(kv_valid), jnp.int32(0))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-6)
+
+
+def test_llama_forward_flash_vs_xla():
+    """Whole decoder stack: flash (interpret) output == XLA path output."""
+    from visualcla_tpu.core.config import LlamaConfig
+    from visualcla_tpu.models import llama
+    from visualcla_tpu.ops import attention as attn_mod
+    from visualcla_tpu.ops.pallas import flash_attention as fa
+
+    cfg = LlamaConfig(
+        vocab_size=64, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=2, max_position_embeddings=64,
+    )
+    params = llama.init_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(0, 64, (2, 10)), jnp.int32)
+
+    ref_logits = llama.forward_logits(params, cfg, ids)
+
+    orig = fa.flash_attention
+
+    def interp_flash(*a, **kw):
+        kw["interpret"] = True
+        kw.setdefault("block_q", 8)
+        kw.setdefault("block_kv", 128)
+        return orig(*a, **kw)
+
+    attn_mod.set_attention_impl("flash")
+    fa_mod_orig = fa.flash_attention
+    try:
+        fa.flash_attention = interp_flash
+        flash_logits = llama.forward_logits(params, cfg, ids)
+    finally:
+        fa.flash_attention = fa_mod_orig
+        attn_mod.set_attention_impl(None)
+    np.testing.assert_allclose(
+        np.asarray(flash_logits), np.asarray(ref_logits), atol=1e-4, rtol=1e-4
+    )

@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core.config import LlamaConfig
-from ..ops.attention import causal_bias, dot_product_attention
+from ..ops.attention import cached_attention
 from ..ops.norms import rms_norm
 from ..ops.quantization import is_quantized, q_matmul, q_take
 from ..ops.rope import apply_rope, rope_table
@@ -96,11 +96,6 @@ def forward(
 
     cos, sin = rope_table(rope_positions, hd, cfg.rope_theta)  # (B, Sq, hd) fp32
 
-    q_slots = write_slot + jnp.arange(Sq, dtype=jnp.int32)[None, :]  # (1, Sq)
-    q_slots = jnp.broadcast_to(q_slots, (B, Sq))
-    kv_slots = jnp.broadcast_to(jnp.arange(Smax, dtype=jnp.int32)[None, :], (B, Smax))
-    bias = causal_bias(q_slots, kv_valid, kv_slots)  # (B, 1, Sq, Smax) fp32
-
     def layer(carry, xs):
         h, k_cache, v_cache = carry
         p, l = xs
@@ -115,7 +110,7 @@ def forward(
         v_cache = jax.lax.dynamic_update_slice(v_cache, v[None], idx)
         k_all = jax.lax.dynamic_index_in_dim(k_cache, l, axis=0, keepdims=False)
         v_all = jax.lax.dynamic_index_in_dim(v_cache, l, axis=0, keepdims=False)
-        attn = dot_product_attention(q, k_all, v_all, bias)
+        attn = cached_attention(q, k_all, v_all, kv_valid, write_slot)
         h = h + q_matmul(attn.reshape(B, Sq, N * hd), p["o_proj"])
         x2 = rms_norm(h, p["post_norm"], cfg.rms_norm_eps)
         gate = jax.nn.silu(q_matmul(x2, p["gate_proj"])) * q_matmul(x2, p["up_proj"])

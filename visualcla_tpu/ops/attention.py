@@ -58,6 +58,53 @@ def dot_product_attention(
     return out
 
 
+_ATTN_IMPL = None  # None = auto (flash on TPU, xla elsewhere)
+
+
+def set_attention_impl(name: str | None) -> None:
+    """Force the attention backend: 'flash' (Pallas), 'xla', or None = auto."""
+    global _ATTN_IMPL
+    assert name in (None, "flash", "xla")
+    _ATTN_IMPL = name
+
+
+def attention_impl() -> str:
+    import os
+
+    if _ATTN_IMPL is not None:
+        return _ATTN_IMPL
+    env = os.environ.get("VISUALCLA_ATTN")
+    if env in ("flash", "xla"):
+        return env
+    return "flash" if jax.default_backend() == "tpu" else "xla"
+
+
+def cached_attention(
+    q: jnp.ndarray,  # (B, Sq, N, H)
+    k: jnp.ndarray,  # (B, Skv, Nkv, H) — full cache buffer
+    v: jnp.ndarray,
+    kv_valid: jnp.ndarray,  # (B, Skv) bool
+    write_slot: jnp.ndarray,  # () int32
+    *,
+    impl: str | None = None,
+) -> jnp.ndarray:
+    """Causal attention over a KV cache: Pallas flash kernel on TPU, dense XLA
+    fallback elsewhere.  Query i occupies slot write_slot+i and sees kv slots
+    <= its own among the valid ones."""
+    impl = impl or attention_impl()
+    if impl == "flash":
+        from .pallas.flash_attention import flash_attention
+
+        return flash_attention(q, k, v, kv_valid, write_slot, causal=True)
+    B, Sq = q.shape[:2]
+    Smax = k.shape[1]
+    q_slots = write_slot + jnp.arange(Sq, dtype=jnp.int32)[None, :]
+    q_slots = jnp.broadcast_to(q_slots, (B, Sq))
+    kv_slots = jnp.broadcast_to(jnp.arange(Smax, dtype=jnp.int32)[None, :], (B, Smax))
+    bias = causal_bias(q_slots, kv_valid, kv_slots)
+    return dot_product_attention(q, k, v, bias)
+
+
 def causal_bias(
     q_positions: jnp.ndarray,  # (B, Sq) int32 absolute positions of queries
     kv_valid: jnp.ndarray,  # (B, Sk) bool — which kv slots hold real tokens

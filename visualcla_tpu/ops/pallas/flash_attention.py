@@ -1,0 +1,159 @@
+"""Pallas flash attention — the TPU replacement for the reference's CUDA/ATen
+attention hot loop (SURVEY.md §2.b).
+
+One kernel serves prefill and decode:
+- blockwise online-softmax over KV tiles (fp32 running max / denominator),
+  so the (Sq, Skv) score matrix never materializes in HBM;
+- causality uses cache-slot order: query i sits at slot ``write_slot + i`` and
+  sees kv slots <= its own; slot validity (left padding, unwritten cache tail)
+  comes in as a per-slot mask — matching ``ops.attention.causal_bias`` exactly;
+- bf16 QKV in, fp32 accumulation, bf16 out — MXU-shaped tiles (128 lanes).
+
+Decode (Sq=1) pads the query tile to the sublane minimum and rides the same
+code path: the dominant cost is streaming the KV cache, which tiles the same.
+"""
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _flash_kernel(
+    slot_ref,  # (1, 1) int32 in SMEM — cache slot of the first query
+    kvok_ref,  # (1, Skv) int32 in VMEM — kv slot validity
+    q_ref,  # (1, 1, BQ, H)
+    k_ref,  # (1, 1, Skv, H)
+    v_ref,  # (1, 1, Skv, H)
+    o_ref,  # (1, 1, BQ, H)
+    *,
+    scale: float,
+    block_kv: int,
+    causal: bool,
+):
+    BQ, H = q_ref.shape[2], q_ref.shape[3]
+    Skv = k_ref.shape[2]
+    qblk = pl.program_id(2)
+    q = q_ref[0, 0].astype(jnp.float32) * scale
+    # query cache slots: write_slot + global query index
+    qpos = (
+        slot_ref[0, 0]
+        + qblk * BQ
+        + jax.lax.broadcasted_iota(jnp.int32, (BQ, 1), 0)
+    )  # (BQ, 1)
+
+    m = jnp.full((BQ, 1), NEG_INF, jnp.float32)
+    l = jnp.zeros((BQ, 1), jnp.float32)
+    acc = jnp.zeros((BQ, H), jnp.float32)
+
+    def body(i, carry):
+        m, l, acc = carry
+        k = k_ref[0, 0, pl.ds(i * block_kv, block_kv), :].astype(jnp.float32)
+        v = v_ref[0, 0, pl.ds(i * block_kv, block_kv), :].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (BQ, block_kv)
+        ok = jnp.broadcast_to(
+            kvok_ref[0:1, pl.ds(i * block_kv, block_kv)] > 0, (BQ, block_kv)
+        )
+        if causal:
+            kv_idx = i * block_kv + jax.lax.broadcasted_iota(
+                jnp.int32, (BQ, block_kv), 1
+            )
+            ok = ok & (kv_idx <= qpos)
+        s = jnp.where(ok, s, NEG_INF)
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m - m_new)
+        l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc = acc * alpha + jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        return m_new, l, acc
+
+    m, l, acc = jax.lax.fori_loop(0, Skv // block_kv, body, (m, l, acc))
+    # rows with no visible kv (query padding) have l==0 -> emit zeros
+    safe_l = jnp.where(l == 0.0, 1.0, l)
+    o_ref[0, 0] = (acc / safe_l).astype(o_ref.dtype)
+
+
+def _pad_to(x, size, axis, value=0):
+    pad = size - x.shape[axis]
+    if pad <= 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths, constant_values=value)
+
+
+def _ceil_mult(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("scale", "causal", "block_q", "block_kv", "interpret"),
+)
+def flash_attention(
+    q: jnp.ndarray,  # (B, Sq, N, H)
+    k: jnp.ndarray,  # (B, Skv, Nkv, H)
+    v: jnp.ndarray,  # (B, Skv, Nkv, H)
+    kv_valid: jnp.ndarray,  # (B, Skv) bool/int — slot validity
+    write_slot: jnp.ndarray,  # () int32 — cache slot of the first query
+    *,
+    scale: Optional[float] = None,
+    causal: bool = True,
+    block_q: int = 256,
+    block_kv: int = 256,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Returns (B, Sq, N, H) in q.dtype.  kv slot j is visible to query i iff
+    kv_valid[b, j] and (not causal or j <= write_slot + i)."""
+    B, Sq, N, H = q.shape
+    Skv, Nkv = k.shape[1], k.shape[2]
+    if N != Nkv:
+        rep = N // Nkv
+        k = jnp.repeat(k, rep, axis=2)
+        v = jnp.repeat(v, rep, axis=2)
+    if scale is None:
+        scale = 1.0 / math.sqrt(H)
+
+    min_q = 16 if q.dtype == jnp.bfloat16 else 8
+    bq = min(block_q, _ceil_mult(Sq, min_q))
+    Sq_p = _ceil_mult(Sq, bq)
+    bkv = min(block_kv, _ceil_mult(Skv, 128))
+    Skv_p = _ceil_mult(Skv, bkv)
+
+    qt = _pad_to(q.transpose(0, 2, 1, 3), Sq_p, 2)  # (B, N, Sq_p, H)
+    kt = _pad_to(k.transpose(0, 2, 1, 3), Skv_p, 2)
+    vt = _pad_to(v.transpose(0, 2, 1, 3), Skv_p, 2)
+    kvok = _pad_to(kv_valid.astype(jnp.int32), Skv_p, 1)
+    slot = jnp.asarray(write_slot, jnp.int32).reshape(1, 1)
+
+    grid = (B, N, Sq_p // bq)
+    out = pl.pallas_call(
+        functools.partial(_flash_kernel, scale=scale, block_kv=bkv, causal=causal),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda b, n, i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, Skv_p), lambda b, n, i: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bq, H), lambda b, n, i: (b, n, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Skv_p, H), lambda b, n, i: (b, n, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Skv_p, H), lambda b, n, i: (b, n, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, bq, H), lambda b, n, i: (b, n, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, N, Sq_p, H), q.dtype),
+        interpret=interpret,
+    )(slot, kvok, qt, kt, vt)
+    return out.transpose(0, 2, 1, 3)[:, :Sq]
