@@ -23,6 +23,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from visualcla_tpu.utils import enable_compilation_cache
+
+enable_compilation_cache()
+
 HF_GPU_BASELINE_TOK_S = 30.0
 
 

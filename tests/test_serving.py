@@ -1,0 +1,102 @@
+"""Continuous-batching equivalence: pool decode == single-stream decode."""
+import queue
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from visualcla_tpu.core.config import tiny_visualcla_config
+from visualcla_tpu.engine.generate import Engine
+from visualcla_tpu.engine.sampling import SamplingConfig
+from visualcla_tpu.engine.server import (
+    Request,
+    Scheduler,
+    ServingEngine,
+    generate_sync,
+)
+from visualcla_tpu.models import visualcla as vmod
+
+EOS, PAD = 2, 0
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = tiny_visualcla_config(vocab_size=96)
+    # float64 params: batched vs single matmul accumulation orders can differ
+    # at f32 — x64 keeps greedy argmax deterministic across both paths
+    params = vmod.init_params(jax.random.PRNGKey(0), cfg, jnp.float64)
+    single = Engine(
+        params, cfg, eos_token_id=EOS, pad_token_id=PAD,
+        max_seq_len=96, prompt_buckets=(32,), dtype=jnp.float64,
+    )
+    pool = ServingEngine(
+        params, cfg, eos_token_id=EOS, pad_token_id=PAD,
+        pool_size=3, max_seq_len=96, max_new_tokens_cap=16,
+        prompt_buckets=(32,), sampling=SamplingConfig.greedy(max_new_tokens=16),
+        dtype=jnp.float64,
+    )
+    return cfg, params, single, pool
+
+
+def prompts(cfg, n=3):
+    rng = np.random.default_rng(7)
+    out = []
+    for i in range(n):
+        S = int(rng.integers(6, 20))
+        ids = rng.integers(4, 90, size=(S,)).astype(np.int32)
+        out.append(ids)
+    return out
+
+
+def test_pool_matches_single_stream(setup):
+    cfg, params, single, pool = setup
+    sampling = SamplingConfig.greedy(max_new_tokens=10)
+    ps = prompts(cfg)
+
+    expected = [
+        single.generate(p[None], None, None, sampling)[0] for p in ps
+    ]
+
+    sched = Scheduler(pool)
+    try:
+        got = [
+            generate_sync(sched, p, max_new_tokens=10, timeout=300) for p in ps
+        ]
+    finally:
+        sched.stop()
+    for e, g in zip(expected, got):
+        e = np.asarray(e)
+        # single-stream pads finished rows; trim at EOS for comparison
+        def trim(x):
+            x = list(np.asarray(x))
+            return x[: x.index(EOS) + 1] if EOS in x else x
+
+        assert trim(e) == trim(g), (e, g)
+
+
+def test_pool_interleaves_requests(setup):
+    """Submit concurrently; rows must finish and free independently."""
+    cfg, params, single, pool = setup
+    ps = prompts(cfg, n=5)  # more requests than pool rows (3)
+    sched = Scheduler(pool)
+    try:
+        qs = []
+        for p in ps:
+            q_ = queue.Queue()
+            sched.submit(Request(
+                input_ids=p, pixel_values=None, img_start_pos=None,
+                max_new_tokens=6, out=q_,
+            ))
+            qs.append(q_)
+        outs = []
+        for q_ in qs:
+            while True:
+                kind, payload = q_.get(timeout=300)
+                if kind == "done":
+                    outs.append(payload)
+                    break
+    finally:
+        sched.stop()
+    assert len(outs) == 5
+    assert all(1 <= len(o) <= 6 for o in outs)

@@ -1,0 +1,365 @@
+"""Continuous-batching serving engine.
+
+The reference's serving path (text-generation-webui plugin) handles one
+request at a time on a GPU.  The TPU-native equivalent keeps a fixed pool of
+B cache rows resident in HBM and interleaves requests at token granularity:
+
+- **prefill** runs one request into a free row (jitted, row index dynamic:
+  everything is static-shaped, the row is selected with dynamic slicing);
+- **decode** advances ALL active rows one token per jitted step — per-row cache
+  slots (write_slot (B,)), per-row generated-length/limit, per-row EOS;
+- a scheduler thread multiplexes request queues onto the pool and streams
+  tokens back per request.
+
+Rows finish independently (continuous batching): a finished row's slot is
+reused by the next queued request without draining the batch.
+"""
+from __future__ import annotations
+
+import dataclasses
+import logging
+import queue
+import threading
+import time
+from typing import Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.config import VisualCLAConfig
+from ..models import llama, visualcla
+from .sampling import SamplingConfig, sample_step
+
+logger = logging.getLogger(__name__)
+
+
+@dataclasses.dataclass
+class PoolState:
+    """Device-resident state of the serving pool (pytree)."""
+
+    cache: dict  # (L, B, Smax, Nkv, hd)
+    kv_valid: jnp.ndarray  # (B, Smax) bool
+    cur_slot: jnp.ndarray  # (B,) int32 next cache slot per row
+    positions: jnp.ndarray  # (B,) int32 next rope position per row
+    last_token: jnp.ndarray  # (B,) int32
+    gen_ids: jnp.ndarray  # (B, T) int32
+    gen_len: jnp.ndarray  # (B,) int32
+    max_len: jnp.ndarray  # (B,) int32 per-request max_new_tokens
+    active: jnp.ndarray  # (B,) bool
+    finished: jnp.ndarray  # (B,) bool — hit EOS/limit, awaiting collection
+    mu: jnp.ndarray  # (B,) fp32 mirostat state
+    key: jax.Array
+
+
+jax.tree_util.register_dataclass(
+    PoolState,
+    data_fields=["cache", "kv_valid", "cur_slot", "positions", "last_token",
+                 "gen_ids", "gen_len", "max_len", "active", "finished", "mu", "key"],
+    meta_fields=[],
+)
+
+
+class ServingEngine:
+    """Fixed-pool continuous batching over one model."""
+
+    def __init__(
+        self,
+        params,
+        cfg: VisualCLAConfig,
+        *,
+        eos_token_id: int,
+        pad_token_id: int,
+        pool_size: int = 8,
+        max_seq_len: int = 2048,
+        max_new_tokens_cap: int = 1024,
+        prompt_buckets=(128, 256, 512, 1024),
+        sampling: Optional[SamplingConfig] = None,
+        dtype=jnp.bfloat16,
+        seed: int = 0,
+    ):
+        self.params = params
+        self.cfg = cfg
+        self.eos = eos_token_id
+        self.pad = pad_token_id
+        self.B = pool_size
+        self.Smax = max_seq_len
+        self.T = max_new_tokens_cap
+        self.prompt_buckets = tuple(b for b in prompt_buckets if b <= max_seq_len)
+        self.sampling = sampling or SamplingConfig()
+        self.dtype = dtype
+
+        self._prefill = jax.jit(
+            self._prefill_impl, donate_argnames=("state",),
+            static_argnames=("sampling",),
+        )
+        self._step = jax.jit(
+            self._step_impl, donate_argnames=("state",),
+            static_argnames=("sampling",),
+        )
+        self._state = self._init_state(seed)
+
+    # -- state ---------------------------------------------------------------
+
+    def _init_state(self, seed: int) -> PoolState:
+        B, T = self.B, self.T
+        cache = llama.init_kv_cache(self.cfg.text_config, B, self.Smax, self.dtype)
+        return PoolState(
+            cache=cache,
+            kv_valid=jnp.zeros((B, self.Smax), bool),
+            cur_slot=jnp.zeros((B,), jnp.int32),
+            positions=jnp.zeros((B,), jnp.int32),
+            last_token=jnp.zeros((B,), jnp.int32),
+            gen_ids=jnp.zeros((B, T), jnp.int32),
+            gen_len=jnp.zeros((B,), jnp.int32),
+            max_len=jnp.zeros((B,), jnp.int32),
+            active=jnp.zeros((B,), bool),
+            finished=jnp.zeros((B,), bool),
+            mu=jnp.full((B,), 2.0 * self.sampling.mirostat_tau, jnp.float32),
+            key=jax.random.PRNGKey(seed),
+        )
+
+    # -- jitted impls ----------------------------------------------------------
+
+    def _prefill_impl(
+        self, params, state: PoolState, row: jnp.ndarray,
+        input_ids, attention_mask, img_start_pos, pixel_values,
+        max_new_tokens: jnp.ndarray, sampling: SamplingConfig,
+    ) -> PoolState:
+        """Run one prompt (1, S) into pool row ``row``; sample its first token."""
+        cfg = self.cfg
+        S = input_ids.shape[1]
+        B = self.B
+
+        embeds = visualcla.multimodal_embeds(
+            params, cfg, input_ids, img_start_pos, pixel_values
+        )
+        positions = jnp.maximum(
+            jnp.cumsum(attention_mask, axis=-1) - 1, 0
+        ).astype(jnp.int32)
+
+        # slice this row's cache as a (L, 1, Smax, ...) view
+        def row_cache(c):
+            return jax.lax.dynamic_slice_in_dim(c, row, 1, axis=1)
+
+        rc = {k: row_cache(v) for k, v in state.cache.items()}
+        kv_valid_row = jnp.concatenate(
+            [attention_mask.astype(bool),
+             jnp.zeros((1, self.Smax - S), bool)], axis=-1,
+        )
+        hidden, rc = llama.forward(
+            params["text"], cfg.text_config, embeds, positions, rc,
+            kv_valid_row, jnp.int32(0),
+        )
+        cache = {
+            k: jax.lax.dynamic_update_slice_in_dim(state.cache[k], rc[k], row, axis=1)
+            for k in state.cache
+        }
+        last_logits = llama.logits(params["text"], hidden[:, -1:, :])[:, 0]  # (1, V)
+
+        key, sub = jax.random.split(state.key)
+        mu0 = jnp.full((1,), 2.0 * sampling.mirostat_tau, jnp.float32)
+        token, mu_row = sample_step(
+            last_logits, jnp.zeros((1, self.T), jnp.int32),
+            jnp.zeros((1,), jnp.int32), sub, mu0, sampling,
+        )
+        tok = token[0]
+        gen_row = jnp.zeros((self.T,), jnp.int32).at[0].set(tok)
+        return PoolState(
+            cache=cache,
+            kv_valid=jax.lax.dynamic_update_slice(
+                state.kv_valid, kv_valid_row, (row, jnp.int32(0))
+            ),
+            cur_slot=state.cur_slot.at[row].set(jnp.int32(S)),
+            positions=state.positions.at[row].set(positions[0, -1] + 1),
+            last_token=state.last_token.at[row].set(tok),
+            gen_ids=jax.lax.dynamic_update_index_in_dim(
+                state.gen_ids, gen_row, row, axis=0
+            ),
+            gen_len=state.gen_len.at[row].set(1),
+            max_len=state.max_len.at[row].set(max_new_tokens),
+            active=state.active.at[row].set(True),
+            finished=state.finished.at[row].set(tok == self.eos),
+            mu=state.mu.at[row].set(mu_row[0]),
+            key=key,
+        )
+
+    def _step_impl(self, params, state: PoolState, sampling: SamplingConfig) -> PoolState:
+        """One decode step for every active, unfinished row."""
+        cfg = self.cfg
+        B = self.B
+        run = state.active & ~state.finished
+        embeds = llama.embed(params["text"], state.last_token[:, None])
+        # park idle rows on their current slot; their writes land on a slot
+        # that stays kv_valid=False
+        kv_valid = state.kv_valid.at[jnp.arange(B), state.cur_slot].max(run)
+        hidden, cache = llama.forward(
+            params["text"], cfg.text_config, embeds,
+            state.positions[:, None], state.cache, kv_valid, state.cur_slot,
+        )
+        step_logits = llama.logits(params["text"], hidden)[:, 0]
+        key, sub = jax.random.split(state.key)
+        token, mu = sample_step(
+            step_logits, state.gen_ids, state.gen_len, sub, state.mu, sampling
+        )
+        token = jnp.where(run, token, jnp.int32(self.pad))
+        gen_ids = state.gen_ids.at[jnp.arange(B), jnp.minimum(state.gen_len, self.T - 1)].set(
+            jnp.where(run, token, state.gen_ids[jnp.arange(B), jnp.minimum(state.gen_len, self.T - 1)])
+        )
+        gen_len = state.gen_len + run.astype(jnp.int32)
+        hit_eos = run & (token == self.eos)
+        hit_cap = run & (
+            (gen_len >= state.max_len)
+            | (state.cur_slot + 1 >= self.Smax)
+        )
+        return PoolState(
+            cache=cache,
+            kv_valid=kv_valid,
+            cur_slot=state.cur_slot + run.astype(jnp.int32),
+            positions=state.positions + run.astype(jnp.int32),
+            last_token=jnp.where(run, token, state.last_token),
+            gen_ids=gen_ids,
+            gen_len=gen_len,
+            max_len=state.max_len,
+            active=state.active,
+            finished=state.finished | hit_eos | hit_cap,
+            mu=jnp.where(run, mu, state.mu),
+            key=key,
+        )
+
+    # -- host-side pool management --------------------------------------------
+
+    def bucket_len(self, n: int) -> int:
+        for b in self.prompt_buckets:
+            if n <= b:
+                return b
+        raise ValueError(f"prompt length {n} exceeds {self.prompt_buckets[-1]}")
+
+    def prefill_row(self, row: int, input_ids: np.ndarray,
+                    pixel_values, img_start_pos, max_new_tokens: int) -> None:
+        S = input_ids.shape[-1]
+        L = self.bucket_len(S)
+        ids = np.full((1, L), self.pad, np.int32)
+        mask = np.zeros((1, L), np.int32)
+        ids[0, L - S:] = np.asarray(input_ids).reshape(-1)
+        mask[0, L - S:] = 1
+        img_pos = np.asarray(
+            [-1 if img_start_pos is None or img_start_pos < 0
+             else img_start_pos + (L - S)], np.int32,
+        )
+        if pixel_values is not None:
+            pixel_values = jnp.asarray(pixel_values, self.dtype)
+        self._state = self._prefill(
+            self.params, self._state, jnp.int32(row),
+            jnp.asarray(ids), jnp.asarray(mask), jnp.asarray(img_pos),
+            pixel_values, jnp.int32(min(max_new_tokens, self.T)), self.sampling,
+        )
+
+    def step(self) -> None:
+        self._state = self._step(self.params, self._state, self.sampling)
+
+    def snapshot(self):
+        """Host copies of the per-row control fields (one device round trip)."""
+        s = self._state
+        return jax.device_get(
+            {"last_token": s.last_token, "gen_len": s.gen_len,
+             "active": s.active, "finished": s.finished}
+        )
+
+    def collect_row(self, row: int) -> np.ndarray:
+        """Generated ids for a finished row, then free it."""
+        gen_len = int(jax.device_get(self._state.gen_len[row]))
+        ids = np.asarray(jax.device_get(self._state.gen_ids[row, :gen_len]))
+        self._state = dataclasses.replace(
+            self._state,
+            active=self._state.active.at[row].set(False),
+            finished=self._state.finished.at[row].set(False),
+            kv_valid=self._state.kv_valid.at[row].set(False),
+        )
+        return ids
+
+    def num_active(self) -> int:
+        return int(jax.device_get(jnp.sum(self._state.active)))
+
+
+@dataclasses.dataclass
+class Request:
+    input_ids: np.ndarray
+    pixel_values: Optional[np.ndarray]
+    img_start_pos: Optional[int]
+    max_new_tokens: int
+    out: "queue.Queue"  # receives ('token', id) then ('done', ids)
+
+
+class Scheduler:
+    """Host thread multiplexing a request queue onto the pool."""
+
+    def __init__(self, engine: ServingEngine, poll_interval: float = 0.0):
+        self.engine = engine
+        self.requests: queue.Queue = queue.Queue()
+        self.poll_interval = poll_interval
+        self._rows: dict = {}  # row -> (Request, emitted_count)
+        self._stop = threading.Event()
+        self.thread = threading.Thread(target=self._run, daemon=True)
+        self.thread.start()
+
+    def submit(self, req: Request) -> None:
+        self.requests.put(req)
+
+    def stop(self) -> None:
+        self._stop.set()
+        self.thread.join(timeout=30)
+
+    def _free_rows(self):
+        return [r for r in range(self.engine.B) if r not in self._rows]
+
+    def _run(self):
+        eng = self.engine
+        while not self._stop.is_set():
+            did_work = False
+            # admit queued requests into free rows
+            for row in self._free_rows():
+                try:
+                    req = self.requests.get_nowait()
+                except queue.Empty:
+                    break
+                eng.prefill_row(
+                    row, req.input_ids, req.pixel_values,
+                    req.img_start_pos, req.max_new_tokens,
+                )
+                self._rows[row] = [req, 0]
+                did_work = True
+            if self._rows:
+                eng.step()
+                snap = eng.snapshot()
+                for row in list(self._rows):
+                    req, emitted = self._rows[row]
+                    gl = int(snap["gen_len"][row])
+                    if gl > emitted:
+                        # stream newly generated tokens (one per step)
+                        tok = int(snap["last_token"][row])
+                        req.out.put(("token", tok))
+                        self._rows[row][1] = gl
+                    if bool(snap["finished"][row]):
+                        ids = eng.collect_row(row)
+                        req.out.put(("done", ids))
+                        del self._rows[row]
+                did_work = True
+            if not did_work:
+                time.sleep(self.poll_interval or 0.005)
+
+
+def generate_sync(scheduler: Scheduler, input_ids, pixel_values=None,
+                  img_start_pos=None, max_new_tokens: int = 512,
+                  timeout: float = 600.0) -> np.ndarray:
+    """Blocking helper: submit one request, wait for completion."""
+    q: queue.Queue = queue.Queue()
+    scheduler.submit(Request(
+        input_ids=np.asarray(input_ids), pixel_values=pixel_values,
+        img_start_pos=img_start_pos, max_new_tokens=max_new_tokens, out=q,
+    ))
+    deadline = time.time() + timeout
+    while True:
+        kind, payload = q.get(timeout=max(0.0, deadline - time.time()))
+        if kind == "done":
+            return payload

@@ -61,6 +61,59 @@ def init_params(rng: jax.Array, cfg: ViTConfig, dtype=jnp.float32) -> Params:
     }
 
 
+def _torch_bicubic_1d(in_size: int, out_size: int) -> jnp.ndarray:
+    """(out, in) interpolation matrix matching torch.nn.functional.interpolate
+    mode='bicubic' (a=-0.75, align_corners=False, no antialias)."""
+    import numpy as np
+
+    a = -0.75
+
+    def w(x):
+        x = abs(x)
+        if x < 1.0:
+            return ((a + 2) * x - (a + 3)) * x * x + 1
+        if x < 2.0:
+            return (((x - 5) * x + 8) * x - 4) * a
+        return 0.0
+
+    scale = in_size / out_size
+    M = np.zeros((out_size, in_size), np.float64)
+    for i in range(out_size):
+        src = (i + 0.5) * scale - 0.5
+        x0 = int(np.floor(src))
+        t = src - x0
+        for tap, off in enumerate(range(-1, 3)):
+            j = min(max(x0 + off, 0), in_size - 1)
+            M[i, j] += w(off - t)
+    return jnp.asarray(M, jnp.float32)
+
+
+def extend_position_embedding(params: Params, patch_size: int, after: int) -> Params:
+    """Bicubic-resize the ViT position table for a larger input resolution.
+
+    Capability port of the reference's ``extend_position_embedding``
+    (modeling_visualcla.py:13-43) with the grid math fixed: the reference
+    reshapes the 256 patch embeddings to a (256, 256, -1) grid — we use the
+    actual (16, 16) patch grid, interpolating positions spatially like every
+    ViT-resize implementation (CLS row passes through unchanged).
+    """
+    pe = params["position_embedding"]
+    n_before, H = pe.shape
+    grid_before = int((n_before - 1) ** 0.5)
+    grid_after = after // patch_size
+    cls_row, grid = pe[:1], pe[1:].reshape(grid_before, grid_before, H)
+    M = _torch_bicubic_1d(grid_before, grid_after).astype(jnp.float32)
+    g = grid.astype(jnp.float32)
+    g = jnp.einsum("oi,ijh->ojh", M, g)
+    g = jnp.einsum("oj,ijh->ioh", M, g)
+    new_pe = jnp.concatenate(
+        [cls_row, g.reshape(grid_after * grid_after, H).astype(pe.dtype)], axis=0
+    )
+    out = dict(params)
+    out["position_embedding"] = new_pe
+    return out
+
+
 def patchify(pixel_values: jnp.ndarray, patch_size: int) -> jnp.ndarray:
     """(B, 3, H, W) -> (B, num_patches, 3*P*P) matching torch Conv2d's
     (out = W_flat @ patch_flat) channel-major flattening order."""

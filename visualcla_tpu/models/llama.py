@@ -82,13 +82,15 @@ def forward(
     rope_positions: jnp.ndarray,  # (B, Sq) int32 — RoPE position ids
     kv_cache: dict,  # {'k','v': (L, B, Smax, Nkv, hd)}
     kv_valid: jnp.ndarray,  # (B, Smax) bool — valid AFTER this chunk is written
-    write_slot: jnp.ndarray,  # scalar int32 — cache slot of the chunk's first token
+    write_slot: jnp.ndarray,  # () or (B,) int32 — cache slot of the chunk's first token
 ) -> Tuple[jnp.ndarray, dict]:
     """Run the decoder stack.  Returns (final_norm hidden (B, Sq, H), new kv_cache).
 
     Causality uses cache *slot* order (query at slot ``write_slot+i`` sees kv slots
     <= its own), so left-padded batches work; ``rope_positions`` is independent and
     carries the HF ``position_ids`` semantics (cumsum of attention mask - 1).
+    ``write_slot`` may be per-row (B,) — the continuous-batching case where each
+    request sits at a different cache depth.
     """
     B, Sq, H = inputs_embeds.shape
     Smax = kv_cache["k"].shape[2]
@@ -105,9 +107,23 @@ def forward(
         v = q_matmul(x, p["v_proj"]).reshape(B, Sq, Nkv, hd)
         q, k = apply_rope(q, k, cos, sin)
         zero = jnp.int32(0)
-        idx = (l, zero, jnp.asarray(write_slot, jnp.int32), zero, zero)
-        k_cache = jax.lax.dynamic_update_slice(k_cache, k[None], idx)
-        v_cache = jax.lax.dynamic_update_slice(v_cache, v[None], idx)
+        slot = jnp.asarray(write_slot, jnp.int32)
+        if slot.ndim == 0:  # shared slot: one contiguous in-place update
+            idx = (l, zero, slot, zero, zero)
+            k_cache = jax.lax.dynamic_update_slice(k_cache, k[None], idx)
+            v_cache = jax.lax.dynamic_update_slice(v_cache, v[None], idx)
+        else:  # per-row slots (continuous batching): vmapped row updates
+            def put(row_cache, row_kv, s):
+                return jax.lax.dynamic_update_slice(
+                    row_cache, row_kv, (s, zero, zero)
+                )
+
+            kl = jax.lax.dynamic_index_in_dim(k_cache, l, axis=0, keepdims=False)
+            vl = jax.lax.dynamic_index_in_dim(v_cache, l, axis=0, keepdims=False)
+            kl = jax.vmap(put)(kl, k, slot)
+            vl = jax.vmap(put)(vl, v, slot)
+            k_cache = jax.lax.dynamic_update_index_in_dim(k_cache, kl, l, axis=0)
+            v_cache = jax.lax.dynamic_update_index_in_dim(v_cache, vl, l, axis=0)
         k_all = jax.lax.dynamic_index_in_dim(k_cache, l, axis=0, keepdims=False)
         v_all = jax.lax.dynamic_index_in_dim(v_cache, l, axis=0, keepdims=False)
         attn = cached_attention(q, k_all, v_all, kv_valid, write_slot)

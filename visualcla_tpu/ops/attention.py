@@ -84,13 +84,13 @@ def cached_attention(
     k: jnp.ndarray,  # (B, Skv, Nkv, H) — full cache buffer
     v: jnp.ndarray,
     kv_valid: jnp.ndarray,  # (B, Skv) bool
-    write_slot: jnp.ndarray,  # () int32
+    write_slot: jnp.ndarray,  # () or (B,) int32
     *,
     impl: str | None = None,
 ) -> jnp.ndarray:
     """Causal attention over a KV cache: Pallas flash kernel on TPU, dense XLA
-    fallback elsewhere.  Query i occupies slot write_slot+i and sees kv slots
-    <= its own among the valid ones."""
+    fallback elsewhere.  Query i occupies slot write_slot+i (per-row when
+    write_slot is (B,)) and sees kv slots <= its own among the valid ones."""
     impl = impl or attention_impl()
     if impl == "flash":
         from .pallas.flash_attention import flash_attention
@@ -98,7 +98,8 @@ def cached_attention(
         return flash_attention(q, k, v, kv_valid, write_slot, causal=True)
     B, Sq = q.shape[:2]
     Smax = k.shape[1]
-    q_slots = write_slot + jnp.arange(Sq, dtype=jnp.int32)[None, :]
+    slot = jnp.asarray(write_slot, jnp.int32).reshape(-1, 1)  # (1|B, 1)
+    q_slots = slot + jnp.arange(Sq, dtype=jnp.int32)[None, :]
     q_slots = jnp.broadcast_to(q_slots, (B, Sq))
     kv_slots = jnp.broadcast_to(jnp.arange(Smax, dtype=jnp.int32)[None, :], (B, Smax))
     bias = causal_bias(q_slots, kv_valid, kv_slots)

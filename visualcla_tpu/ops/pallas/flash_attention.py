@@ -106,7 +106,7 @@ def flash_attention(
     k: jnp.ndarray,  # (B, Skv, Nkv, H)
     v: jnp.ndarray,  # (B, Skv, Nkv, H)
     kv_valid: jnp.ndarray,  # (B, Skv) bool/int — slot validity
-    write_slot: jnp.ndarray,  # () int32 — cache slot of the first query
+    write_slot: jnp.ndarray,  # () or (B,) int32 — cache slot of the first query
     *,
     scale: Optional[float] = None,
     causal: bool = True,
@@ -135,14 +135,16 @@ def flash_attention(
     kt = _pad_to(k.transpose(0, 2, 1, 3), Skv_p, 2)
     vt = _pad_to(v.transpose(0, 2, 1, 3), Skv_p, 2)
     kvok = _pad_to(kv_valid.astype(jnp.int32), Skv_p, 1)
-    slot = jnp.asarray(write_slot, jnp.int32).reshape(1, 1)
+    slot = jnp.broadcast_to(
+        jnp.asarray(write_slot, jnp.int32).reshape(-1, 1), (B, 1)
+    )
 
     grid = (B, N, Sq_p // bq)
     out = pl.pallas_call(
         functools.partial(_flash_kernel, scale=scale, block_kv=bkv, causal=causal),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 1), lambda b, n, i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda b, n, i: (b, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, Skv_p), lambda b, n, i: (b, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, bq, H), lambda b, n, i: (b, n, i, 0),
                          memory_space=pltpu.VMEM),

@@ -1,0 +1,1 @@
+from .cache import enable_compilation_cache  # noqa: F401
