@@ -30,7 +30,7 @@ enable_compilation_cache()
 HF_GPU_BASELINE_TOK_S = 30.0
 
 
-def build_engine(max_seq_len: int):
+def build_engine(max_seq_len: int, quant: str = "bf16"):
     from __graft_entry__ import _flagship_config
     from visualcla_tpu.engine.generate import Engine
     from visualcla_tpu.models import visualcla
@@ -42,6 +42,10 @@ def build_engine(max_seq_len: int):
     )
     # zeros init (random values don't change timing; zeros materialize fast)
     params = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+    if quant == "int8":
+        from visualcla_tpu.ops.quantization import quantize_tree
+
+        params = quantize_tree(params)
     return Engine(
         params, cfg,
         eos_token_id=2, pad_token_id=49954,
@@ -55,10 +59,10 @@ def _sync(x) -> None:
     np.asarray(jax.device_get(x))
 
 
-def run(max_seq_len: int):
+def run(max_seq_len: int, quant: str = "bf16"):
     from visualcla_tpu.engine.sampling import SamplingConfig
 
-    engine, cfg = build_engine(max_seq_len)
+    engine, cfg = build_engine(max_seq_len, quant)
     B, S = 1, 100
     n_img = cfg.num_image_tokens
     rng = np.random.default_rng(0)
@@ -98,9 +102,14 @@ def run(max_seq_len: int):
 
 
 def main():
+    quant = "int8" if "--int8" in sys.argv else "bf16"
+    if "--xla-attn" in sys.argv:
+        from visualcla_tpu.ops.attention import set_attention_impl
+
+        set_attention_impl("xla")
     for max_seq in (768, 512, 384):
         try:
-            tok_s, ttft_ms, n = run(max_seq)
+            tok_s, ttft_ms, n = run(max_seq, quant)
             break
         except Exception as e:  # OOM on small-HBM chips -> shrink KV budget
             msg = str(e)
@@ -111,7 +120,8 @@ def main():
         raise RuntimeError("benchmark OOM at all KV budgets")
 
     print(json.dumps({
-        "metric": "decode_tokens_per_s_per_chip_7b",
+        "metric": "decode_tokens_per_s_per_chip_7b"
+                  + ("_int8" if quant == "int8" else ""),
         "value": round(tok_s, 2),
         "unit": "tokens/s/chip",
         "vs_baseline": round(tok_s / HF_GPU_BASELINE_TOK_S, 3),
