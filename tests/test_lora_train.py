@@ -1,0 +1,158 @@
+"""LoRA adapter training tests: identity at init, frozen base, merge/export."""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from visualcla_tpu.core.config import tiny_visualcla_config
+from visualcla_tpu.models import visualcla as vmod
+from visualcla_tpu.train import (
+    init_train_state,
+    make_optimizer,
+    make_train_step,
+    train_forward_logits,
+)
+from visualcla_tpu.train.lora import (
+    add_lora,
+    export_adapter,
+    lora_trainable,
+    merge_lora,
+)
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    return tiny_visualcla_config()
+
+
+@pytest.fixture(scope="module")
+def base_params(cfg):
+    return vmod.init_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+
+
+@pytest.fixture(scope="module")
+def batch(cfg):
+    rng = np.random.default_rng(3)
+    B, S = 2, 20
+    ids = rng.integers(5, cfg.text_config.vocab_size, (B, S)).astype(np.int32)
+    return {
+        "input_ids": jnp.asarray(ids),
+        "attention_mask": jnp.ones((B, S), jnp.int32),
+        "labels": jnp.asarray(ids),
+        "img_start_pos": jnp.full((B,), -1, jnp.int32),
+        "pixel_values": None,
+    }
+
+
+def test_lora_init_is_identity(cfg, base_params, batch):
+    lp = add_lora(base_params, r=4, alpha=8, rng=jax.random.PRNGKey(1))
+    base_out = train_forward_logits(
+        base_params, cfg, batch["input_ids"], batch["attention_mask"],
+        batch["img_start_pos"], None,
+    )
+    lora_out = train_forward_logits(
+        lp, cfg, batch["input_ids"], batch["attention_mask"],
+        batch["img_start_pos"], None,
+    )
+    np.testing.assert_allclose(np.asarray(base_out), np.asarray(lora_out), atol=1e-6)
+
+
+def test_lora_training_updates_only_adapters(cfg, base_params, batch):
+    lp = add_lora(base_params, r=4, alpha=8, rng=jax.random.PRNGKey(1))
+    opt = make_optimizer(learning_rate=5e-3, schedule="const")
+    step = jax.jit(make_train_step(cfg, opt, trainable=lora_trainable))
+    state = init_train_state(lp, opt)
+    losses = []
+    for _ in range(6):
+        state, m = step(state, batch)
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0], losses
+
+    node = state.params["text"]["layers"]["q_proj"]
+    np.testing.assert_array_equal(  # frozen base
+        np.asarray(node["w"]),
+        np.asarray(base_params["text"]["layers"]["q_proj"]),
+    )
+    assert not np.array_equal(np.asarray(node["lora_B"]),
+                              np.zeros_like(np.asarray(node["lora_B"])))
+    # embed/lm_head train fully (modules_to_save semantics)
+    assert not np.array_equal(np.asarray(state.params["text"]["embed_tokens"]),
+                              np.asarray(base_params["text"]["embed_tokens"]))
+    # vision base frozen too
+    np.testing.assert_array_equal(
+        np.asarray(state.params["vision"]["layers"]["q_proj"]["w"]),
+        np.asarray(base_params["vision"]["layers"]["q_proj"]),
+    )
+    return state
+
+
+def test_merge_lora_matches_adapter_forward(cfg, base_params, batch):
+    lp = add_lora(base_params, r=4, alpha=8, rng=jax.random.PRNGKey(2))
+    # give B a nonzero value so the merge is non-trivial
+    lp["text"]["layers"]["q_proj"]["lora_B"] = (
+        jax.random.normal(jax.random.PRNGKey(3),
+                          lp["text"]["layers"]["q_proj"]["lora_B"].shape) * 0.05
+    )
+    merged = merge_lora(lp)
+    assert not isinstance(merged["text"]["layers"]["q_proj"], dict)
+    out_l = train_forward_logits(
+        lp, cfg, batch["input_ids"], batch["attention_mask"],
+        batch["img_start_pos"], None,
+    )
+    out_m = train_forward_logits(
+        merged, cfg, batch["input_ids"], batch["attention_mask"],
+        batch["img_start_pos"], None,
+    )
+    np.testing.assert_allclose(np.asarray(out_l), np.asarray(out_m), atol=1e-5)
+
+
+def test_export_adapter_roundtrip(cfg, base_params, batch, tmp_path):
+    """export_adapter -> checkpoint.lora folding == merge_lora (format interop)."""
+    from visualcla_tpu.checkpoint import lora as ck_lora
+    from visualcla_tpu.checkpoint.mapping import llama_tree_from_sd
+
+    lp = add_lora(base_params, r=4, alpha=8, rng=jax.random.PRNGKey(4),
+                  vision_targets=())
+    lp["text"]["layers"]["q_proj"]["lora_B"] = (
+        jax.random.normal(jax.random.PRNGKey(5),
+                          lp["text"]["layers"]["q_proj"]["lora_B"].shape) * 0.1
+    )
+    out_dir = str(tmp_path / "adapter")
+    export_adapter(lp, out_dir, r=4, alpha=8)
+    assert os.path.exists(os.path.join(out_dir, "adapter_model.bin"))
+
+    # rebuild an HF-layout base state dict from our tree, then fold the
+    # exported adapter through the independent checkpoint path
+    text = base_params["text"]
+    L = cfg.text_config.num_hidden_layers
+    hf_sd = {"model.embed_tokens.weight": np.asarray(text["embed_tokens"]),
+             "model.norm.weight": np.asarray(text["final_norm"]),
+             "lm_head.weight": np.asarray(text["lm_head"]).T}
+    fmt = {
+        "q_proj": "self_attn.q_proj", "k_proj": "self_attn.k_proj",
+        "v_proj": "self_attn.v_proj", "o_proj": "self_attn.o_proj",
+        "gate_proj": "mlp.gate_proj", "up_proj": "mlp.up_proj",
+        "down_proj": "mlp.down_proj",
+    }
+    for l in range(L):
+        for ours, hf in fmt.items():
+            hf_sd[f"model.layers.{l}.{hf}.weight"] = np.asarray(
+                text["layers"][ours][l]).T
+        hf_sd[f"model.layers.{l}.input_layernorm.weight"] = np.asarray(
+            text["layers"]["input_norm"][l])
+        hf_sd[f"model.layers.{l}.post_attention_layernorm.weight"] = np.asarray(
+            text["layers"]["post_norm"][l])
+
+    adapter_sd, adapter_cfg = ck_lora.load_adapter(out_dir)
+    comp = ck_lora.partition_visualcla_adapter(adapter_sd)
+    folded_sd = ck_lora.fold_lora(hf_sd, comp["text_model"], adapter_cfg)
+    folded_tree = llama_tree_from_sd(folded_sd)
+
+    merged = merge_lora(lp)
+    np.testing.assert_allclose(
+        folded_tree["layers"]["q_proj"],
+        np.asarray(merged["text"]["layers"]["q_proj"]),
+        atol=1e-5,
+    )

@@ -20,6 +20,7 @@ import jax.numpy as jnp
 from ..core.config import ViTConfig
 from ..ops.activations import ACT2FN
 from ..ops.attention import dot_product_attention
+from ..ops.linear import linear
 from ..ops.norms import layer_norm
 
 Params = dict
@@ -146,14 +147,14 @@ def forward(params: Params, cfg: ViTConfig, pixel_values: jnp.ndarray) -> jnp.nd
     def layer(h, p):
         r = h
         y = layer_norm(h, p["ln1"]["weight"], p["ln1"]["bias"], eps)
-        q = (y @ p["q_proj"] + p["q_bias"]).reshape(B, S, N, hd)
-        k = (y @ p["k_proj"] + p["k_bias"]).reshape(B, S, N, hd)
-        v = (y @ p["v_proj"] + p["v_bias"]).reshape(B, S, N, hd)
+        q = (linear(y, p["q_proj"]) + p["q_bias"]).reshape(B, S, N, hd)
+        k = (linear(y, p["k_proj"]) + p["k_bias"]).reshape(B, S, N, hd)
+        v = (linear(y, p["v_proj"]) + p["v_bias"]).reshape(B, S, N, hd)
         attn = dot_product_attention(q, k, v)  # bidirectional, no mask
-        h = r + attn.reshape(B, S, N * hd) @ p["o_proj"] + p["o_bias"]
+        h = r + linear(attn.reshape(B, S, N * hd), p["o_proj"]) + p["o_bias"]
         r = h
         y = layer_norm(h, p["ln2"]["weight"], p["ln2"]["bias"], eps)
-        h = r + act(y @ p["fc1"] + p["fc1_bias"]) @ p["fc2"] + p["fc2_bias"]
+        h = r + linear(act(linear(y, p["fc1"]) + p["fc1_bias"]), p["fc2"]) + p["fc2_bias"]
         return h, None
 
     x, _ = jax.lax.scan(layer, x, params["layers"])

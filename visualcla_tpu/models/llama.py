@@ -26,7 +26,8 @@ import jax.numpy as jnp
 from ..core.config import LlamaConfig
 from ..ops.attention import cached_attention
 from ..ops.norms import rms_norm
-from ..ops.quantization import is_quantized, q_matmul, q_take
+from ..ops.linear import linear
+from ..ops.quantization import is_quantized, q_take
 from ..ops.rope import apply_rope, rope_table
 
 Params = dict
@@ -102,9 +103,9 @@ def forward(
         h, k_cache, v_cache = carry
         p, l = xs
         x = rms_norm(h, p["input_norm"], cfg.rms_norm_eps)
-        q = q_matmul(x, p["q_proj"]).reshape(B, Sq, N, hd)
-        k = q_matmul(x, p["k_proj"]).reshape(B, Sq, Nkv, hd)
-        v = q_matmul(x, p["v_proj"]).reshape(B, Sq, Nkv, hd)
+        q = linear(x, p["q_proj"]).reshape(B, Sq, N, hd)
+        k = linear(x, p["k_proj"]).reshape(B, Sq, Nkv, hd)
+        v = linear(x, p["v_proj"]).reshape(B, Sq, Nkv, hd)
         q, k = apply_rope(q, k, cos, sin)
         zero = jnp.int32(0)
         slot = jnp.asarray(write_slot, jnp.int32)
@@ -127,10 +128,10 @@ def forward(
         k_all = jax.lax.dynamic_index_in_dim(k_cache, l, axis=0, keepdims=False)
         v_all = jax.lax.dynamic_index_in_dim(v_cache, l, axis=0, keepdims=False)
         attn = cached_attention(q, k_all, v_all, kv_valid, write_slot)
-        h = h + q_matmul(attn.reshape(B, Sq, N * hd), p["o_proj"])
+        h = h + linear(attn.reshape(B, Sq, N * hd), p["o_proj"])
         x2 = rms_norm(h, p["post_norm"], cfg.rms_norm_eps)
-        gate = jax.nn.silu(q_matmul(x2, p["gate_proj"])) * q_matmul(x2, p["up_proj"])
-        h = h + q_matmul(gate, p["down_proj"])
+        gate = jax.nn.silu(linear(x2, p["gate_proj"])) * linear(x2, p["up_proj"])
+        h = h + linear(gate, p["down_proj"])
         return (h, k_cache, v_cache), None
 
     L = cfg.num_hidden_layers
@@ -163,7 +164,7 @@ def forward_logits(
     if attention_mask is None:
         attention_mask = jnp.ones((B, S), jnp.int32)
     positions = jnp.maximum(jnp.cumsum(attention_mask, axis=-1) - 1, 0)
-    cache = init_kv_cache(cfg, B, S, params["embed_tokens"].dtype)
+    cache = init_kv_cache(cfg, B, S, params["final_norm"].dtype)
     h, _ = forward(
         params,
         cfg,
