@@ -41,11 +41,28 @@ def build_engine(max_seq_len: int, quant: str = "bf16"):
         lambda k: visualcla.init_params(k, cfg, dtype), jax.random.PRNGKey(0)
     )
     # zeros init (random values don't change timing; zeros materialize fast)
-    params = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
     if quant == "int8":
-        from visualcla_tpu.ops.quantization import quantize_tree
+        # build the quantized layout directly (quantizing a live bf16 7B tree
+        # on-device would need 21GB peak; real loads quantize host-side while
+        # streaming — checkpoint/serialize.py)
+        from visualcla_tpu.ops.quantization import INT8_TEXT_LEAVES
+        from visualcla_tpu.checkpoint.serialize import flatten_tree, unflatten_tree
 
-        params = quantize_tree(params)
+        flat = flatten_tree(jax.tree.map(lambda s: s, shapes))
+        out = {}
+        for k, s in flat.items():
+            if k in INT8_TEXT_LEAVES:
+                ax = INT8_TEXT_LEAVES[k] % len(s.shape)
+                scale_shape = tuple(
+                    1 if i == ax else d for i, d in enumerate(s.shape)
+                )
+                out[k] = {"q": jnp.zeros(s.shape, jnp.int8),
+                          "scale": jnp.ones(scale_shape, jnp.float32)}
+            else:
+                out[k] = jnp.zeros(s.shape, s.dtype)
+        params = unflatten_tree(out)
+    else:
+        params = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
     return Engine(
         params, cfg,
         eos_token_id=2, pad_token_id=49954,

@@ -121,6 +121,38 @@ def test_bf16_checkpoint_io(tmp_path):
     assert cfg2.text_config.vocab_size == cfg.text_config.vocab_size
 
 
+def test_load_checkpoint_int8_and_sharded(tmp_path):
+    """Streamed int8 quantization on load + mesh placement."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    from visualcla_tpu.models import visualcla as vmod
+    from visualcla_tpu.ops.quantization import is_quantized
+    from visualcla_tpu.train import train_forward_logits
+
+    cfg = tiny_visualcla_config()
+    params = vmod.init_params(jax.random.PRNGKey(1), cfg, jnp.float32)
+    out = str(tmp_path / "ck")
+    save_checkpoint(out, params, cfg, dtype="float32")
+
+    devices = np.asarray(jax.devices()[:4]).reshape(1, 4)
+    mesh = Mesh(devices, ("data", "model"))
+    qparams, cfg2 = load_checkpoint(out, mesh=mesh, quantize_int8=True)
+    assert is_quantized(qparams["text"]["layers"]["q_proj"])
+    assert qparams["text"]["layers"]["q_proj"]["q"].dtype == jnp.int8
+    assert not is_quantized(qparams["vision"]["layers"]["q_proj"])
+
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(4, cfg.text_config.vocab_size, (1, 12)), jnp.int32)
+    dense = train_forward_logits(params, cfg, ids, jnp.ones_like(ids),
+                                 jnp.full((1,), -1, jnp.int32), None)
+    quant = train_forward_logits(qparams, cfg2, ids, jnp.ones_like(ids),
+                                 jnp.full((1,), -1, jnp.int32), None)
+    err = np.abs(np.asarray(dense) - np.asarray(quant)).max()
+    assert err < 0.1 * np.abs(np.asarray(dense)).max()
+
+
 def test_fold_lora_matches_torch():
     torch.manual_seed(3)
     out_f, in_f, r = 12, 8, 4

@@ -146,7 +146,10 @@ def get_model_and_tokenizer_and_processor(
         if os.path.exists(os.path.join(visualcla_model, "params.safetensors")):
             from .checkpoint.serialize import load_checkpoint
 
-            params, cfg = load_checkpoint(visualcla_model, mesh=mesh, dtype=dtype)
+            params, cfg = load_checkpoint(
+                visualcla_model, mesh=mesh, dtype=dtype,
+                quantize_int8=load_in_8bit,
+            )
         else:
             logger.info("converting reference merged checkpoint in-memory")
             from .checkpoint.convert import _sync_config
@@ -170,6 +173,16 @@ def get_model_and_tokenizer_and_processor(
             if cfg.use_visual_resampler:
                 params["resampler"] = resampler_tree_from_sd(root_sd)
             cfg = _sync_config(cfg, params)
+            if load_in_8bit:  # quantize on host before any device placement
+                from .ops.quantization import INT8_TEXT_LEAVES, quantize_np
+
+                from .checkpoint.serialize import flatten_tree, unflatten_tree
+
+                flat = flatten_tree(params)
+                for k, ax in INT8_TEXT_LEAVES.items():
+                    if k in flat:
+                        flat[k] = quantize_np(flat[k], axis=ax)
+                params = unflatten_tree(flat)
             params = _place(params, dtype, mesh)
     else:
         assert text_model is not None and vision_model is not None
@@ -211,12 +224,16 @@ def _place(params, dtype, mesh):
     import jax
     import jax.numpy as jnp
 
-    params = jax.tree.map(
-        lambda x: jnp.asarray(x, dtype)
-        if np.issubdtype(np.asarray(x).dtype, np.floating)
-        else jnp.asarray(x),
-        params,
-    )
+    def put(path, x):
+        x = np.asarray(x)
+        # int8 payloads stay int8; their f32 scales keep full precision
+        if not np.issubdtype(x.dtype, np.floating) or (
+            path and getattr(path[-1], "key", None) == "scale"
+        ):
+            return jnp.asarray(x)
+        return jnp.asarray(x, dtype)
+
+    params = jax.tree_util.tree_map_with_path(put, params)
     if mesh is not None:
         from .parallel import sharding
 

@@ -86,30 +86,53 @@ def load_checkpoint(
     ckpt_dir: str,
     mesh: Optional[Any] = None,
     dtype=None,
+    quantize_int8: bool = False,
 ):
     """-> (params pytree on device, VisualCLAConfig).
 
-    With ``mesh``, every tensor is placed with its TP sharding from
-    ``parallel.sharding.param_specs`` as it streams off disk.
+    Tensors stream off the mmap'd file one at a time on the HOST (peak host
+    memory ~1 tensor), are optionally int8-quantized there (``quantize_int8``:
+    the reference's load_in_8bit scope — text tower only), and are placed
+    directly with their TP sharding when ``mesh`` is given.  The bf16 original
+    of a quantized weight never touches device HBM.
     """
     from safetensors import safe_open
 
     cfg = VisualCLAConfig.from_pretrained(ckpt_dir)
     path = os.path.join(ckpt_dir, "params.safetensors")
 
-    flat = {}
-    with safe_open(path, framework="flax") as f:
-        keys = list(f.keys())
-        for k in keys:
-            flat[k] = f.get_tensor(k)
-    params = unflatten_tree(flat)
-    if dtype is not None:
-        params = jax.tree.map(
-            lambda x: x.astype(dtype) if jnp.issubdtype(x.dtype, jnp.floating) else x,
-            params,
-        )
     if mesh is not None:
-        from ..parallel import sharding
+        from jax.sharding import NamedSharding
 
-        params = sharding.shard_params(params, mesh)
+        from ..parallel import sharding as shd
+
+    def place(arr, flat_key):
+        target = None
+        if dtype is not None and jnp.issubdtype(arr.dtype, jnp.floating):
+            target = dtype
+        if mesh is None:
+            out = jnp.asarray(arr, target)
+        else:
+            spec = shd._lookup_flat(flat_key)
+            spec = shd._valid_spec(spec, arr.shape, mesh)
+            out = jax.device_put(
+                jnp.asarray(arr, target), NamedSharding(mesh, spec)
+            )
+        return out
+
+    from ..ops.quantization import INT8_TEXT_LEAVES, quantize_np
+
+    flat = {}
+    with safe_open(path, framework="np") as f:
+        for k in f.keys():
+            arr = f.get_tensor(k)
+            if quantize_int8 and k in INT8_TEXT_LEAVES:
+                qd = quantize_np(arr, axis=INT8_TEXT_LEAVES[k])
+                flat[k] = {
+                    "q": place(qd["q"], k),
+                    "scale": place(qd["scale"], k + "/scale"),
+                }
+            else:
+                flat[k] = place(arr, k)
+    params = unflatten_tree(flat)
     return params, cfg

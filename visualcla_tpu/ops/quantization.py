@@ -18,6 +18,26 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def quantize_np(w: np.ndarray, axis: int = -2) -> dict:
+    """Host-side (numpy) per-channel symmetric int8 — used while streaming a
+    checkpoint so the bf16 original never occupies device HBM."""
+    wf = np.asarray(w, np.float32)
+    absmax = np.max(np.abs(wf), axis=axis, keepdims=True)
+    scale = absmax / 127.0
+    scale[scale == 0] = 1.0
+    q = np.clip(np.round(wf / scale), -127, 127).astype(np.int8)
+    return {"q": q, "scale": scale.astype(np.float32)}
+
+
+# text-tower leaves that quantize, keyed by flat path suffix -> contraction axis
+INT8_TEXT_LEAVES = {
+    "text/layers/q_proj": -2, "text/layers/k_proj": -2, "text/layers/v_proj": -2,
+    "text/layers/o_proj": -2, "text/layers/gate_proj": -2,
+    "text/layers/up_proj": -2, "text/layers/down_proj": -2,
+    "text/embed_tokens": -1, "text/lm_head": -2,
+}
+
+
 def quantize(w, axis: int = -2):
     """Per-channel symmetric int8 along ``axis`` (the contraction dim is
     ``axis``; scales broadcast over it)."""

@@ -138,6 +138,28 @@ def param_specs(params: dict) -> dict:
     return specs
 
 
+def _lookup_flat(flat_key: str) -> P:
+    """PartitionSpec for a '/'-joined checkpoint path (e.g. 'text/layers/q_proj').
+
+    Quantized leaves reuse their parent weight's spec ('.../q_proj/scale' maps
+    like '.../q_proj'; _valid_spec later clears axes that don't divide)."""
+    parts = [p for p in flat_key.split("/") if p not in ("q", "scale")]
+    if not parts:
+        return P()
+    comp, rest = parts[0], tuple(parts[1:])
+    if comp == "text":
+        return _lookup(_LLAMA_RULES, rest)
+    if comp == "vision":
+        return _lookup(_VIT_RULES, rest)
+    if comp == "resampler":
+        return _lookup(_RESAMPLER_RULES, rest)
+    if comp == "projection":
+        return {"weight": P(None, MODEL), "bias": P(MODEL)}.get(
+            rest[0] if rest else "", P()
+        )
+    return _lookup(_LLAMA_RULES, tuple(parts))  # standalone llama tree
+
+
 def _valid_spec(spec: P, shape: tuple, mesh: Mesh) -> P:
     """Clear axes that don't divide the corresponding dim evenly."""
     if len(spec) > len(shape):
