@@ -10,14 +10,27 @@ setup(
     version="0.1.0",
     description="TPU-native multimodal Chinese chat framework (CLIP-ViT + visual resampler + LLaMA)",
     packages=find_packages(include=["visualcla_tpu", "visualcla_tpu.*"]),
+    package_data={"visualcla_tpu": ["configs/*.json"]},
     python_requires=">=3.10",
     install_requires=[
         "jax",
         "numpy",
-        "einops",
+        "safetensors",
+        "optax",
     ],
     extras_require={
-        "convert": ["torch", "safetensors"],
-        "test": ["pytest", "torch", "transformers"],
+        "convert": ["torch"],
+        "images": ["Pillow"],
+        "demo": ["gradio"],
+        "test": ["pytest", "torch", "transformers", "Pillow", "tokenizers"],
+    },
+    entry_points={
+        "console_scripts": [
+            "visualcla-chat=visualcla_tpu.apps.inference:main",
+            "visualcla-serve=visualcla_tpu.apps.serve:main",
+            "visualcla-evaluate=visualcla_tpu.apps.evaluate:main",
+            "visualcla-convert=visualcla_tpu.checkpoint.convert:main",
+            "visualcla-train=visualcla_tpu.train.run_training:main",
+        ]
     },
 )

@@ -93,6 +93,25 @@ class VisualCLA:
         return self.engine.stream(input_ids, pixel_values, img_pos, sampling, seed=seed)
 
 
+def load_generation_preset(name: str) -> SamplingConfig:
+    """Named preset from configs/generation_presets.json (mirrors the
+    reference's webui preset YAMLs, settings/VisualCLA-Inference.yaml)."""
+    import json
+
+    path = os.path.join(os.path.dirname(__file__), "configs",
+                        "generation_presets.json")
+    with open(path) as f:
+        presets = json.load(f)
+    if name not in presets or name.startswith("_"):
+        raise KeyError(
+            f"unknown preset {name!r}; available: "
+            f"{[k for k in presets if not k.startswith('_')]}"
+        )
+    return as_sampling_config(
+        {k: v for k, v in presets[name].items() if not k.startswith("_")}
+    )
+
+
 def as_sampling_config(gc) -> SamplingConfig:
     """Accept SamplingConfig / dict / HF-style object / None."""
     if gc is None:

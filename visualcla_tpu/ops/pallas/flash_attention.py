@@ -27,8 +27,8 @@ NEG_INF = -1e30
 
 
 def _flash_kernel(
-    slot_ref,  # (1, 1) int32 in SMEM — cache slot of the first query
-    kvok_ref,  # (1, Skv) int32 in VMEM — kv slot validity
+    slot_ref,  # (B, 1) int32 in SMEM — per-row cache slot of the first query
+    kvok_ref,  # (B, Skv) int32 in VMEM — kv slot validity (full array)
     q_ref,  # (1, 1, BQ, H)
     k_ref,  # (1, 1, Skv, H)
     v_ref,  # (1, 1, Skv, H)
@@ -40,11 +40,12 @@ def _flash_kernel(
 ):
     BQ, H = q_ref.shape[2], q_ref.shape[3]
     Skv = k_ref.shape[2]
+    b = pl.program_id(0)
     qblk = pl.program_id(2)
     q = q_ref[0, 0].astype(jnp.float32) * scale
     # query cache slots: write_slot + global query index
     qpos = (
-        slot_ref[0, 0]
+        slot_ref[b, 0]
         + qblk * BQ
         + jax.lax.broadcasted_iota(jnp.int32, (BQ, 1), 0)
     )  # (BQ, 1)
@@ -61,7 +62,8 @@ def _flash_kernel(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )  # (BQ, block_kv)
         ok = jnp.broadcast_to(
-            kvok_ref[0:1, pl.ds(i * block_kv, block_kv)] > 0, (BQ, block_kv)
+            kvok_ref[pl.ds(b, 1), pl.ds(i * block_kv, block_kv)] > 0,
+            (BQ, block_kv),
         )
         if causal:
             kv_idx = i * block_kv + jax.lax.broadcasted_iota(
@@ -144,8 +146,11 @@ def flash_attention(
         functools.partial(_flash_kernel, scale=scale, block_kv=bkv, causal=causal),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 1), lambda b, n, i: (b, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, Skv_p), lambda b, n, i: (b, 0), memory_space=pltpu.VMEM),
+            # full (B,1)/(B,Skv) arrays: per-row blocks of height 1 violate the
+            # TPU (8,128) tiling rule when B>1; rows index by program_id inside
+            pl.BlockSpec((B, 1), lambda b, n, i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((B, Skv_p), lambda b, n, i: (0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, bq, H), lambda b, n, i: (b, n, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, Skv_p, H), lambda b, n, i: (b, n, 0, 0),

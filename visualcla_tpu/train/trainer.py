@@ -115,9 +115,9 @@ def make_optimizer(
     schedule: str = "cosine",
 ) -> optax.GradientTransformation:
     if schedule == "cosine":
-        lr = optax.warmup_cosine_decay_schedule(
-            0.0, learning_rate, max(warmup_steps, 1), max(total_steps, 2)
-        )
+        total = max(total_steps, 2)
+        warmup = min(max(warmup_steps, 1), max(total // 10, 1))
+        lr = optax.warmup_cosine_decay_schedule(0.0, learning_rate, warmup, total)
     else:
         lr = learning_rate
     return optax.chain(
