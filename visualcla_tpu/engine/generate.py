@@ -83,6 +83,9 @@ class Engine:
         self.dtype = dtype
         self.mesh = mesh  # when set, KV cache is sharded (batch on 'data',
         # kv heads on 'model') and GSPMD propagates TP from the param shardings
+        from ..utils.profiling import PhaseTimer
+
+        self.timer = PhaseTimer()  # per-phase prefill/decode timings
 
         self._prefill = jax.jit(
             self._prefill_impl, static_argnames=("sampling",), donate_argnames=("cache",)
@@ -258,9 +261,18 @@ class Engine:
         """Blocking generate.  Returns (B, <=max_new_tokens) generated ids, truncated
         at EOS per the HF contract (EOS included, then pads stripped by decode)."""
         sampling = sampling or SamplingConfig.greedy()
-        state = self.start(input_ids, pixel_values, img_start_pos, sampling, seed)
-        state = self._decode_loop(self.params, state, sampling, sampling.max_new_tokens)
-        gen_len = int(state.gen_len)
+        with self.timer.phase("prefill") as p:
+            state = self.start(input_ids, pixel_values, img_start_pos, sampling, seed)
+            p["sync_on"] = state.last_token
+        with self.timer.phase("decode"):
+            state = self._decode_loop(
+                self.params, state, sampling, sampling.max_new_tokens
+            )
+            gen_len = int(state.gen_len)
+        from ..utils.profiling import GLOBAL_COUNTERS
+
+        GLOBAL_COUNTERS.add("generated_tokens", gen_len * state.gen_ids.shape[0])
+        GLOBAL_COUNTERS.add("requests", state.gen_ids.shape[0])
         return np.asarray(state.gen_ids)[:, :gen_len]
 
     def stream(

@@ -135,23 +135,28 @@ class DataLoader:
             item = q.get()
             if item is None:
                 return
+            if isinstance(item, BaseException):  # producer died: re-raise here
+                raise item
             yield item
 
     def _produce(self, q: queue.Queue):
-        rng = np.random.default_rng(self.seed)
-        order = rng.permutation(len(self.records))
-        batch: List[dict] = []
-        for idx in order:
-            ex = self.builder.build(self.records[int(idx)])
-            if ex is None:
-                continue
-            batch.append(ex)
-            if len(batch) == self.batch_size:
+        try:
+            rng = np.random.default_rng(self.seed)
+            order = rng.permutation(len(self.records))
+            batch: List[dict] = []
+            for idx in order:
+                ex = self.builder.build(self.records[int(idx)])
+                if ex is None:
+                    continue
+                batch.append(ex)
+                if len(batch) == self.batch_size:
+                    q.put(self._collate(batch))
+                    batch = []
+            if batch and not self.drop_remainder:
                 q.put(self._collate(batch))
-                batch = []
-        if batch and not self.drop_remainder:
-            q.put(self._collate(batch))
-        q.put(None)
+            q.put(None)
+        except BaseException as e:  # noqa: BLE001 — surfaced to the consumer
+            q.put(e)
 
     def _collate(self, batch: List[dict]) -> dict:
         B = len(batch)

@@ -69,7 +69,13 @@ def main(argv=None):
     )
     params, cfg = load_checkpoint(args.checkpoint, mesh=mesh, dtype=jnp.float32)
     tokenizer = VisualCLATokenizer.from_pretrained(args.checkpoint)
-    ip = ImageProcessor()
+    import os
+
+    if os.path.exists(os.path.join(args.checkpoint, "preprocessor_config.json")):
+        ip = ImageProcessor.from_pretrained(args.checkpoint)
+    else:
+        size = cfg.vision_config.image_size
+        ip = ImageProcessor(image_size=size, crop_size=size)
 
     if args.stage == 2:
         params = add_lora(
