@@ -84,6 +84,7 @@ def forward(
     kv_cache: dict,  # {'k','v': (L, B, Smax, Nkv, hd)}
     kv_valid: jnp.ndarray,  # (B, Smax) bool — valid AFTER this chunk is written
     write_slot: jnp.ndarray,  # () or (B,) int32 — cache slot of the chunk's first token
+    remat: bool = False,  # rematerialize each layer (training memory/FLOPs trade)
 ) -> Tuple[jnp.ndarray, dict]:
     """Run the decoder stack.  Returns (final_norm hidden (B, Sq, H), new kv_cache).
 
@@ -135,8 +136,9 @@ def forward(
         return (h, k_cache, v_cache), None
 
     L = cfg.num_hidden_layers
+    body = jax.checkpoint(layer) if remat else layer
     (h, k_cache, v_cache), _ = jax.lax.scan(
-        layer,
+        body,
         (inputs_embeds, kv_cache["k"], kv_cache["v"]),
         (params["layers"], jnp.arange(L, dtype=jnp.int32)),
     )

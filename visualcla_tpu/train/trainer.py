@@ -66,6 +66,7 @@ def train_forward_logits(
     attention_mask: jnp.ndarray,
     img_start_pos: jnp.ndarray,
     pixel_values: Optional[jnp.ndarray],
+    remat: bool = False,
 ) -> jnp.ndarray:
     """Full multimodal forward for training: (B, S) -> (B, S, V) fp32 logits."""
     B, S = input_ids.shape
@@ -74,7 +75,7 @@ def train_forward_logits(
     cache = llama.init_kv_cache(cfg.text_config, B, S, embeds.dtype)
     hidden, _ = llama.forward(
         params["text"], cfg.text_config, embeds, positions, cache,
-        attention_mask.astype(bool), jnp.int32(0),
+        attention_mask.astype(bool), jnp.int32(0), remat=remat,
     )
     return llama.logits(params["text"], hidden)
 
@@ -130,6 +131,7 @@ def make_train_step(
     cfg: VisualCLAConfig,
     optimizer: optax.GradientTransformation,
     trainable: Optional[Callable[[tuple], bool]] = None,
+    remat: bool = False,
 ):
     """Build a pure ``train_step(state, batch) -> (state, metrics)``.
 
@@ -144,6 +146,7 @@ def make_train_step(
             params, cfg,
             batch["input_ids"], batch["attention_mask"],
             batch["img_start_pos"], batch.get("pixel_values"),
+            remat=remat,
         )
         return causal_lm_loss(logits, batch["labels"])
 
