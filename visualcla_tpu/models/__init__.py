@@ -1,0 +1,1 @@
+from . import clip_vit, llama, resampler, visualcla  # noqa: F401
