@@ -84,13 +84,12 @@ class Engine:
         self.mesh = mesh  # when set, KV cache is sharded (batch on 'data',
         # kv heads on 'model') and GSPMD propagates TP from the param shardings
         if mesh is not None:
-            # Under GSPMD the dense-XLA attention partitions cleanly along the
-            # head axis; the Pallas kernel would need a shard_map wrapper to
-            # avoid being replicated (planned) — prefer XLA when meshed.
+            # register the mesh so the flash kernel runs shard_map'ed
+            # (heads on 'model', batch on 'data'); indivisible shapes fall
+            # back to dense-XLA attention which GSPMD partitions itself
             from ..ops import attention as attn_mod
 
-            if attn_mod._ATTN_IMPL is None:  # respect explicit user choice
-                attn_mod.set_attention_impl("xla")
+            attn_mod.set_attention_mesh(mesh)
         from ..utils.profiling import PhaseTimer
 
         self.timer = PhaseTimer()  # per-phase prefill/decode timings

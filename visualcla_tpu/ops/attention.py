@@ -59,6 +59,7 @@ def dot_product_attention(
 
 
 _ATTN_IMPL = None  # None = auto (flash on TPU, xla elsewhere)
+_ATTN_MESH = None  # Mesh for shard_map-wrapped flash under TP/DP
 
 
 def set_attention_impl(name: str | None) -> None:
@@ -66,6 +67,43 @@ def set_attention_impl(name: str | None) -> None:
     global _ATTN_IMPL
     assert name in (None, "flash", "xla")
     _ATTN_IMPL = name
+
+
+def set_attention_mesh(mesh) -> None:
+    """Register the mesh used to shard_map the flash kernel (heads on 'model',
+    batch on 'data').  None reverts to single-device dispatch."""
+    global _ATTN_MESH
+    _ATTN_MESH = mesh
+
+
+def _flash_sharded(q, k, v, kv_valid, write_slot, mesh):
+    """Pallas flash under a TP×DP mesh: heads are embarrassingly parallel, so
+    shard_map over ('data', 'model') runs the kernel per-shard with no
+    collectives (the surrounding matmuls' all-reduces are GSPMD's job)."""
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+
+    from .pallas.flash_attention import flash_attention
+
+    DATA, MODEL = "data", "model"
+    n_model = mesh.shape[MODEL]
+    n_data = mesh.shape[DATA]
+    B, _, N, _ = q.shape
+    Nkv = k.shape[2]
+    if N % n_model or Nkv % n_model or B % n_data:
+        # indivisible head/batch counts: dense fallback partitions fine
+        return None
+    qs = P(DATA, None, MODEL, None)
+    slot_spec = P() if jnp.asarray(write_slot).ndim == 0 else P(DATA)
+
+    fn = shard_map(
+        lambda q_, k_, v_, ok_, s_: flash_attention(q_, k_, v_, ok_, s_, causal=True),
+        mesh=mesh,
+        in_specs=(qs, qs, qs, P(DATA, None), slot_spec),
+        out_specs=qs,
+        check_rep=False,
+    )
+    return fn(q, k, v, kv_valid, write_slot)
 
 
 def attention_impl() -> str:
@@ -93,9 +131,14 @@ def cached_attention(
     write_slot is (B,)) and sees kv slots <= its own among the valid ones."""
     impl = impl or attention_impl()
     if impl == "flash":
-        from .pallas.flash_attention import flash_attention
+        if _ATTN_MESH is not None:
+            out = _flash_sharded(q, k, v, kv_valid, write_slot, _ATTN_MESH)
+            if out is not None:
+                return out
+        else:
+            from .pallas.flash_attention import flash_attention
 
-        return flash_attention(q, k, v, kv_valid, write_slot, causal=True)
+            return flash_attention(q, k, v, kv_valid, write_slot, causal=True)
     B, Sq = q.shape[:2]
     Smax = k.shape[1]
     slot = jnp.asarray(write_slot, jnp.int32).reshape(-1, 1)  # (1|B, 1)

@@ -103,7 +103,7 @@ def _ceil_mult(x: int, m: int) -> int:
     jax.jit,
     static_argnames=("scale", "causal", "block_q", "block_kv", "interpret"),
 )
-def flash_attention(
+def _flash_attention_jit(
     q: jnp.ndarray,  # (B, Sq, N, H)
     k: jnp.ndarray,  # (B, Skv, Nkv, H)
     v: jnp.ndarray,  # (B, Skv, Nkv, H)
@@ -117,7 +117,8 @@ def flash_attention(
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Returns (B, Sq, N, H) in q.dtype.  kv slot j is visible to query i iff
-    kv_valid[b, j] and (not causal or j <= write_slot + i)."""
+    kv_valid[b, j] and (not causal or j <= write_slot + i).
+    (Implementation body; call ``flash_attention`` which resolves interpret.)"""
     B, Sq, N, H = q.shape
     Skv, Nkv = k.shape[1], k.shape[2]
     if N != Nkv:
@@ -164,3 +165,16 @@ def flash_attention(
         interpret=interpret,
     )(slot, kvok, qt, kt, vt)
     return out.transpose(0, 2, 1, 3)[:, :Sq]
+
+
+def flash_attention(q, k, v, kv_valid, write_slot, *, scale=None, causal=True,
+                    block_q=256, block_kv=256, interpret=None):
+    """Public entry: ``interpret=None`` auto-selects the Pallas interpreter on
+    non-TPU backends (CPU tests / virtual meshes run the same kernel code)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    return _flash_attention_jit(
+        q, k, v, kv_valid, write_slot,
+        scale=scale, causal=causal, block_q=block_q, block_kv=block_kv,
+        interpret=interpret,
+    )
