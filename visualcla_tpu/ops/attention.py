@@ -101,7 +101,7 @@ def _flash_sharded(q, k, v, kv_valid, write_slot, mesh):
         mesh=mesh,
         in_specs=(qs, qs, qs, P(DATA, None), slot_spec),
         out_specs=qs,
-        check_rep=False,
+        check_vma=False,  # pallas_call outputs carry no vma annotation
     )
     return fn(q, k, v, kv_valid, write_slot)
 
