@@ -44,6 +44,13 @@ def main(argv=None):
                     help="data-parallel axis size; 0 = single-device (no mesh); "
                          "rest of the devices go to the TP axis")
     ap.add_argument("--log_every", type=int, default=10)
+    ap.add_argument("--save_every", type=int, default=0,
+                    help="save full train state every N steps (0 = off)")
+    ap.add_argument("--resume", default=None,
+                    help="resume from an orbax train-state dir (or a root "
+                         "containing step_N dirs)")
+    ap.add_argument("--remat", action="store_true",
+                    help="rematerialize decoder layers (memory for FLOPs)")
     args = ap.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
 
@@ -97,9 +104,16 @@ def main(argv=None):
         total_steps=total, grad_clip=args.grad_clip,
     )
     step_fn = jax.jit(
-        make_train_step(cfg, optimizer, trainable=trainable), donate_argnums=(0,)
+        make_train_step(cfg, optimizer, trainable=trainable, remat=args.remat),
+        donate_argnums=(0,),
     )
     state = init_train_state(params, optimizer)
+    if args.resume:
+        from .checkpointing import latest_step_dir, restore_train_state
+
+        src = latest_step_dir(args.resume) or args.resume
+        state = restore_train_state(src, state)
+        logger.info("resumed train state from %s (step %d)", src, int(state.step))
 
     data_sharding = (
         NamedSharding(mesh, P(DATA)) if mesh is not None else None
@@ -118,6 +132,12 @@ def main(argv=None):
                 batch = {k: jax.device_put(v, data_sharding) for k, v in batch.items()}
             state, metrics = step_fn(state, batch)
             step += 1
+            if args.save_every and step % args.save_every == 0:
+                from .checkpointing import save_train_state
+
+                save_train_state(
+                    os.path.join(args.output, "train_state", f"step_{step}"), state
+                )
             if step % args.log_every == 0:
                 loss = float(metrics["loss"])
                 logger.info(
