@@ -92,6 +92,29 @@ class VisualCLA:
         img_pos = img_marker_positions(input_ids, self.tokenizer.img_start_token_id)
         return self.engine.stream(input_ids, pixel_values, img_pos, sampling, seed=seed)
 
+    # -- reference constructor surface (modeling_visualcla.py:120/183) --------
+
+    @classmethod
+    def from_merged_pretrained(cls, visualcla_model: str, **kwargs) -> "VisualCLA":
+        """Load from a merged checkpoint dir (native or reference layout)."""
+        model, _, _ = get_model_and_tokenizer_and_processor(
+            visualcla_model=visualcla_model, **kwargs
+        )
+        return model
+
+    @classmethod
+    def from_vision_text_pretrained(
+        cls, vision_model: str, text_model: str,
+        lora_model: Optional[str] = None, **kwargs,
+    ) -> "VisualCLA":
+        """Compose from separate vision/text checkpoints (+ optional LoRA,
+        folded offline at load)."""
+        model, _, _ = get_model_and_tokenizer_and_processor(
+            text_model=text_model, vision_model=vision_model,
+            lora_model=lora_model, **kwargs,
+        )
+        return model
+
 
 def load_generation_preset(name: str) -> SamplingConfig:
     """Named preset from configs/generation_presets.json (mirrors the

@@ -125,6 +125,25 @@ class VisionPipeline:
         return cls(params, cfg, dtype=dtype)
 
 
+# -- pipeline registry (reference webui pipelines.py:1-21) -------------------
+
+PIPELINES = {"visualcla-7b": VisionPipeline}
+
+
+def get_pipeline(name: str, *args, **kwargs):
+    if name in PIPELINES:
+        return PIPELINES[name], name
+    return None, None
+
+
+def get_pipeline_from_model_name(model_name: str, *args, **kwargs):
+    """Name-sniffing lookup like the reference ('visualcla' + '7b' in name)."""
+    lowered = model_name.lower()
+    if "visualcla" in lowered and "7b" in lowered:
+        return PIPELINES["visualcla-7b"], "visualcla-7b"
+    return None, None
+
+
 def _cast_floats(tree, dtype):
     import jax
     import jax.numpy as jnp
