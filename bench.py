@@ -117,28 +117,34 @@ def run(max_seq_len: int, quant: str = "bf16"):
     tok_s = n_decoded / dt
 
     # -- batched serving throughput (B=8 rows decoding together; smaller KV
-    #    budget so 8 cache rows + the 14GB weights fit a 16GB chip) ----------
-    from visualcla_tpu.engine.generate import Engine
+    #    budget so 8 cache rows + the 14GB weights fit a 16GB chip).  This
+    #    section is best-effort: if its fresh compiles fail (transient tunnel
+    #    compile-service outages), report the single-stream numbers anyway. --
+    tok_s_b8 = None
+    try:
+        from visualcla_tpu.engine.generate import Engine
 
-    B8, seq8 = 8, 256
-    engine8 = Engine(
-        engine.params, cfg, eos_token_id=2, pad_token_id=49954,
-        max_seq_len=seq8, prompt_buckets=(128,), dtype=engine.dtype,
-    )
-    s8 = SamplingConfig.greedy(max_new_tokens=seq8 - 128 - 8)
-    ids8 = np.tile(input_ids, (B8, 1))
-    pix8 = np.tile(pixel_values, (B8, 1, 1, 1))
-    pos8 = np.tile(img_start_pos, B8)
-    st = engine8.start(ids8, pix8, pos8, s8)
-    st = engine8._decode_loop(engine8.params, st, s8, s8.max_new_tokens)
-    _sync(st.gen_ids[:, -1])  # warm compile for B=8
-    st = engine8.start(ids8, pix8, pos8, s8)
-    _sync(st.last_token)
-    t0 = time.perf_counter()
-    st = engine8._decode_loop(engine8.params, st, s8, s8.max_new_tokens)
-    _sync(st.gen_ids[:, -1])
-    dt8 = time.perf_counter() - t0
-    tok_s_b8 = B8 * (int(st.gen_len) - 1) / dt8
+        B8, seq8 = 8, 256
+        engine8 = Engine(
+            engine.params, cfg, eos_token_id=2, pad_token_id=49954,
+            max_seq_len=seq8, prompt_buckets=(128,), dtype=engine.dtype,
+        )
+        s8 = SamplingConfig.greedy(max_new_tokens=seq8 - 128 - 8)
+        ids8 = np.tile(input_ids, (B8, 1))
+        pix8 = np.tile(pixel_values, (B8, 1, 1, 1))
+        pos8 = np.tile(img_start_pos, B8)
+        st = engine8.start(ids8, pix8, pos8, s8)
+        st = engine8._decode_loop(engine8.params, st, s8, s8.max_new_tokens)
+        _sync(st.gen_ids[:, -1])  # warm compile for B=8
+        st = engine8.start(ids8, pix8, pos8, s8)
+        _sync(st.last_token)
+        t0 = time.perf_counter()
+        st = engine8._decode_loop(engine8.params, st, s8, s8.max_new_tokens)
+        _sync(st.gen_ids[:, -1])
+        dt8 = time.perf_counter() - t0
+        tok_s_b8 = B8 * (int(st.gen_len) - 1) / dt8
+    except Exception as e:  # noqa: BLE001
+        print(f"# batch8 section skipped: {str(e)[:160]}", file=sys.stderr)
     return tok_s, ttft_ms, n_decoded, tok_s_b8
 
 
@@ -179,7 +185,9 @@ def main():
         "vs_baseline": round(tok_s / HF_GPU_BASELINE_TOK_S, 3),
         "ttft_ms_p50": round(ttft_ms, 1),
         "decode_tokens": n,
-        "batch8_tokens_per_s_per_chip": round(tok_s_b8, 2),
+        "batch8_tokens_per_s_per_chip": (
+            round(tok_s_b8, 2) if tok_s_b8 else None
+        ),
         "device": str(jax.devices()[0]),
     }))
 
