@@ -84,12 +84,47 @@ def test_flash_uneven_shapes_pad():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-6)
 
 
+def test_full_attention_flash_matches_dense():
+    from visualcla_tpu.ops.attention import full_attention
+
+    rng = np.random.default_rng(5)
+    B, Sq, N, H, Skv = 2, 257, 4, 64, 257  # ViT-like odd lengths, head_dim 64
+    q = rand(rng, (B, Sq, N, H))
+    k = rand(rng, (B, Skv, N, H))
+    v = rand(rng, (B, Skv, N, H))
+    dense = full_attention(q, k, v, impl="xla")
+    flash = full_attention(q, k, v, impl="flash")  # interpret auto on CPU
+    np.testing.assert_allclose(np.asarray(flash), np.asarray(dense), atol=2e-6)
+
+
+def test_vit_forward_flash_vs_xla():
+    from visualcla_tpu.core.config import ViTConfig
+    from visualcla_tpu.models import clip_vit
+    from visualcla_tpu.ops import attention as attn_mod
+
+    cfg = ViTConfig(hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+                    num_attention_heads=2, image_size=28, patch_size=14)
+    params = clip_vit.init_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+    pix = jnp.asarray(np.random.default_rng(0).standard_normal((1, 3, 28, 28)),
+                      jnp.float32)
+    ref = clip_vit.forward(params, cfg, pix)
+    attn_mod.set_attention_impl("flash")
+    try:
+        out = clip_vit.forward(params, cfg, pix)
+    finally:
+        attn_mod.set_attention_impl(None)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
 def test_llama_forward_flash_vs_xla():
     """Whole decoder stack: flash (interpret) output == XLA path output."""
+    import importlib
+
     from visualcla_tpu.core.config import LlamaConfig
     from visualcla_tpu.models import llama
     from visualcla_tpu.ops import attention as attn_mod
-    from visualcla_tpu.ops.pallas import flash_attention as fa
+
+    fa = importlib.import_module("visualcla_tpu.ops.pallas.flash_attention")
 
     cfg = LlamaConfig(
         vocab_size=64, hidden_size=32, intermediate_size=64,

@@ -19,7 +19,7 @@ import jax.numpy as jnp
 
 from ..core.config import ViTConfig
 from ..ops.activations import ACT2FN
-from ..ops.attention import dot_product_attention
+from ..ops.attention import full_attention
 from ..ops.linear import linear
 from ..ops.norms import layer_norm
 
@@ -150,7 +150,7 @@ def forward(params: Params, cfg: ViTConfig, pixel_values: jnp.ndarray) -> jnp.nd
         q = (linear(y, p["q_proj"]) + p["q_bias"]).reshape(B, S, N, hd)
         k = (linear(y, p["k_proj"]) + p["k_bias"]).reshape(B, S, N, hd)
         v = (linear(y, p["v_proj"]) + p["v_bias"]).reshape(B, S, N, hd)
-        attn = dot_product_attention(q, k, v)  # bidirectional, no mask
+        attn = full_attention(q, k, v)  # bidirectional, no mask
         h = r + linear(attn.reshape(B, S, N * hd), p["o_proj"]) + p["o_bias"]
         r = h
         y = layer_norm(h, p["ln2"]["weight"], p["ln2"]["bias"], eps)

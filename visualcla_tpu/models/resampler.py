@@ -17,7 +17,7 @@ import jax.numpy as jnp
 
 from ..core.config import ResamplerConfig
 from ..ops.activations import ACT2FN
-from ..ops.attention import dot_product_attention
+from ..ops.attention import full_attention
 from ..ops.norms import layer_norm
 
 Params = dict
@@ -77,7 +77,7 @@ def forward(
         k = (kv_in @ p["k_proj"] + p["k_bias"]).reshape(B, Skv, N, hd)
         v = (kv_in @ p["v_proj"] + p["v_bias"]).reshape(B, Skv, N, hd)
         # the reference softmaxes in the input dtype (modeling_visual_resampler.py:243)
-        ctx = dot_product_attention(q, k, v, softmax_dtype="native").reshape(B, Nq, H)
+        ctx = full_attention(q, k, v, softmax_dtype="native").reshape(B, Nq, H)
         # post-LN self-output (reference :266-277)
         attn_out = layer_norm(
             ctx @ p["attn_out"] + p["attn_out_bias"] + h,

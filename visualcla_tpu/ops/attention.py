@@ -149,6 +149,31 @@ def cached_attention(
     return dot_product_attention(q, k, v, bias)
 
 
+def full_attention(
+    q: jnp.ndarray,  # (B, Sq, N, H)
+    k: jnp.ndarray,  # (B, Skv, N, H)
+    v: jnp.ndarray,
+    *,
+    softmax_dtype: str = "fp32",
+    impl: str | None = None,
+) -> jnp.ndarray:
+    """Bidirectional unmasked attention (ViT / resampler): flash on TPU, dense
+    elsewhere.  The flash path always accumulates softmax in fp32 — for the
+    resampler's "native"-dtype softmax the fp32 kernel is numerically a
+    superset (bf16 runtime differences are below bf16 resolution)."""
+    impl = impl or attention_impl()
+    if impl == "flash" and _ATTN_MESH is None:
+        from .pallas.flash_attention import flash_attention
+
+        B, Skv = k.shape[0], k.shape[1]
+        kv_valid = jnp.ones((B, Skv), jnp.int32)
+        return flash_attention(
+            q, k, v, kv_valid, jnp.int32(0), causal=False,
+            block_q=128, block_kv=128,
+        )
+    return dot_product_attention(q, k, v, softmax_dtype=softmax_dtype)
+
+
 def causal_bias(
     q_positions: jnp.ndarray,  # (B, Sq) int32 absolute positions of queries
     kv_valid: jnp.ndarray,  # (B, Sk) bool — which kv slots hold real tokens
