@@ -41,6 +41,7 @@ class ImageProcessor:
         rescale_factor: float = 1.0 / 255.0,
         resample: str = "bicubic",
         patch_size: int = 14,
+        use_native: bool = True,
     ):
         self.image_size = image_size
         self.crop_size = crop_size if crop_size is not None else image_size
@@ -53,6 +54,14 @@ class ImageProcessor:
         self.rescale_factor = rescale_factor
         self.resample = resample
         self.patch_size = patch_size  # attached by the reference (modeling_utils.py:131)
+        self._native = False
+        if use_native:
+            try:
+                from . import native_img
+
+                self._native = native_img.available()
+            except Exception:
+                self._native = False
 
     # -- host path ------------------------------------------------------------
 
@@ -74,6 +83,15 @@ class ImageProcessor:
     def preprocess_one(self, image) -> np.ndarray:
         """One image -> (3, crop, crop) float32."""
         arr = self._to_rgb_array(image)
+        if (self._native and self.do_resize and self.do_center_crop
+                and self.do_rescale and self.do_normalize
+                and self.rescale_factor == 1.0 / 255.0):
+            from . import native_img
+
+            return native_img.clip_preprocess(
+                arr, self.image_size, self.crop_size,
+                self.image_mean, self.image_std, self.resample,
+            )
         if self.do_resize:
             h, w = arr.shape[:2]
             nh, nw = shortest_edge_size(h, w, self.image_size)
