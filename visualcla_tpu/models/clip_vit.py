@@ -126,7 +126,8 @@ def patchify(pixel_values: jnp.ndarray, patch_size: int) -> jnp.ndarray:
     return x.reshape(B, gh * gw, C * P * P)
 
 
-def forward(params: Params, cfg: ViTConfig, pixel_values: jnp.ndarray) -> jnp.ndarray:
+def forward(params: Params, cfg: ViTConfig, pixel_values: jnp.ndarray,
+            remat: bool = False) -> jnp.ndarray:
     """(B, 3, 224, 224) -> (B, 257, H) — last hidden state with post_layernorm
     applied over the full sequence (reference modeling_visualcla.py:284)."""
     B = pixel_values.shape[0]
@@ -157,7 +158,8 @@ def forward(params: Params, cfg: ViTConfig, pixel_values: jnp.ndarray) -> jnp.nd
         h = r + linear(act(linear(y, p["fc1"]) + p["fc1_bias"]), p["fc2"]) + p["fc2_bias"]
         return h, None
 
-    x, _ = jax.lax.scan(layer, x, params["layers"])
+    body = jax.checkpoint(layer) if remat else layer
+    x, _ = jax.lax.scan(body, x, params["layers"])
     x = layer_norm(
         x, params["post_layernorm"]["weight"], params["post_layernorm"]["bias"], eps
     )

@@ -56,7 +56,8 @@ def init_params(rng: jax.Array, cfg: ResamplerConfig, dtype=jnp.float32) -> Para
 
 
 def forward(
-    params: Params, cfg: ResamplerConfig, image_embeds: jnp.ndarray
+    params: Params, cfg: ResamplerConfig, image_embeds: jnp.ndarray,
+    remat: bool = False,
 ) -> jnp.ndarray:
     """(B, S_img, H) image tokens -> (B, num_query_tokens, H) resampled tokens."""
     B = image_embeds.shape[0]
@@ -88,7 +89,8 @@ def forward(
         h = layer_norm(ffn + attn_out, p["out_ln"]["weight"], p["out_ln"]["bias"], eps)
         return h, None
 
-    hidden, _ = jax.lax.scan(layer, hidden, params["layers"])
+    body = jax.checkpoint(layer) if remat else layer
+    hidden, _ = jax.lax.scan(body, hidden, params["layers"])
     return hidden
 
 

@@ -41,16 +41,19 @@ def init_params(rng: jax.Array, cfg: VisualCLAConfig, dtype=jnp.float32) -> Para
     return params
 
 
-def encode_image(params: Params, cfg: VisualCLAConfig, pixel_values: jnp.ndarray) -> jnp.ndarray:
+def encode_image(params: Params, cfg: VisualCLAConfig, pixel_values: jnp.ndarray,
+                 remat: bool = False) -> jnp.ndarray:
     """(B, 3, H, W) pixels -> (B, num_image_tokens, text_hidden) image embeddings.
 
     Mirrors reference modeling_visualcla.py:283-288/349-354: ViT (with full-sequence
     post_layernorm) -> resampler -> linear projection.
     """
-    image_embeds = clip_vit.forward(params["vision"], cfg.vision_config, pixel_values)
+    image_embeds = clip_vit.forward(params["vision"], cfg.vision_config, pixel_values,
+                                    remat=remat)
     if cfg.use_visual_resampler:
         image_embeds = resampler.forward(
-            params["resampler"], cfg.visual_resampler_config, image_embeds
+            params["resampler"], cfg.visual_resampler_config, image_embeds,
+            remat=remat,
         )
     return image_embeds @ params["projection"]["weight"] + params["projection"]["bias"]
 
@@ -80,12 +83,13 @@ def multimodal_embeds(
     input_ids: jnp.ndarray,  # (B, S)
     img_start_pos: jnp.ndarray,  # (B,) int32; -1 = text-only row
     pixel_values: Optional[jnp.ndarray],  # (B, 3, H, W) or None
+    remat: bool = False,
 ) -> jnp.ndarray:
     """Token embeddings with image embeddings spliced in (text-only rows untouched)."""
     inputs_embeds = llama.embed(params["text"], input_ids)
     if pixel_values is None:
         return inputs_embeds
-    image_embeds = encode_image(params, cfg, pixel_values)
+    image_embeds = encode_image(params, cfg, pixel_values, remat=remat)
     spliced = splice_image_embeds(inputs_embeds, image_embeds, jnp.maximum(img_start_pos, 0))
     keep_text = (img_start_pos < 0)[:, None, None]
     return jnp.where(keep_text, inputs_embeds, spliced)

@@ -70,7 +70,9 @@ def train_forward_logits(
 ) -> jnp.ndarray:
     """Full multimodal forward for training: (B, S) -> (B, S, V) fp32 logits."""
     B, S = input_ids.shape
-    embeds = visualcla.multimodal_embeds(params, cfg, input_ids, img_start_pos, pixel_values)
+    embeds = visualcla.multimodal_embeds(
+        params, cfg, input_ids, img_start_pos, pixel_values, remat=remat
+    )
     positions = jnp.maximum(jnp.cumsum(attention_mask, axis=-1) - 1, 0).astype(jnp.int32)
     cache = llama.init_kv_cache(cfg.text_config, B, S, embeds.dtype)
     hidden, _ = llama.forward(
