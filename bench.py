@@ -165,9 +165,11 @@ def main():
                 if "RESOURCE_EXHAUSTED" in msg or "Out of memory" in msg.lower():
                     print(f"# OOM at max_seq={max_seq}, shrinking", file=sys.stderr)
                     break  # shrink the KV budget
-                if "remote_compile" in msg or "INTERNAL" in msg:
-                    # transient tunnel compile-service failure: retry same size
-                    print(f"# transient compile failure (attempt {attempt}): "
+                if ("remote_compile" in msg or "INTERNAL" in msg
+                        or "UNAVAILABLE" in msg or "crashed" in msg):
+                    # transient tunnel failure (compile service / worker
+                    # restart): retry at the same size
+                    print(f"# transient failure (attempt {attempt}): "
                           f"{msg[:120]}", file=sys.stderr)
                     continue
                 raise

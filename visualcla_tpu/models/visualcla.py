@@ -82,13 +82,32 @@ def multimodal_embeds(
     cfg: VisualCLAConfig,
     input_ids: jnp.ndarray,  # (B, S)
     img_start_pos: jnp.ndarray,  # (B,) int32; -1 = text-only row
-    pixel_values: Optional[jnp.ndarray],  # (B, 3, H, W) or None
+    pixel_values: Optional[jnp.ndarray],  # (B, 3, H, W) | (B, K, 3, H, W) | None
     remat: bool = False,
 ) -> jnp.ndarray:
-    """Token embeddings with image embeddings spliced in (text-only rows untouched)."""
+    """Token embeddings with image embeddings spliced in (text-only rows untouched).
+
+    Multi-image (the webui plugin's capability, README_EN.md:294-296): pass
+    pixel_values (B, K, 3, H, W) with img_start_pos (B, K) giving each image's
+    ``<img>`` marker position (-1 = slot unused)."""
     inputs_embeds = llama.embed(params["text"], input_ids)
     if pixel_values is None:
         return inputs_embeds
+    if pixel_values.ndim == 5:  # multi-image
+        B, K = pixel_values.shape[:2]
+        flat = encode_image(
+            params, cfg, pixel_values.reshape((B * K,) + pixel_values.shape[2:]),
+            remat=remat,
+        )
+        image_embeds = flat.reshape((B, K) + flat.shape[1:])
+        pos = img_start_pos.reshape(B, K)
+        out = inputs_embeds
+        for k in range(K):
+            spliced = splice_image_embeds(
+                out, image_embeds[:, k], jnp.maximum(pos[:, k], 0)
+            )
+            out = jnp.where((pos[:, k] < 0)[:, None, None], out, spliced)
+        return out
     image_embeds = encode_image(params, cfg, pixel_values, remat=remat)
     spliced = splice_image_embeds(inputs_embeds, image_embeds, jnp.maximum(img_start_pos, 0))
     keep_text = (img_start_pos < 0)[:, None, None]
