@@ -97,10 +97,9 @@ def test_full_attention_flash_matches_dense():
     np.testing.assert_allclose(np.asarray(flash), np.asarray(dense), atol=2e-6)
 
 
-def test_vit_forward_flash_vs_xla():
+def test_vit_forward_flash_vs_xla(monkeypatch):
     from visualcla_tpu.core.config import ViTConfig
     from visualcla_tpu.models import clip_vit
-    from visualcla_tpu.ops import attention as attn_mod
 
     cfg = ViTConfig(hidden_size=32, intermediate_size=64, num_hidden_layers=2,
                     num_attention_heads=2, image_size=28, patch_size=14)
@@ -108,11 +107,8 @@ def test_vit_forward_flash_vs_xla():
     pix = jnp.asarray(np.random.default_rng(0).standard_normal((1, 3, 28, 28)),
                       jnp.float32)
     ref = clip_vit.forward(params, cfg, pix)
-    attn_mod.set_attention_impl("flash")
-    try:
-        out = clip_vit.forward(params, cfg, pix)
-    finally:
-        attn_mod.set_attention_impl(None)
+    monkeypatch.setenv("VISUALCLA_VIT_ATTN", "flash")
+    out = clip_vit.forward(params, cfg, pix)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
 
 

@@ -157,11 +157,17 @@ def full_attention(
     softmax_dtype: str = "fp32",
     impl: str | None = None,
 ) -> jnp.ndarray:
-    """Bidirectional unmasked attention (ViT / resampler): flash on TPU, dense
-    elsewhere.  The flash path always accumulates softmax in fp32 — for the
-    resampler's "native"-dtype softmax the fp32 kernel is numerically a
-    superset (bf16 runtime differences are below bf16 resolution)."""
-    impl = impl or attention_impl()
+    """Bidirectional unmasked attention (ViT / resampler).
+
+    Default is dense XLA even on TPU: at ViT scale (257 tokens) XLA's fused
+    attention beats the Pallas kernel's padding+launch overheads (measured:
+    TTFT 86ms vs 117ms).  Set VISUALCLA_VIT_ATTN=flash to force the kernel
+    (longer-sequence vision inputs).  The flash path accumulates softmax in
+    fp32 — a numerical superset of the resampler's "native"-dtype softmax."""
+    import os
+
+    if impl is None:
+        impl = os.environ.get("VISUALCLA_VIT_ATTN", "xla")
     if impl == "flash" and _ATTN_MESH is None:
         from .pallas.flash_attention import flash_attention
 
