@@ -121,31 +121,43 @@ def run(max_seq_len: int, quant: str = "bf16"):
     #    section is best-effort: if its fresh compiles fail (transient tunnel
     #    compile-service outages), report the single-stream numbers anyway. --
     tok_s_b8 = None
-    try:
-        from visualcla_tpu.engine.generate import Engine
-
-        B8, seq8 = 8, 256
-        engine8 = Engine(
-            engine.params, cfg, eos_token_id=2, pad_token_id=49954,
-            max_seq_len=seq8, prompt_buckets=(128,), dtype=engine.dtype,
-        )
-        s8 = SamplingConfig.greedy(max_new_tokens=seq8 - 128 - 8)
-        ids8 = np.tile(input_ids, (B8, 1))
-        pix8 = np.tile(pixel_values, (B8, 1, 1, 1))
-        pos8 = np.tile(img_start_pos, B8)
-        st = engine8.start(ids8, pix8, pos8, s8)
-        st = engine8._decode_loop(engine8.params, st, s8, s8.max_new_tokens)
-        _sync(st.gen_ids[:, -1])  # warm compile for B=8
-        st = engine8.start(ids8, pix8, pos8, s8)
-        _sync(st.last_token)
-        t0 = time.perf_counter()
-        st = engine8._decode_loop(engine8.params, st, s8, s8.max_new_tokens)
-        _sync(st.gen_ids[:, -1])
-        dt8 = time.perf_counter() - t0
-        tok_s_b8 = B8 * (int(st.gen_len) - 1) / dt8
-    except Exception as e:  # noqa: BLE001
-        print(f"# batch8 section skipped: {str(e)[:160]}", file=sys.stderr)
+    for b8_attempt in range(3):
+        try:
+            tok_s_b8 = _run_batch8(engine, cfg, input_ids, pixel_values,
+                                   img_start_pos)
+            break
+        except Exception as e:  # noqa: BLE001
+            print(f"# batch8 attempt {b8_attempt} failed: {str(e)[:160]}",
+                  file=sys.stderr)
+            time.sleep(20)
     return tok_s, ttft_ms, n_decoded, tok_s_b8
+
+
+def _run_batch8(engine, cfg, input_ids, pixel_values, img_start_pos):
+    """Aggregate decode throughput with 8 rows sharing every step (smaller KV
+    budget so 8 cache rows + the 14GB weights fit a 16GB chip)."""
+    from visualcla_tpu.engine.generate import Engine
+    from visualcla_tpu.engine.sampling import SamplingConfig
+
+    B8, seq8 = 8, 256
+    engine8 = Engine(
+        engine.params, cfg, eos_token_id=2, pad_token_id=49954,
+        max_seq_len=seq8, prompt_buckets=(128,), dtype=engine.dtype,
+    )
+    s8 = SamplingConfig.greedy(max_new_tokens=seq8 - 128 - 8)
+    ids8 = np.tile(input_ids, (B8, 1))
+    pix8 = np.tile(pixel_values, (B8, 1, 1, 1))
+    pos8 = np.tile(img_start_pos, B8)
+    st = engine8.start(ids8, pix8, pos8, s8)
+    st = engine8._decode_loop(engine8.params, st, s8, s8.max_new_tokens)
+    _sync(st.gen_ids[:, -1])  # warm compile for B=8
+    st = engine8.start(ids8, pix8, pos8, s8)
+    _sync(st.last_token)
+    t0 = time.perf_counter()
+    st = engine8._decode_loop(engine8.params, st, s8, s8.max_new_tokens)
+    _sync(st.gen_ids[:, -1])
+    dt8 = time.perf_counter() - t0
+    return B8 * (int(st.gen_len) - 1) / dt8
 
 
 def main():

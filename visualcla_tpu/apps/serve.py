@@ -27,6 +27,60 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 logger = logging.getLogger(__name__)
 
 
+class PoolWorker:
+    """Continuous-batching backend: requests prefill into a fixed pool of
+    cache rows and decode together token-interleaved (engine/server.py) —
+    concurrent chats share every decode step instead of queueing serially."""
+
+    def __init__(self, model, pool_size: int = 4):
+        from visualcla_tpu.engine.server import Scheduler, ServingEngine
+
+        self.model = model
+        sampling = None  # pool decodes with the engine-wide default config
+        self.engine = ServingEngine(
+            model.params, model.config,
+            eos_token_id=model.tokenizer.eos_token_id,
+            pad_token_id=model.tokenizer.pad_token_id,
+            pool_size=pool_size,
+            max_seq_len=model.engine.max_seq_len,
+            dtype=model.engine.dtype,
+        )
+        self.scheduler = Scheduler(self.engine)
+
+    def submit(self, req: dict, timeout: float = 600.0) -> dict:
+        from visualcla_tpu.engine.server import generate_sync
+        from visualcla_tpu.text import encoding_text
+        from visualcla_tpu.text.prompt import img_marker_positions
+
+        model = self.model
+        history = req.get("history") or []
+        text = req["text"]
+        pixel_values = None
+        if req.get("image_b64"):
+            from PIL import Image
+
+            img = Image.open(io.BytesIO(base64.b64decode(req["image_b64"])))
+            pixel_values = model.image_processor(img)["pixel_values"]
+        enc = encoding_text(history, text, model.num_patch, model.tokenizer)
+        ids = enc["input_ids"]
+        img_pos = img_marker_positions(ids, model.tokenizer.img_start_token_id)
+        if len(history) == 0:
+            history.append({"type": "instruction", "value": text,
+                            "first_instruction": True})
+        else:
+            history.append({"type": "instruction", "value": text})
+        gc = req.get("generation_config") or {}
+        out = generate_sync(
+            self.scheduler, ids[0], pixel_values=pixel_values,
+            img_start_pos=int(img_pos[0]),
+            max_new_tokens=int(gc.get("max_new_tokens", 512)),
+            timeout=timeout,
+        )
+        response = model.tokenizer.decode(out, skip_special_tokens=True)
+        history.append({"type": "response", "value": response})
+        return {"response": response, "history": history}
+
+
 class ChatWorker:
     """Single consumer thread owning the model; requests enqueue and block."""
 
@@ -111,6 +165,9 @@ def main(argv=None):
     ap.add_argument("--load_in_8bit", action="store_true")
     ap.add_argument("--host", default="0.0.0.0")
     ap.add_argument("--port", type=int, default=8091)
+    ap.add_argument("--pool", type=int, default=0,
+                    help="continuous-batching pool size (0 = serial worker; "
+                         "N>0 interleaves up to N chats per decode step)")
     args = ap.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
 
@@ -119,7 +176,7 @@ def main(argv=None):
     model, _, _ = visualcla.get_model_and_tokenizer_and_processor(
         visualcla_model=args.visualcla_model, load_in_8bit=args.load_in_8bit
     )
-    worker = ChatWorker(model)
+    worker = PoolWorker(model, args.pool) if args.pool > 0 else ChatWorker(model)
     server = ThreadingHTTPServer((args.host, args.port), make_handler(worker))
     logger.info("serving on %s:%d", args.host, args.port)
     server.serve_forever()
