@@ -99,6 +99,54 @@ def test_http_server_round_trip(model_bundle):
         server.shutdown()
 
 
+def test_http_server_pool_mode(model_bundle):
+    """Continuous-batching backend behind the HTTP endpoint."""
+    import http.client
+
+    from http.server import ThreadingHTTPServer
+
+    from visualcla_tpu.apps.serve import PoolWorker, make_handler
+
+    model, tokenizer, cfg, tmp = model_bundle
+    model.image_processor.image_size = cfg.vision_config.image_size
+    model.image_processor.crop_size = cfg.vision_config.image_size
+    worker = PoolWorker(model, pool_size=2)
+    server = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(worker))
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        import base64, io
+        from PIL import Image
+
+        buf = io.BytesIO()
+        Image.fromarray(
+            np.random.default_rng(3).integers(0, 256, (40, 40, 3), dtype=np.uint8)
+        ).save(buf, format="PNG")
+        img64 = base64.b64encode(buf.getvalue()).decode()
+
+        def ask(text):
+            conn = http.client.HTTPConnection("127.0.0.1", port, timeout=300)
+            conn.request("POST", "/chat", body=json.dumps({
+                "text": text, "image_b64": img64,
+                "generation_config": {"max_new_tokens": 4},
+            }), headers={"Content-Type": "application/json"})
+            return json.loads(conn.getresponse().read())
+
+        results = {}
+        threads = [
+            threading.Thread(target=lambda i=i: results.update({i: ask("ab")}))
+            for i in range(3)
+        ]
+        [th.start() for th in threads]
+        [th.join(timeout=300) for th in threads]
+        assert len(results) == 3
+        assert all("response" in r for r in results.values()), results
+    finally:
+        worker.scheduler.stop()
+        server.shutdown()
+
+
 def test_cli_repl_protocol(model_bundle, monkeypatch, capsys, tmp_path):
     """Drive the REPL: change image -> ask -> clear -> exit."""
     from PIL import Image
