@@ -135,6 +135,32 @@ class TestWarpersVsHF:
         assert 0 <= int(token[0]) < 4
         assert float(new_mu[0]) != 10.0  # state moved
 
+    def test_min_new_tokens_bans_eos(self):
+        import jax
+
+        from visualcla_tpu.engine.sampling import SamplingConfig, sample_step
+
+        rng = np.random.default_rng(0)
+        V, B, T = 12, 2, 8
+        logits = np.zeros((B, V), np.float32)
+        logits[:, 2] = 10.0  # EOS would win greedily
+        logits[:, 5] = 5.0
+        cfg = SamplingConfig.greedy()
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, min_new_tokens=4, eos_token_id=2)
+        gen_ids = jnp.zeros((B, T), jnp.int32)
+        key = jax.random.PRNGKey(0)
+        mu = jnp.zeros((B,), jnp.float32)
+        # below the minimum: EOS banned -> token 5
+        tok, _ = sample_step(jnp.asarray(logits), gen_ids,
+                             jnp.asarray([2, 2], jnp.int32), key, mu, cfg)
+        assert tok.tolist() == [5, 5]
+        # at/after the minimum: EOS allowed
+        tok, _ = sample_step(jnp.asarray(logits), gen_ids,
+                             jnp.asarray([4, 4], jnp.int32), key, mu, cfg)
+        assert tok.tolist() == [2, 2]
+
     def test_greedy_ignores_warpers(self):
         cfg = S.SamplingConfig.greedy()
         logits = jnp.asarray(np.array([[0.1, 3.0, -1.0]], np.float32))

@@ -28,6 +28,9 @@ class SamplingConfig:
     """Mirror of the reference's GenerationConfig surface (hashable: jit-static)."""
 
     max_new_tokens: int = 512
+    min_new_tokens: int = 0  # reference min_length=0 (modeling_utils.py:38);
+    # counts generated tokens (the inputs_embeds path has no prompt in ids)
+    eos_token_id: int = 2
     do_sample: bool = True
     temperature: float = 0.5
     top_k: int = 40
@@ -240,6 +243,12 @@ def sample_step(
     logits = logits.astype(jnp.float32)
     T = gen_ids.shape[1]
     gen_valid = jnp.arange(T)[None, :] < gen_len[:, None]
+
+    if cfg.min_new_tokens > 0:
+        # HF MinNewTokensLengthLogitsProcessor: ban EOS below the minimum
+        ban = (gen_len < cfg.min_new_tokens)[:, None]
+        eos_col = jnp.arange(logits.shape[-1])[None, :] == cfg.eos_token_id
+        logits = jnp.where(ban & eos_col, NEG_INF, logits)
 
     if cfg.repetition_penalty != 1.0:
         logits = apply_repetition_penalty(logits, gen_ids, gen_valid, cfg.repetition_penalty)
