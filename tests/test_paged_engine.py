@@ -1,0 +1,103 @@
+"""Paged-KV serving engine: equivalence with the single-stream engine."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from visualcla_tpu.core.config import tiny_visualcla_config
+from visualcla_tpu.engine.generate import Engine
+from visualcla_tpu.engine.paged import PagedServingEngine
+from visualcla_tpu.engine.sampling import SamplingConfig
+from visualcla_tpu.engine.server import Scheduler, generate_sync
+from visualcla_tpu.models import visualcla as vmod
+
+EOS, PAD = 2, 0
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = tiny_visualcla_config(vocab_size=96)
+    params = vmod.init_params(jax.random.PRNGKey(0), cfg, jnp.float64)
+    single = Engine(
+        params, cfg, eos_token_id=EOS, pad_token_id=PAD,
+        max_seq_len=96, prompt_buckets=(32,), dtype=jnp.float64,
+    )
+    paged = PagedServingEngine(
+        params, cfg, eos_token_id=EOS, pad_token_id=PAD,
+        pool_size=3, block_size=16, num_blocks=24,
+        max_seq_len=96, max_new_tokens_cap=16, prompt_buckets=(32,),
+        sampling=SamplingConfig.greedy(max_new_tokens=16), dtype=jnp.float64,
+    )
+    return cfg, params, single, paged
+
+
+def prompts(n=3):
+    rng = np.random.default_rng(7)
+    return [
+        rng.integers(4, 90, size=(int(rng.integers(6, 20)),)).astype(np.int32)
+        for _ in range(n)
+    ]
+
+
+def trim(x):
+    x = list(np.asarray(x))
+    return x[: x.index(EOS) + 1] if EOS in x else x
+
+
+def test_paged_matches_single_stream(setup):
+    cfg, params, single, paged = setup
+    sampling = SamplingConfig.greedy(max_new_tokens=10)
+    ps = prompts()
+    expected = [single.generate(p[None], None, None, sampling)[0] for p in ps]
+
+    sched = Scheduler(paged)
+    try:
+        got = [generate_sync(sched, p, max_new_tokens=10, timeout=300) for p in ps]
+    finally:
+        sched.stop()
+    for e, g in zip(expected, got):
+        assert trim(e) == trim(g), (list(np.asarray(e)), list(np.asarray(g)))
+
+
+def test_paged_block_recycling(setup):
+    """Blocks free on collect; more sequential requests than pool blocks allow
+    concurrently."""
+    cfg, params, single, paged = setup
+    free_before = len(paged._free)
+    sched = Scheduler(paged)
+    try:
+        ps = prompts(6)
+        outs = [generate_sync(sched, p, max_new_tokens=5, timeout=300) for p in ps]
+    finally:
+        sched.stop()
+    assert len(outs) == 6
+    assert len(paged._free) == free_before  # every block returned
+    assert all(len(o) >= 1 for o in outs)
+
+
+def test_paged_multimodal_row(setup):
+    cfg, params, single, paged = setup
+    rng = np.random.default_rng(3)
+    size = cfg.vision_config.image_size
+    T = cfg.num_image_tokens
+    # prompt with an <img> marker + T placeholders (ids only need consistency)
+    img_start = 1
+    ids = np.concatenate([
+        np.asarray([5], np.int32),
+        np.asarray([60], np.int32),  # <img> stand-in
+        np.full((T,), 61, np.int32),
+        np.asarray([62], np.int32),
+        rng.integers(4, 60, 6).astype(np.int32),
+    ])
+    pix = rng.standard_normal((1, 3, size, size)).astype(np.float64)
+    sampling = SamplingConfig.greedy(max_new_tokens=8)
+    want = single.generate(ids[None], pix, np.asarray([img_start]), sampling)[0]
+
+    sched = Scheduler(paged)
+    try:
+        got = generate_sync(sched, ids, pixel_values=pix,
+                            img_start_pos=img_start, max_new_tokens=8,
+                            timeout=300)
+    finally:
+        sched.stop()
+    assert trim(want) == trim(got)

@@ -1,0 +1,370 @@
+"""Paged-KV continuous-batching engine.
+
+Same scheduling surface as ``engine/server.py`` (Scheduler drives prefill_row /
+step / snapshot / collect_row), but KV lives in a global block pool:
+
+- ``(L, num_blocks, BS, Nkv, hd)`` pools + host-side free-list allocator;
+- per-row block tables (host numpy, shipped per step — bytes, not megabytes);
+- decode attention via the Pallas paged kernel (scalar-prefetched tables);
+- prefill runs the normal contiguous forward into a scratch cache, then
+  scatters the prompt's KV blocks into the pool.
+
+A row's memory cost is ceil(len/BS) blocks, so the pool admits however many
+requests fit by TOKENS, not by rows×max_seq — e.g. a 16-token and a 2000-token
+conversation together cost 1 + 32 blocks instead of 2×max_seq stripes.
+"""
+from __future__ import annotations
+
+import dataclasses
+import logging
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.config import VisualCLAConfig
+from ..models import llama, visualcla
+from ..ops.linear import linear
+from ..ops.norms import rms_norm
+from ..ops.pallas.paged_attention import paged_decode_attention
+from ..ops.rope import apply_rope, rope_table
+from .sampling import SamplingConfig, sample_step
+
+logger = logging.getLogger(__name__)
+
+
+def init_pools(cfg, num_blocks: int, block_size: int, dtype=jnp.bfloat16):
+    L, Nkv, hd = cfg.num_hidden_layers, cfg.num_key_value_heads, cfg.head_dim
+    shape = (L, num_blocks, block_size, Nkv, hd)
+    return jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)
+
+
+def paged_decode_forward(
+    params,
+    cfg,
+    embeds: jnp.ndarray,  # (B, 1, H)
+    positions: jnp.ndarray,  # (B,) int32 rope positions
+    k_pool: jnp.ndarray,  # (L, NB, BS, Nkv, hd)
+    v_pool: jnp.ndarray,
+    tables: jnp.ndarray,  # (B, max_blocks) int32
+    blk: jnp.ndarray,  # (B,) int32 — pool block holding the new token
+    off: jnp.ndarray,  # (B,) int32 — offset inside that block
+    lens: jnp.ndarray,  # (B,) int32 — context length INCLUDING the new token
+):
+    """One decode step over the paged pool.  Returns (hidden (B,1,H), pools)."""
+    B, _, H = embeds.shape
+    N, Nkv, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+    cos, sin = rope_table(positions[:, None], hd, cfg.rope_theta)
+
+    def layer(carry, xs):
+        h, kp, vp = carry
+        p, l = xs
+        x = rms_norm(h, p["input_norm"], cfg.rms_norm_eps)
+        q = linear(x, p["q_proj"]).reshape(B, 1, N, hd)
+        k = linear(x, p["k_proj"]).reshape(B, 1, Nkv, hd)
+        v = linear(x, p["v_proj"]).reshape(B, 1, Nkv, hd)
+        q, k = apply_rope(q, k, cos, sin)
+        kp_l = jax.lax.dynamic_index_in_dim(kp, l, axis=0, keepdims=False)
+        vp_l = jax.lax.dynamic_index_in_dim(vp, l, axis=0, keepdims=False)
+        kp_l = kp_l.at[blk, off].set(k[:, 0].astype(kp_l.dtype))
+        vp_l = vp_l.at[blk, off].set(v[:, 0].astype(vp_l.dtype))
+        kp = jax.lax.dynamic_update_index_in_dim(kp, kp_l, l, axis=0)
+        vp = jax.lax.dynamic_update_index_in_dim(vp, vp_l, l, axis=0)
+        attn = paged_decode_attention(
+            q[:, 0], kp_l, vp_l, tables, lens
+        )  # (B, N, hd)
+        h = h + linear(attn.reshape(B, 1, N * hd), p["o_proj"])
+        x2 = rms_norm(h, p["post_norm"], cfg.rms_norm_eps)
+        gate = jax.nn.silu(linear(x2, p["gate_proj"])) * linear(x2, p["up_proj"])
+        h = h + linear(gate, p["down_proj"])
+        return (h, kp, vp), None
+
+    L = cfg.num_hidden_layers
+    (h, k_pool, v_pool), _ = jax.lax.scan(
+        layer, (embeds, k_pool, v_pool),
+        (params["layers"], jnp.arange(L, dtype=jnp.int32)),
+    )
+    h = rms_norm(h, params["final_norm"], cfg.rms_norm_eps)
+    return h, k_pool, v_pool
+
+
+@dataclasses.dataclass
+class PagedState:
+    """Device-side pytree for the paged pool."""
+
+    k_pool: jnp.ndarray
+    v_pool: jnp.ndarray
+    last_token: jnp.ndarray  # (B,)
+    positions: jnp.ndarray  # (B,)
+    gen_ids: jnp.ndarray  # (B, T)
+    gen_len: jnp.ndarray  # (B,)
+    max_len: jnp.ndarray  # (B,)
+    active: jnp.ndarray  # (B,) bool
+    finished: jnp.ndarray  # (B,) bool
+    mu: jnp.ndarray
+    key: jax.Array
+
+
+jax.tree_util.register_dataclass(
+    PagedState,
+    data_fields=["k_pool", "v_pool", "last_token", "positions", "gen_ids",
+                 "gen_len", "max_len", "active", "finished", "mu", "key"],
+    meta_fields=[],
+)
+
+
+class PagedServingEngine:
+    """Block-paged pool engine; duck-type compatible with server.Scheduler."""
+
+    def __init__(
+        self,
+        params,
+        cfg: VisualCLAConfig,
+        *,
+        eos_token_id: int,
+        pad_token_id: int,
+        pool_size: int = 8,  # concurrent rows
+        block_size: int = 64,
+        num_blocks: int = 256,  # total KV budget = num_blocks * block_size tokens
+        max_seq_len: int = 2048,
+        max_new_tokens_cap: int = 1024,
+        prompt_buckets=(128, 256, 512, 1024),
+        sampling: Optional[SamplingConfig] = None,
+        dtype=jnp.bfloat16,
+        seed: int = 0,
+    ):
+        self.params = params
+        self.cfg = cfg
+        self.eos = eos_token_id
+        self.pad = pad_token_id
+        self.B = pool_size
+        self.BS = block_size
+        self.NB = num_blocks
+        self.Smax = max_seq_len
+        self.T = max_new_tokens_cap
+        self.max_blocks = (max_seq_len + block_size - 1) // block_size
+        self.prompt_buckets = tuple(b for b in prompt_buckets if b <= max_seq_len)
+        self.sampling = sampling or SamplingConfig()
+        self.dtype = dtype
+
+        # host allocator: block 0 is the dummy target for unused table slots
+        self._free: List[int] = list(range(num_blocks - 1, 0, -1))
+        self.tables = np.zeros((self.B, self.max_blocks), np.int32)
+        self.row_blocks: List[List[int]] = [[] for _ in range(self.B)]
+        self.ctx_len = np.zeros((self.B,), np.int32)
+
+        text = cfg.text_config
+        k_pool, v_pool = init_pools(text, num_blocks, block_size, dtype)
+        B, T = self.B, self.T
+        self._state = PagedState(
+            k_pool=k_pool, v_pool=v_pool,
+            last_token=jnp.zeros((B,), jnp.int32),
+            positions=jnp.zeros((B,), jnp.int32),
+            gen_ids=jnp.zeros((B, T), jnp.int32),
+            gen_len=jnp.zeros((B,), jnp.int32),
+            max_len=jnp.zeros((B,), jnp.int32),
+            active=jnp.zeros((B,), bool),
+            finished=jnp.zeros((B,), bool),
+            mu=jnp.full((B,), 2.0 * self.sampling.mirostat_tau, jnp.float32),
+            key=jax.random.PRNGKey(seed),
+        )
+        self._prefill = jax.jit(self._prefill_impl, static_argnames=("sampling",),
+                                donate_argnames=("state",))
+        self._step = jax.jit(self._step_impl, static_argnames=("sampling",),
+                             donate_argnames=("state",))
+
+    # -- allocator -------------------------------------------------------------
+
+    def can_admit(self, prompt_len: int) -> bool:
+        need = (prompt_len + self.T + self.BS - 1) // self.BS + 1
+        return len(self._free) >= need
+
+    def _alloc_blocks(self, row: int, n: int) -> List[int]:
+        if len(self._free) < n:
+            raise RuntimeError("KV block pool exhausted")
+        blocks = [self._free.pop() for _ in range(n)]
+        self.row_blocks[row].extend(blocks)
+        tb = self.row_blocks[row]
+        self.tables[row, :] = 0
+        self.tables[row, : len(tb)] = tb
+        return blocks
+
+    def _free_row(self, row: int) -> None:
+        self._free.extend(self.row_blocks[row])
+        self.row_blocks[row] = []
+        self.tables[row, :] = 0
+        self.ctx_len[row] = 0
+
+    # -- jitted impls ------------------------------------------------------------
+
+    def _prefill_impl(self, params, state: PagedState, row, input_ids,
+                      attention_mask, img_start_pos, pixel_values,
+                      block_ids, max_new_tokens, sampling: SamplingConfig):
+        """Contiguous prompt forward into a scratch cache, then block scatter."""
+        cfg = self.cfg
+        S = input_ids.shape[1]
+        nb = S // self.BS  # S is always a bucket multiple of BS
+
+        embeds = visualcla.multimodal_embeds(
+            params, cfg, input_ids, img_start_pos, pixel_values
+        )
+        positions = jnp.maximum(jnp.cumsum(attention_mask, -1) - 1, 0).astype(jnp.int32)
+        scratch = llama.init_kv_cache(cfg.text_config, 1, S, self.dtype)
+        kv_valid = attention_mask.astype(bool)
+        hidden, scratch = llama.forward(
+            params["text"], cfg.text_config, embeds, positions, scratch,
+            kv_valid, jnp.int32(0),
+        )
+        # scatter the prompt KV into the pool: (L, 1, S, ...) -> (L, nb, BS, ...)
+        L = cfg.text_config.num_hidden_layers
+        k_blocks = scratch["k"].reshape(
+            L, nb, self.BS, *scratch["k"].shape[-2:])
+        v_blocks = scratch["v"].reshape(
+            L, nb, self.BS, *scratch["v"].shape[-2:])
+        k_pool = state.k_pool.at[:, block_ids].set(k_blocks)
+        v_pool = state.v_pool.at[:, block_ids].set(v_blocks)
+
+        # prompts are RIGHT-padded here: sample from the last REAL token
+        last_idx = jnp.sum(attention_mask, axis=-1) - 1  # (1,)
+        hidden_last = jnp.take_along_axis(
+            hidden, last_idx[:, None, None].astype(jnp.int32), axis=1
+        )  # (1, 1, H)
+        last_logits = llama.logits(params["text"], hidden_last)[:, 0]
+        key, sub = jax.random.split(state.key)
+        mu0 = jnp.full((1,), 2.0 * sampling.mirostat_tau, jnp.float32)
+        token, mu_row = sample_step(
+            last_logits, jnp.zeros((1, self.T), jnp.int32),
+            jnp.zeros((1,), jnp.int32), sub, mu0, sampling,
+        )
+        tok = token[0]
+        return dataclasses.replace(
+            state,
+            k_pool=k_pool, v_pool=v_pool,
+            last_token=state.last_token.at[row].set(tok),
+            positions=state.positions.at[row].set(last_idx[0].astype(jnp.int32) + 1),
+            gen_ids=jax.lax.dynamic_update_index_in_dim(
+                state.gen_ids, jnp.zeros((self.T,), jnp.int32).at[0].set(tok),
+                row, axis=0,
+            ),
+            gen_len=state.gen_len.at[row].set(1),
+            max_len=state.max_len.at[row].set(max_new_tokens),
+            active=state.active.at[row].set(True),
+            finished=state.finished.at[row].set(tok == self.eos),
+            mu=state.mu.at[row].set(mu_row[0]),
+            key=key,
+        )
+
+    def _step_impl(self, params, state: PagedState, tables, lens,
+                   sampling: SamplingConfig):
+        """One decode step for all rows.  ``lens`` includes the new token."""
+        cfg = self.cfg
+        B = self.B
+        run = state.active & ~state.finished
+        embeds = llama.embed(params["text"], state.last_token[:, None])
+        new_slot = lens - 1
+        blk_idx = new_slot // self.BS
+        blk = tables[jnp.arange(B), blk_idx]
+        off = new_slot % self.BS
+        # parked rows write into dummy block 0 at their offset (harmless:
+        # block 0 is never referenced by any live table entry)
+        blk = jnp.where(run, blk, 0)
+        hidden, k_pool, v_pool = paged_decode_forward(
+            params["text"], cfg.text_config, embeds, state.positions,
+            state.k_pool, state.v_pool, tables, blk, off,
+            jnp.where(run, lens, 1),
+        )
+        step_logits = llama.logits(params["text"], hidden)[:, 0]
+        key, sub = jax.random.split(state.key)
+        token, mu = sample_step(
+            step_logits, state.gen_ids, state.gen_len, sub, state.mu, sampling
+        )
+        token = jnp.where(run, token, jnp.int32(self.pad))
+        idx = jnp.minimum(state.gen_len, self.T - 1)
+        vals = jnp.where(run, token, state.gen_ids[jnp.arange(B), idx])
+        gen_ids = state.gen_ids.at[jnp.arange(B), idx].set(vals)
+        gen_len = state.gen_len + run.astype(jnp.int32)
+        hit_eos = run & (token == self.eos)
+        hit_cap = run & (
+            (gen_len >= state.max_len) | (lens + 1 >= self.Smax)
+        )
+        return dataclasses.replace(
+            state,
+            k_pool=k_pool, v_pool=v_pool,
+            last_token=jnp.where(run, token, state.last_token),
+            positions=state.positions + run.astype(jnp.int32),
+            gen_ids=gen_ids, gen_len=gen_len,
+            finished=state.finished | hit_eos | hit_cap,
+            mu=jnp.where(run, mu, state.mu),
+            key=key,
+        )
+
+    # -- host-side pool management (Scheduler-compatible) -----------------------
+
+    def bucket_len(self, n: int) -> int:
+        for b in self.prompt_buckets:
+            if n <= b:
+                return b
+        raise ValueError(f"prompt length {n} exceeds {self.prompt_buckets[-1]}")
+
+    def prefill_row(self, row: int, input_ids: np.ndarray,
+                    pixel_values, img_start_pos, max_new_tokens: int) -> None:
+        input_ids = np.asarray(input_ids).reshape(-1)
+        S = len(input_ids)
+        L = self.bucket_len(S)
+        # RIGHT-pad: slots 0..S-1 hold the prompt, pads sit beyond ctx_len
+        ids = np.full((1, L), self.pad, np.int32)
+        mask = np.zeros((1, L), np.int32)
+        ids[0, :S] = input_ids
+        mask[0, :S] = 1
+        img_pos = np.asarray(
+            [-1 if img_start_pos is None or img_start_pos < 0 else img_start_pos],
+            np.int32,
+        )
+        if pixel_values is not None:
+            pixel_values = jnp.asarray(pixel_values, self.dtype)
+        self._free_row(row)
+        # blocks for the whole padded prompt + headroom for decode
+        nb_prompt = L // self.BS if L % self.BS == 0 else L // self.BS + 1
+        total_tokens = S + min(max_new_tokens, self.T) + 1
+        nb_total = (total_tokens + self.BS - 1) // self.BS
+        nb_total = max(nb_total, nb_prompt)
+        blocks = self._alloc_blocks(row, nb_total)
+        self.ctx_len[row] = S
+        self._state = self._prefill(
+            self.params, self._state, jnp.int32(row), jnp.asarray(ids),
+            jnp.asarray(mask), jnp.asarray(img_pos), pixel_values,
+            jnp.asarray(blocks[:nb_prompt], jnp.int32),
+            jnp.int32(min(max_new_tokens, self.T)), self.sampling,
+        )
+
+    def step(self) -> None:
+        active = np.asarray(jax.device_get(self._state.active))
+        finished = np.asarray(jax.device_get(self._state.finished))
+        run = active & ~finished
+        self.ctx_len[run] += 1  # the token being appended this step
+        self._state = self._step(
+            self.params, self._state, jnp.asarray(self.tables),
+            jnp.asarray(self.ctx_len), self.sampling,
+        )
+
+    def snapshot(self):
+        s = self._state
+        return jax.device_get(
+            {"last_token": s.last_token, "gen_len": s.gen_len,
+             "active": s.active, "finished": s.finished}
+        )
+
+    def collect_row(self, row: int) -> np.ndarray:
+        gen_len = int(jax.device_get(self._state.gen_len[row]))
+        ids = np.asarray(jax.device_get(self._state.gen_ids[row, :gen_len]))
+        self._state = dataclasses.replace(
+            self._state,
+            active=self._state.active.at[row].set(False),
+            finished=self._state.finished.at[row].set(False),
+        )
+        self._free_row(row)
+        return ids
+
+    def num_active(self) -> int:
+        return int(jax.device_get(jnp.sum(self._state.active)))
