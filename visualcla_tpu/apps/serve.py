@@ -32,19 +32,33 @@ class PoolWorker:
     cache rows and decode together token-interleaved (engine/server.py) —
     concurrent chats share every decode step instead of queueing serially."""
 
-    def __init__(self, model, pool_size: int = 4):
+    def __init__(self, model, pool_size: int = 4, paged: bool = False,
+                 block_size: int = 64, num_blocks: int = 0):
         from visualcla_tpu.engine.server import Scheduler, ServingEngine
 
         self.model = model
-        sampling = None  # pool decodes with the engine-wide default config
-        self.engine = ServingEngine(
-            model.params, model.config,
-            eos_token_id=model.tokenizer.eos_token_id,
-            pad_token_id=model.tokenizer.pad_token_id,
-            pool_size=pool_size,
-            max_seq_len=model.engine.max_seq_len,
-            dtype=model.engine.dtype,
-        )
+        if paged:
+            from visualcla_tpu.engine.paged import PagedServingEngine
+
+            self.engine = PagedServingEngine(
+                model.params, model.config,
+                eos_token_id=model.tokenizer.eos_token_id,
+                pad_token_id=model.tokenizer.pad_token_id,
+                pool_size=pool_size,
+                block_size=block_size,
+                num_blocks=num_blocks or pool_size * 16,
+                max_seq_len=model.engine.max_seq_len,
+                dtype=model.engine.dtype,
+            )
+        else:
+            self.engine = ServingEngine(
+                model.params, model.config,
+                eos_token_id=model.tokenizer.eos_token_id,
+                pad_token_id=model.tokenizer.pad_token_id,
+                pool_size=pool_size,
+                max_seq_len=model.engine.max_seq_len,
+                dtype=model.engine.dtype,
+            )
         self.scheduler = Scheduler(self.engine)
 
     def submit(self, req: dict, timeout: float = 600.0) -> dict:
@@ -168,6 +182,11 @@ def main(argv=None):
     ap.add_argument("--pool", type=int, default=0,
                     help="continuous-batching pool size (0 = serial worker; "
                          "N>0 interleaves up to N chats per decode step)")
+    ap.add_argument("--paged", action="store_true",
+                    help="block-paged KV pool (memory = tokens, not rows×max_seq)")
+    ap.add_argument("--block_size", type=int, default=64)
+    ap.add_argument("--num_blocks", type=int, default=0,
+                    help="KV pool size in blocks (default pool*16)")
     args = ap.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
 
@@ -176,7 +195,11 @@ def main(argv=None):
     model, _, _ = visualcla.get_model_and_tokenizer_and_processor(
         visualcla_model=args.visualcla_model, load_in_8bit=args.load_in_8bit
     )
-    worker = PoolWorker(model, args.pool) if args.pool > 0 else ChatWorker(model)
+    worker = (
+        PoolWorker(model, args.pool, paged=args.paged,
+                   block_size=args.block_size, num_blocks=args.num_blocks)
+        if args.pool > 0 else ChatWorker(model)
+    )
     server = ThreadingHTTPServer((args.host, args.port), make_handler(worker))
     logger.info("serving on %s:%d", args.host, args.port)
     server.serve_forever()
