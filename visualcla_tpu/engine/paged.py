@@ -153,6 +153,11 @@ class PagedServingEngine:
         self.tables = np.zeros((self.B, self.max_blocks), np.int32)
         self.row_blocks: List[List[int]] = [[] for _ in range(self.B)]
         self.ctx_len = np.zeros((self.B,), np.int32)
+        # host mirrors of the run mask (avoid a device round trip per step):
+        # active is host-driven; finished lags one snapshot, which only delays
+        # parking a finished row by one harmless step
+        self._host_active = np.zeros((self.B,), bool)
+        self._host_finished = np.zeros((self.B,), bool)
 
         text = cfg.text_config
         k_pool, v_pool = init_pools(text, num_blocks, block_size, dtype)
@@ -331,6 +336,8 @@ class PagedServingEngine:
         nb_total = max(nb_total, nb_prompt)
         blocks = self._alloc_blocks(row, nb_total)
         self.ctx_len[row] = S
+        self._host_active[row] = True
+        self._host_finished[row] = False
         self._state = self._prefill(
             self.params, self._state, jnp.int32(row), jnp.asarray(ids),
             jnp.asarray(mask), jnp.asarray(img_pos), pixel_values,
@@ -339,9 +346,7 @@ class PagedServingEngine:
         )
 
     def step(self) -> None:
-        active = np.asarray(jax.device_get(self._state.active))
-        finished = np.asarray(jax.device_get(self._state.finished))
-        run = active & ~finished
+        run = self._host_active & ~self._host_finished
         self.ctx_len[run] += 1  # the token being appended this step
         self._state = self._step(
             self.params, self._state, jnp.asarray(self.tables),
@@ -350,10 +355,12 @@ class PagedServingEngine:
 
     def snapshot(self):
         s = self._state
-        return jax.device_get(
+        snap = jax.device_get(
             {"last_token": s.last_token, "gen_len": s.gen_len,
              "active": s.active, "finished": s.finished}
         )
+        self._host_finished = np.asarray(snap["finished"]).copy()
+        return snap
 
     def collect_row(self, row: int) -> np.ndarray:
         gen_len = int(jax.device_get(self._state.gen_len[row]))
@@ -363,6 +370,8 @@ class PagedServingEngine:
             active=self._state.active.at[row].set(False),
             finished=self._state.finished.at[row].set(False),
         )
+        self._host_active[row] = False
+        self._host_finished[row] = False
         self._free_row(row)
         return ids
 
