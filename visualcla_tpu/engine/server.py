@@ -21,7 +21,7 @@ import logging
 import queue
 import threading
 import time
-from typing import Iterator, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import json
 import os
-from typing import Callable, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -130,7 +130,6 @@ def export_adapter(params: dict, out_dir: str, *, r: int, alpha: float) -> None:
     (key scheme per convert_ckpt_for_tgwebui.py:46-68)."""
     import torch
 
-    from ..checkpoint.serialize import flatten_tree
     from ..ops.linear import is_lora
 
     sd = {}
@@ -163,8 +162,6 @@ def export_adapter(params: dict, out_dir: str, *, r: int, alpha: float) -> None:
     if "vision" in params:
         emit_lora(params["vision"], _VISION_FMT, "vision_model.")
     if "resampler" in params:
-        from ..checkpoint.mapping import resampler_tree_from_sd  # noqa: F401
-
         sd.update(_export_resampler(params["resampler"]))
     if "projection" in params:
         sd["base_model.model.image_projection_layer.weight"] = (
