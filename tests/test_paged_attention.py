@@ -52,6 +52,60 @@ def test_paged_matches_dense(lens):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
 
 
+def test_paged_int8_kv_close_to_fp():
+    from visualcla_tpu.engine.paged import quantize_kv
+
+    rng = np.random.default_rng(2)
+    B, N, Nkv, H, BS = 2, 4, 4, 64, 32
+    lens = [40, 17]
+    q = rng.standard_normal((B, N, H)).astype(np.float32)
+    k_pool, v_pool, tables, k_dense, v_dense, Smax = build_paged(
+        rng, B, N, Nkv, H, BS, lens
+    )
+    kq, ks = quantize_kv(jnp.asarray(k_pool))
+    vq, vs = quantize_kv(jnp.asarray(v_pool))
+    out8 = paged_decode_attention(
+        jnp.asarray(q), kq, vq, jnp.asarray(tables),
+        jnp.asarray(lens, jnp.int32), ks, vs,
+    )
+    out = paged_decode_attention(
+        jnp.asarray(q), jnp.asarray(k_pool), jnp.asarray(v_pool),
+        jnp.asarray(tables), jnp.asarray(lens, jnp.int32),
+    )
+    # int8 KV: per-element error ~1/127 of absmax
+    np.testing.assert_allclose(np.asarray(out8), np.asarray(out), atol=0.08)
+
+
+def test_paged_engine_int8_kv_runs():
+    import jax
+
+    from visualcla_tpu.core.config import tiny_visualcla_config
+    from visualcla_tpu.engine.paged import PagedServingEngine
+    from visualcla_tpu.engine.sampling import SamplingConfig
+    from visualcla_tpu.engine.server import Scheduler, generate_sync
+    from visualcla_tpu.models import visualcla as vmod
+
+    cfg = tiny_visualcla_config(vocab_size=96)
+    params = vmod.init_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+    eng = PagedServingEngine(
+        params, cfg, eos_token_id=2, pad_token_id=0,
+        pool_size=2, block_size=16, num_blocks=24, max_seq_len=96,
+        max_new_tokens_cap=8, prompt_buckets=(32,),
+        sampling=SamplingConfig.greedy(max_new_tokens=8),
+        dtype=jnp.float32, kv_quant="int8",
+    )
+    assert eng._state.k_pool.dtype == jnp.int8
+    sched = Scheduler(eng)
+    try:
+        rng = np.random.default_rng(0)
+        ids = rng.integers(4, 90, size=(12,)).astype(np.int32)
+        out = generate_sync(sched, ids, max_new_tokens=6, timeout=300)
+    finally:
+        sched.stop()
+    assert 1 <= len(out) <= 6
+    assert all(0 <= t < 96 for t in out.tolist())
+
+
 def test_paged_gqa():
     rng = np.random.default_rng(1)
     B, N, Nkv, H, BS = 1, 8, 2, 64, 16

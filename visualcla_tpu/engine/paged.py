@@ -34,10 +34,26 @@ from .sampling import SamplingConfig, sample_step
 logger = logging.getLogger(__name__)
 
 
-def init_pools(cfg, num_blocks: int, block_size: int, dtype=jnp.bfloat16):
+def init_pools(cfg, num_blocks: int, block_size: int, dtype=jnp.bfloat16,
+               kv_quant: str = "none"):
+    """-> (k_pool, v_pool, k_scales|None, v_scales|None)."""
     L, Nkv, hd = cfg.num_hidden_layers, cfg.num_key_value_heads, cfg.head_dim
     shape = (L, num_blocks, block_size, Nkv, hd)
-    return jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)
+    if kv_quant == "int8":
+        sshape = (L, num_blocks, block_size, Nkv)
+        return (jnp.zeros(shape, jnp.int8), jnp.zeros(shape, jnp.int8),
+                jnp.ones(sshape, jnp.float32), jnp.ones(sshape, jnp.float32))
+    return jnp.zeros(shape, dtype), jnp.zeros(shape, dtype), None, None
+
+
+def quantize_kv(x: jnp.ndarray):
+    """Per-token-per-head int8: x (..., Nkv, hd) -> (int8, scales (..., Nkv))."""
+    absmax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)
+    s = jnp.where(absmax == 0, 1.0, absmax / 127.0)
+    q = jnp.clip(
+        jnp.round(x.astype(jnp.float32) / s[..., None]), -127, 127
+    ).astype(jnp.int8)
+    return q, s.astype(jnp.float32)
 
 
 def paged_decode_forward(
@@ -45,20 +61,24 @@ def paged_decode_forward(
     cfg,
     embeds: jnp.ndarray,  # (B, 1, H)
     positions: jnp.ndarray,  # (B,) int32 rope positions
-    k_pool: jnp.ndarray,  # (L, NB, BS, Nkv, hd)
+    k_pool: jnp.ndarray,  # (L, NB, BS, Nkv, hd) — bf16/f32 or int8
     v_pool: jnp.ndarray,
     tables: jnp.ndarray,  # (B, max_blocks) int32
     blk: jnp.ndarray,  # (B,) int32 — pool block holding the new token
     off: jnp.ndarray,  # (B,) int32 — offset inside that block
     lens: jnp.ndarray,  # (B,) int32 — context length INCLUDING the new token
+    k_scales=None,  # (L, NB, BS, Nkv) f32 when the pool is int8
+    v_scales=None,
 ):
-    """One decode step over the paged pool.  Returns (hidden (B,1,H), pools)."""
+    """One decode step over the paged pool.
+    Returns (hidden (B,1,H), k_pool, v_pool, k_scales, v_scales)."""
     B, _, H = embeds.shape
     N, Nkv, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
     cos, sin = rope_table(positions[:, None], hd, cfg.rope_theta)
+    quant = k_scales is not None
 
     def layer(carry, xs):
-        h, kp, vp = carry
+        h, kp, vp, ks, vs = carry
         p, l = xs
         x = rms_norm(h, p["input_norm"], cfg.rms_norm_eps)
         q = linear(x, p["q_proj"]).reshape(B, 1, N, hd)
@@ -67,26 +87,41 @@ def paged_decode_forward(
         q, k = apply_rope(q, k, cos, sin)
         kp_l = jax.lax.dynamic_index_in_dim(kp, l, axis=0, keepdims=False)
         vp_l = jax.lax.dynamic_index_in_dim(vp, l, axis=0, keepdims=False)
-        kp_l = kp_l.at[blk, off].set(k[:, 0].astype(kp_l.dtype))
-        vp_l = vp_l.at[blk, off].set(v[:, 0].astype(vp_l.dtype))
+        if quant:
+            kq, ksc = quantize_kv(k[:, 0])
+            vq, vsc = quantize_kv(v[:, 0])
+            kp_l = kp_l.at[blk, off].set(kq)
+            vp_l = vp_l.at[blk, off].set(vq)
+            ks_l = jax.lax.dynamic_index_in_dim(ks, l, axis=0, keepdims=False)
+            vs_l = jax.lax.dynamic_index_in_dim(vs, l, axis=0, keepdims=False)
+            ks_l = ks_l.at[blk, off].set(ksc)
+            vs_l = vs_l.at[blk, off].set(vsc)
+            ks = jax.lax.dynamic_update_index_in_dim(ks, ks_l, l, axis=0)
+            vs = jax.lax.dynamic_update_index_in_dim(vs, vs_l, l, axis=0)
+            attn = paged_decode_attention(
+                q[:, 0], kp_l, vp_l, tables, lens, ks_l, vs_l
+            )
+        else:
+            kp_l = kp_l.at[blk, off].set(k[:, 0].astype(kp_l.dtype))
+            vp_l = vp_l.at[blk, off].set(v[:, 0].astype(vp_l.dtype))
+            attn = paged_decode_attention(
+                q[:, 0], kp_l, vp_l, tables, lens
+            )  # (B, N, hd)
         kp = jax.lax.dynamic_update_index_in_dim(kp, kp_l, l, axis=0)
         vp = jax.lax.dynamic_update_index_in_dim(vp, vp_l, l, axis=0)
-        attn = paged_decode_attention(
-            q[:, 0], kp_l, vp_l, tables, lens
-        )  # (B, N, hd)
         h = h + linear(attn.reshape(B, 1, N * hd), p["o_proj"])
         x2 = rms_norm(h, p["post_norm"], cfg.rms_norm_eps)
         gate = jax.nn.silu(linear(x2, p["gate_proj"])) * linear(x2, p["up_proj"])
         h = h + linear(gate, p["down_proj"])
-        return (h, kp, vp), None
+        return (h, kp, vp, ks, vs), None
 
     L = cfg.num_hidden_layers
-    (h, k_pool, v_pool), _ = jax.lax.scan(
-        layer, (embeds, k_pool, v_pool),
+    (h, k_pool, v_pool, k_scales, v_scales), _ = jax.lax.scan(
+        layer, (embeds, k_pool, v_pool, k_scales, v_scales),
         (params["layers"], jnp.arange(L, dtype=jnp.int32)),
     )
     h = rms_norm(h, params["final_norm"], cfg.rms_norm_eps)
-    return h, k_pool, v_pool
+    return h, k_pool, v_pool, k_scales, v_scales
 
 
 @dataclasses.dataclass
@@ -95,6 +130,8 @@ class PagedState:
 
     k_pool: jnp.ndarray
     v_pool: jnp.ndarray
+    k_scales: object  # (L, NB, BS, Nkv) f32 or None (int8 KV quantization)
+    v_scales: object
     last_token: jnp.ndarray  # (B,)
     positions: jnp.ndarray  # (B,)
     gen_ids: jnp.ndarray  # (B, T)
@@ -108,8 +145,9 @@ class PagedState:
 
 jax.tree_util.register_dataclass(
     PagedState,
-    data_fields=["k_pool", "v_pool", "last_token", "positions", "gen_ids",
-                 "gen_len", "max_len", "active", "finished", "mu", "key"],
+    data_fields=["k_pool", "v_pool", "k_scales", "v_scales", "last_token",
+                 "positions", "gen_ids", "gen_len", "max_len", "active",
+                 "finished", "mu", "key"],
     meta_fields=[],
 )
 
@@ -132,10 +170,12 @@ class PagedServingEngine:
         prompt_buckets=(128, 256, 512, 1024),
         sampling: Optional[SamplingConfig] = None,
         dtype=jnp.bfloat16,
+        kv_quant: str = "none",  # "int8": halve KV pool bytes (per-token scales)
         seed: int = 0,
     ):
         self.params = params
         self.cfg = cfg
+        self.kv_quant = kv_quant
         self.eos = eos_token_id
         self.pad = pad_token_id
         self.B = pool_size
@@ -160,10 +200,12 @@ class PagedServingEngine:
         self._host_finished = np.zeros((self.B,), bool)
 
         text = cfg.text_config
-        k_pool, v_pool = init_pools(text, num_blocks, block_size, dtype)
+        k_pool, v_pool, k_scales, v_scales = init_pools(
+            text, num_blocks, block_size, dtype, kv_quant
+        )
         B, T = self.B, self.T
         self._state = PagedState(
-            k_pool=k_pool, v_pool=v_pool,
+            k_pool=k_pool, v_pool=v_pool, k_scales=k_scales, v_scales=v_scales,
             last_token=jnp.zeros((B,), jnp.int32),
             positions=jnp.zeros((B,), jnp.int32),
             gen_ids=jnp.zeros((B, T), jnp.int32),
@@ -227,8 +269,17 @@ class PagedServingEngine:
             L, nb, self.BS, *scratch["k"].shape[-2:])
         v_blocks = scratch["v"].reshape(
             L, nb, self.BS, *scratch["v"].shape[-2:])
-        k_pool = state.k_pool.at[:, block_ids].set(k_blocks)
-        v_pool = state.v_pool.at[:, block_ids].set(v_blocks)
+        if state.k_scales is not None:  # int8 KV: quantize the prompt blocks
+            kq, ksc = quantize_kv(k_blocks)
+            vq, vsc = quantize_kv(v_blocks)
+            k_pool = state.k_pool.at[:, block_ids].set(kq)
+            v_pool = state.v_pool.at[:, block_ids].set(vq)
+            k_scales = state.k_scales.at[:, block_ids].set(ksc)
+            v_scales = state.v_scales.at[:, block_ids].set(vsc)
+        else:
+            k_pool = state.k_pool.at[:, block_ids].set(k_blocks)
+            v_pool = state.v_pool.at[:, block_ids].set(v_blocks)
+            k_scales, v_scales = state.k_scales, state.v_scales
 
         # prompts are RIGHT-padded here: sample from the last REAL token
         last_idx = jnp.sum(attention_mask, axis=-1) - 1  # (1,)
@@ -245,7 +296,7 @@ class PagedServingEngine:
         tok = token[0]
         return dataclasses.replace(
             state,
-            k_pool=k_pool, v_pool=v_pool,
+            k_pool=k_pool, v_pool=v_pool, k_scales=k_scales, v_scales=v_scales,
             last_token=state.last_token.at[row].set(tok),
             positions=state.positions.at[row].set(last_idx[0].astype(jnp.int32) + 1),
             gen_ids=jax.lax.dynamic_update_index_in_dim(
@@ -274,10 +325,11 @@ class PagedServingEngine:
         # parked rows write into dummy block 0 at their offset (harmless:
         # block 0 is never referenced by any live table entry)
         blk = jnp.where(run, blk, 0)
-        hidden, k_pool, v_pool = paged_decode_forward(
+        hidden, k_pool, v_pool, k_scales, v_scales = paged_decode_forward(
             params["text"], cfg.text_config, embeds, state.positions,
             state.k_pool, state.v_pool, tables, blk, off,
             jnp.where(run, lens, 1),
+            state.k_scales, state.v_scales,
         )
         step_logits = llama.logits(params["text"], hidden)[:, 0]
         key, sub = jax.random.split(state.key)
@@ -295,7 +347,7 @@ class PagedServingEngine:
         )
         return dataclasses.replace(
             state,
-            k_pool=k_pool, v_pool=v_pool,
+            k_pool=k_pool, v_pool=v_pool, k_scales=k_scales, v_scales=v_scales,
             last_token=jnp.where(run, token, state.last_token),
             positions=state.positions + run.astype(jnp.int32),
             gen_ids=gen_ids, gen_len=gen_len,

@@ -30,17 +30,19 @@ def _paged_kernel(
     tables_ref,  # (B, max_blocks) int32 — scalar prefetch
     lens_ref,  # (B, 1) int32 — post-append context length per row
     q_ref,  # (1, 1, QP, H) — row's query, padded to QP rows
-    k_ref,  # (1, BS, Nkv_H) block (selected via the table in the index_map)
-    v_ref,  # (1, BS, Nkv_H)
-    o_ref,  # (1, 1, QP, H)
-    m_ref,  # scratch (QP, 1) f32
-    l_ref,  # scratch (QP, 1) f32
-    acc_ref,  # scratch (QP, H) f32
-    *,
+    k_ref,  # (1, BS, hd) block (selected via the table in the index_map)
+    v_ref,  # (1, BS, hd)
+    *refs,  # [k_scale (1, BS, 1), v_scale (1, BS, 1)] when int8  | then:
+    #         o_ref, m/l/acc scratch
     scale: float,
     block_size: int,
     heads_per_kv: int,
+    kv_int8: bool = False,
 ):
+    if kv_int8:
+        ks_ref, vs_ref, o_ref, m_ref, l_ref, acc_ref = refs
+    else:
+        o_ref, m_ref, l_ref, acc_ref = refs
     b = pl.program_id(0)
     n = pl.program_id(1)
     i = pl.program_id(2)
@@ -60,6 +62,10 @@ def _paged_kernel(
         q = q_ref[0, 0].astype(jnp.float32) * scale  # (QP, H)
         k = k_ref[0].astype(jnp.float32)  # (BS, H) — this (b,n)'s kv head
         v = v_ref[0].astype(jnp.float32)
+        if kv_int8:  # per-token-per-head scales: slice this program's kv head
+            kv_head = n // heads_per_kv
+            k = k * ks_ref[0, :, pl.ds(kv_head, 1)].astype(jnp.float32)
+            v = v * vs_ref[0, :, pl.ds(kv_head, 1)].astype(jnp.float32)
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )  # (QP, BS)
@@ -93,20 +99,24 @@ def _min_sublane(dtype) -> int:
 )
 def paged_decode_attention(
     q: jnp.ndarray,  # (B, N, H) — the new token's queries
-    k_pool: jnp.ndarray,  # (num_blocks, BS, Nkv, hd)
-    v_pool: jnp.ndarray,  # (num_blocks, BS, Nkv, hd)
+    k_pool: jnp.ndarray,  # (num_blocks, BS, Nkv, hd) — bf16/f32 or int8
+    v_pool: jnp.ndarray,
     block_tables: jnp.ndarray,  # (B, max_blocks) int32 (pool indices; unused
     #                             entries must point at a valid block, e.g. 0)
     context_lens: jnp.ndarray,  # (B,) int32 — valid tokens per row (incl. new)
+    k_scales: jnp.ndarray | None = None,  # (num_blocks, BS, Nkv) f32 (int8 KV)
+    v_scales: jnp.ndarray | None = None,
     *,
     scale: float | None = None,
     interpret: bool | None = None,
 ) -> jnp.ndarray:
-    """Returns (B, N, H) in q.dtype."""
+    """Returns (B, N, H) in q.dtype.  With int8 pools pass per-token-per-head
+    scales: k = int8 * scale (kv-cache quantization halves the pool bytes)."""
     B, N, H = q.shape
     num_blocks, BS, Nkv, hd = k_pool.shape
     assert hd == H
     heads_per_kv = N // Nkv
+    kv_int8 = k_pool.dtype == jnp.int8
     if scale is None:
         scale = 1.0 / math.sqrt(H)
     if interpret is None:
@@ -126,15 +136,31 @@ def paged_decode_attention(
     def kv_index(b, n, i, tables, lens):
         return (tables[b, i], 0, n // heads_per_kv)
 
+    in_specs = [
+        pl.BlockSpec((1, 1, QP, H), lambda b, n, i, tables, lens: (b, n, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, BS, hd), kv_index, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, BS, hd), kv_index, memory_space=pltpu.VMEM),
+    ]
+    operands = [qt, kp, vp]
+    if kv_int8:
+        # full scale rows per block ((BS, Nkv) satisfies the tiling rule);
+        # the kernel slices out its kv head
+        def scale_index(b, n, i, tables, lens):
+            return (tables[b, i], 0, 0)
+
+        ks = k_scales.reshape(num_blocks, BS, Nkv)
+        vs = v_scales.reshape(num_blocks, BS, Nkv)
+        in_specs += [
+            pl.BlockSpec((1, BS, Nkv), scale_index, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BS, Nkv), scale_index, memory_space=pltpu.VMEM),
+        ]
+        operands += [ks, vs]
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,  # tables, lens
         grid=(B, N, max_blocks),
-        in_specs=[
-            pl.BlockSpec((1, 1, QP, H), lambda b, n, i, tables, lens: (b, n, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, BS, hd), kv_index, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, BS, hd), kv_index, memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (1, 1, QP, H), lambda b, n, i, tables, lens: (b, n, 0, 0),
             memory_space=pltpu.VMEM,
@@ -147,10 +173,11 @@ def paged_decode_attention(
     )
     out = pl.pallas_call(
         functools.partial(
-            _paged_kernel, scale=scale, block_size=BS, heads_per_kv=heads_per_kv
+            _paged_kernel, scale=scale, block_size=BS,
+            heads_per_kv=heads_per_kv, kv_int8=kv_int8,
         ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, N, QP, H), q.dtype),
         interpret=interpret,
-    )(block_tables.astype(jnp.int32), lens, qt, kp, vp)
+    )(block_tables.astype(jnp.int32), lens, *operands)
     return out[:, :, 0, :]
