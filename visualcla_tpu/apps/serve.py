@@ -33,7 +33,8 @@ class PoolWorker:
     concurrent chats share every decode step instead of queueing serially."""
 
     def __init__(self, model, pool_size: int = 4, paged: bool = False,
-                 block_size: int = 64, num_blocks: int = 0):
+                 block_size: int = 64, num_blocks: int = 0,
+                 kv_quant: str = "none"):
         from visualcla_tpu.engine.server import Scheduler, ServingEngine
 
         self.model = model
@@ -49,6 +50,7 @@ class PoolWorker:
                 num_blocks=num_blocks or pool_size * 16,
                 max_seq_len=model.engine.max_seq_len,
                 dtype=model.engine.dtype,
+                kv_quant=kv_quant,
             )
         else:
             self.engine = ServingEngine(
@@ -187,6 +189,8 @@ def main(argv=None):
     ap.add_argument("--block_size", type=int, default=64)
     ap.add_argument("--num_blocks", type=int, default=0,
                     help="KV pool size in blocks (default pool*16)")
+    ap.add_argument("--kv_int8", action="store_true",
+                    help="int8-quantize the paged KV pool (2x token capacity)")
     args = ap.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
 
@@ -197,7 +201,8 @@ def main(argv=None):
     )
     worker = (
         PoolWorker(model, args.pool, paged=args.paged,
-                   block_size=args.block_size, num_blocks=args.num_blocks)
+                   block_size=args.block_size, num_blocks=args.num_blocks,
+                   kv_quant="int8" if args.kv_int8 else "none")
         if args.pool > 0 else ChatWorker(model)
     )
     server = ThreadingHTTPServer((args.host, args.port), make_handler(worker))
