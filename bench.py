@@ -139,25 +139,48 @@ def run(max_seq_len: int, quant: str = "bf16"):
 
 
 def _run_batch8(engine, cfg, input_ids, pixel_values, img_start_pos):
-    """Aggregate decode throughput with 8 rows sharing every step (smaller KV
-    budget so 8 cache rows + the 14GB weights fit a 16GB chip)."""
-    from visualcla_tpu.engine.generate import Engine
-    from visualcla_tpu.engine.sampling import SamplingConfig
+    """Aggregate decode throughput with 8 rows sharing every step.
 
-    B8, seq8 = 8, 256
+    Builds the post-prefill DecodeState by hand (zeros cache, 128 valid slots)
+    so only the decode-loop program compiles — the B=8 multimodal-prefill graph
+    is the one the tunnel's compile helper tends to reject, and prefill isn't
+    part of this metric anyway.  Decode math is identical: every step reads the
+    full weights + the 8 rows' KV."""
+    import jax
+
+    from visualcla_tpu.engine.generate import DecodeState, Engine
+    from visualcla_tpu.engine.sampling import SamplingConfig
+    from visualcla_tpu.models import llama
+
+    B8, seq8, prompt8 = 8, 256, 128
     engine8 = Engine(
         engine.params, cfg, eos_token_id=2, pad_token_id=49954,
-        max_seq_len=seq8, prompt_buckets=(128,), dtype=engine.dtype,
+        max_seq_len=seq8, prompt_buckets=(prompt8,), dtype=engine.dtype,
     )
-    s8 = SamplingConfig.greedy(max_new_tokens=seq8 - 128 - 8)
-    ids8 = np.tile(input_ids, (B8, 1))
-    pix8 = np.tile(pixel_values, (B8, 1, 1, 1))
-    pos8 = np.tile(img_start_pos, B8)
-    st = engine8.start(ids8, pix8, pos8, s8)
-    st = engine8._decode_loop(engine8.params, st, s8, s8.max_new_tokens)
-    _sync(st.gen_ids[:, -1])  # warm compile for B=8
-    st = engine8.start(ids8, pix8, pos8, s8)
-    _sync(st.last_token)
+    s8 = SamplingConfig.greedy(max_new_tokens=seq8 - prompt8 - 8)
+
+    def fresh_state():
+        cache = llama.init_kv_cache(cfg.text_config, B8, seq8, engine.dtype)
+        kv_valid = jnp.concatenate(
+            [jnp.ones((B8, prompt8), bool), jnp.zeros((B8, seq8 - prompt8), bool)],
+            axis=-1,
+        )
+        return DecodeState(
+            cache=cache, kv_valid=kv_valid,
+            cur_slot=jnp.int32(prompt8),
+            positions=jnp.full((B8,), prompt8, jnp.int32),
+            gen_ids=jnp.zeros((B8, s8.max_new_tokens), jnp.int32),
+            gen_len=jnp.int32(1),
+            last_token=jnp.ones((B8,), jnp.int32),
+            finished=jnp.zeros((B8,), bool),
+            key=jax.random.PRNGKey(0),
+            mu=jnp.full((B8,), 2.0 * s8.mirostat_tau, jnp.float32),
+        )
+
+    st = engine8._decode_loop(engine8.params, fresh_state(), s8, s8.max_new_tokens)
+    _sync(st.gen_ids[:, -1])  # compile + warm
+    del st
+    st = fresh_state()
     t0 = time.perf_counter()
     st = engine8._decode_loop(engine8.params, st, s8, s8.max_new_tokens)
     _sync(st.gen_ids[:, -1])
