@@ -75,6 +75,47 @@ def test_pool_matches_single_stream(setup):
         assert trim(e) == trim(g), (e, g)
 
 
+def test_per_request_sampling_overrides(setup):
+    """Rows carry their own knobs: a greedy row and a hot-sampling row decode
+    together; the greedy row must match the single-stream greedy output."""
+    cfg, params, single, pool = setup
+    ps = prompts(2)
+    want_greedy = single.generate(
+        ps[0][None], None, None, SamplingConfig.greedy(max_new_tokens=8)
+    )[0]
+
+    sched = Scheduler(pool)
+    try:
+        q_greedy, q_hot = queue.Queue(), queue.Queue()
+        sched.submit(Request(
+            input_ids=ps[1], pixel_values=None, img_start_pos=None,
+            max_new_tokens=8, out=q_hot,
+            sampling_overrides={"do_sample": True, "temperature": 1.5,
+                                "top_p": 1.0},
+        ))
+        sched.submit(Request(
+            input_ids=ps[0], pixel_values=None, img_start_pos=None,
+            max_new_tokens=8, out=q_greedy,
+            sampling_overrides={"do_sample": False},
+        ))
+        outs = {}
+        for name, q_ in (("hot", q_hot), ("greedy", q_greedy)):
+            while True:
+                kind, payload = q_.get(timeout=300)
+                if kind == "done":
+                    outs[name] = payload
+                    break
+    finally:
+        sched.stop()
+
+    def trim(x):
+        x = list(np.asarray(x))
+        return x[: x.index(EOS) + 1] if EOS in x else x
+
+    assert trim(outs["greedy"]) == trim(want_greedy)
+    assert len(outs["hot"]) >= 1
+
+
 def test_pool_interleaves_requests(setup):
     """Submit concurrently; rows must finish and free independently."""
     cfg, params, single, pool = setup

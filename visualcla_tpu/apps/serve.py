@@ -86,10 +86,14 @@ class PoolWorker:
         else:
             history.append({"type": "instruction", "value": text})
         gc = req.get("generation_config") or {}
+        overrides = {k: gc[k] for k in
+                     ("temperature", "top_p", "repetition_penalty", "do_sample")
+                     if k in gc}
         out = generate_sync(
             self.scheduler, ids[0], pixel_values=pixel_values,
             img_start_pos=int(img_pos[0]),
             max_new_tokens=int(gc.get("max_new_tokens", 512)),
+            sampling_overrides=overrides or None,
             timeout=timeout,
         )
         response = model.tokenizer.decode(out, skip_special_tokens=True)

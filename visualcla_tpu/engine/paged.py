@@ -29,7 +29,7 @@ from ..ops.linear import linear
 from ..ops.norms import rms_norm
 from ..ops.pallas.paged_attention import paged_decode_attention
 from ..ops.rope import apply_rope, rope_table
-from .sampling import SamplingConfig, sample_step
+from .sampling import SamplingConfig, sample_step, sample_step_rowwise
 
 logger = logging.getLogger(__name__)
 
@@ -140,6 +140,10 @@ class PagedState:
     active: jnp.ndarray  # (B,) bool
     finished: jnp.ndarray  # (B,) bool
     mu: jnp.ndarray
+    temp: jnp.ndarray  # (B,) per-request sampling knobs
+    top_p: jnp.ndarray
+    rep_pen: jnp.ndarray
+    do_sample: jnp.ndarray  # (B,) bool
     key: jax.Array
 
 
@@ -147,7 +151,8 @@ jax.tree_util.register_dataclass(
     PagedState,
     data_fields=["k_pool", "v_pool", "k_scales", "v_scales", "last_token",
                  "positions", "gen_ids", "gen_len", "max_len", "active",
-                 "finished", "mu", "key"],
+                 "finished", "mu", "temp", "top_p", "rep_pen", "do_sample",
+                 "key"],
     meta_fields=[],
 )
 
@@ -214,6 +219,10 @@ class PagedServingEngine:
             active=jnp.zeros((B,), bool),
             finished=jnp.zeros((B,), bool),
             mu=jnp.full((B,), 2.0 * self.sampling.mirostat_tau, jnp.float32),
+            temp=jnp.full((B,), self.sampling.temperature, jnp.float32),
+            top_p=jnp.full((B,), self.sampling.top_p, jnp.float32),
+            rep_pen=jnp.full((B,), self.sampling.repetition_penalty, jnp.float32),
+            do_sample=jnp.full((B,), self.sampling.do_sample, bool),
             key=jax.random.PRNGKey(seed),
         )
         self._prefill = jax.jit(self._prefill_impl, static_argnames=("sampling",),
@@ -247,7 +256,7 @@ class PagedServingEngine:
 
     def _prefill_impl(self, params, state: PagedState, row, input_ids,
                       attention_mask, img_start_pos, pixel_values,
-                      block_ids, max_new_tokens, sampling: SamplingConfig):
+                      block_ids, max_new_tokens, knobs, sampling: SamplingConfig):
         """Contiguous prompt forward into a scratch cache, then block scatter."""
         cfg = self.cfg
         S = input_ids.shape[1]
@@ -288,10 +297,11 @@ class PagedServingEngine:
         )  # (1, 1, H)
         last_logits = llama.logits(params["text"], hidden_last)[:, 0]
         key, sub = jax.random.split(state.key)
-        mu0 = jnp.full((1,), 2.0 * sampling.mirostat_tau, jnp.float32)
-        token, mu_row = sample_step(
+        token = sample_step_rowwise(
             last_logits, jnp.zeros((1, self.T), jnp.int32),
-            jnp.zeros((1,), jnp.int32), sub, mu0, sampling,
+            jnp.zeros((1,), jnp.int32), sub, sampling,
+            temperature=knobs[0:1], top_p=knobs[1:2],
+            repetition_penalty=knobs[2:3], do_sample=knobs[3:4] > 0.5,
         )
         tok = token[0]
         return dataclasses.replace(
@@ -307,7 +317,10 @@ class PagedServingEngine:
             max_len=state.max_len.at[row].set(max_new_tokens),
             active=state.active.at[row].set(True),
             finished=state.finished.at[row].set(tok == self.eos),
-            mu=state.mu.at[row].set(mu_row[0]),
+            temp=state.temp.at[row].set(knobs[0]),
+            top_p=state.top_p.at[row].set(knobs[1]),
+            rep_pen=state.rep_pen.at[row].set(knobs[2]),
+            do_sample=state.do_sample.at[row].set(knobs[3] > 0.5),
             key=key,
         )
 
@@ -333,8 +346,10 @@ class PagedServingEngine:
         )
         step_logits = llama.logits(params["text"], hidden)[:, 0]
         key, sub = jax.random.split(state.key)
-        token, mu = sample_step(
-            step_logits, state.gen_ids, state.gen_len, sub, state.mu, sampling
+        token = sample_step_rowwise(
+            step_logits, state.gen_ids, state.gen_len, sub, sampling,
+            temperature=state.temp, top_p=state.top_p,
+            repetition_penalty=state.rep_pen, do_sample=state.do_sample,
         )
         token = jnp.where(run, token, jnp.int32(self.pad))
         idx = jnp.minimum(state.gen_len, self.T - 1)
@@ -352,7 +367,6 @@ class PagedServingEngine:
             positions=state.positions + run.astype(jnp.int32),
             gen_ids=gen_ids, gen_len=gen_len,
             finished=state.finished | hit_eos | hit_cap,
-            mu=jnp.where(run, mu, state.mu),
             key=key,
         )
 
@@ -365,7 +379,8 @@ class PagedServingEngine:
         raise ValueError(f"prompt length {n} exceeds {self.prompt_buckets[-1]}")
 
     def prefill_row(self, row: int, input_ids: np.ndarray,
-                    pixel_values, img_start_pos, max_new_tokens: int) -> None:
+                    pixel_values, img_start_pos, max_new_tokens: int,
+                    overrides: dict | None = None) -> None:
         input_ids = np.asarray(input_ids).reshape(-1)
         S = len(input_ids)
         L = self.bucket_len(S)
@@ -390,11 +405,18 @@ class PagedServingEngine:
         self.ctx_len[row] = S
         self._host_active[row] = True
         self._host_finished[row] = False
+        o = overrides or {}
+        knobs = jnp.asarray([
+            float(o.get("temperature", self.sampling.temperature)),
+            float(o.get("top_p", self.sampling.top_p)),
+            float(o.get("repetition_penalty", self.sampling.repetition_penalty)),
+            1.0 if o.get("do_sample", self.sampling.do_sample) else 0.0,
+        ], jnp.float32)
         self._state = self._prefill(
             self.params, self._state, jnp.int32(row), jnp.asarray(ids),
             jnp.asarray(mask), jnp.asarray(img_pos), pixel_values,
             jnp.asarray(blocks[:nb_prompt], jnp.int32),
-            jnp.int32(min(max_new_tokens, self.T)), self.sampling,
+            jnp.int32(min(max_new_tokens, self.T)), knobs, self.sampling,
         )
 
     def step(self) -> None:

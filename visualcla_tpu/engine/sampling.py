@@ -223,6 +223,75 @@ def mirostat_step(
 
 
 # ---------------------------------------------------------------------------
+# per-row dynamic warpers (serving: every pool row may carry its own knobs)
+# ---------------------------------------------------------------------------
+
+def warp_temperature_rowwise(logits: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
+    """t (B,) fp32; t=1 rows pass through."""
+    return logits / jnp.maximum(t, 1e-6)[:, None]
+
+
+def warp_top_p_rowwise(logits: jnp.ndarray, p: jnp.ndarray,
+                       min_tokens_to_keep: int = 1) -> jnp.ndarray:
+    """p (B,); p=1 rows pass through (HF semantics otherwise)."""
+    sorted_logits = jnp.sort(logits, axis=-1)
+    sorted_idx = jnp.argsort(logits, axis=-1)
+    cum = jnp.cumsum(jax.nn.softmax(sorted_logits, axis=-1), axis=-1)
+    remove_sorted = cum <= (1.0 - p)[:, None]
+    if min_tokens_to_keep > 0:
+        remove_sorted = remove_sorted.at[..., -min_tokens_to_keep:].set(False)
+    remove = jnp.zeros_like(remove_sorted)
+    remove = jnp.put_along_axis(remove, sorted_idx, remove_sorted, axis=-1,
+                                inplace=False)
+    return jnp.where(remove, NEG_INF, logits)
+
+
+def apply_repetition_penalty_rowwise(
+    logits: jnp.ndarray, gen_ids: jnp.ndarray, gen_valid: jnp.ndarray,
+    penalty: jnp.ndarray,  # (B,)
+) -> jnp.ndarray:
+    B, V = logits.shape
+    seen = jnp.zeros((B, V), bool)
+    one = jnp.ones_like(gen_ids, dtype=bool) & gen_valid
+    seen = seen.at[jnp.arange(B)[:, None], gen_ids].max(one)
+    p = penalty[:, None]
+    penalized = jnp.where(logits < 0, logits * p, logits / p)
+    return jnp.where(seen, penalized, logits)
+
+
+def sample_step_rowwise(
+    logits: jnp.ndarray,  # (B, V)
+    gen_ids: jnp.ndarray,
+    gen_len: jnp.ndarray,
+    key: jax.Array,
+    cfg: SamplingConfig,  # static engine-wide config (top_k/ngram come from it)
+    *,
+    temperature: jnp.ndarray,  # (B,)
+    top_p: jnp.ndarray,  # (B,)
+    repetition_penalty: jnp.ndarray,  # (B,)
+    do_sample: jnp.ndarray,  # (B,) bool
+) -> jnp.ndarray:
+    """Serving sampler: per-row dynamic temperature/top_p/repetition penalty
+    over the engine's static processor set.  Returns (B,) token ids."""
+    logits = logits.astype(jnp.float32)
+    T = gen_ids.shape[1]
+    gen_valid = jnp.arange(T)[None, :] < gen_len[:, None]
+    logits = apply_repetition_penalty_rowwise(
+        logits, gen_ids, gen_valid, repetition_penalty
+    )
+    if cfg.no_repeat_ngram_size > 0:
+        logits = apply_no_repeat_ngram(logits, gen_ids, gen_len,
+                                       cfg.no_repeat_ngram_size)
+    greedy_tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    warped = warp_temperature_rowwise(logits, temperature)
+    if cfg.top_k > 0:
+        warped = warp_top_k(warped, cfg.top_k)
+    warped = warp_top_p_rowwise(warped, top_p)
+    sampled_tok = jax.random.categorical(key, warped, axis=-1).astype(jnp.int32)
+    return jnp.where(do_sample, sampled_tok, greedy_tok)
+
+
+# ---------------------------------------------------------------------------
 # full sampler step
 # ---------------------------------------------------------------------------
 

@@ -29,7 +29,7 @@ import numpy as np
 
 from ..core.config import VisualCLAConfig
 from ..models import llama, visualcla
-from .sampling import SamplingConfig, sample_step
+from .sampling import SamplingConfig, sample_step, sample_step_rowwise
 
 logger = logging.getLogger(__name__)
 
@@ -49,13 +49,19 @@ class PoolState:
     active: jnp.ndarray  # (B,) bool
     finished: jnp.ndarray  # (B,) bool — hit EOS/limit, awaiting collection
     mu: jnp.ndarray  # (B,) fp32 mirostat state
+    # per-request sampling knobs (serving: each row may differ)
+    temp: jnp.ndarray  # (B,) fp32
+    top_p: jnp.ndarray  # (B,) fp32
+    rep_pen: jnp.ndarray  # (B,) fp32
+    do_sample: jnp.ndarray  # (B,) bool
     key: jax.Array
 
 
 jax.tree_util.register_dataclass(
     PoolState,
     data_fields=["cache", "kv_valid", "cur_slot", "positions", "last_token",
-                 "gen_ids", "gen_len", "max_len", "active", "finished", "mu", "key"],
+                 "gen_ids", "gen_len", "max_len", "active", "finished", "mu",
+                 "temp", "top_p", "rep_pen", "do_sample", "key"],
     meta_fields=[],
 )
 
@@ -116,6 +122,10 @@ class ServingEngine:
             active=jnp.zeros((B,), bool),
             finished=jnp.zeros((B,), bool),
             mu=jnp.full((B,), 2.0 * self.sampling.mirostat_tau, jnp.float32),
+            temp=jnp.full((B,), self.sampling.temperature, jnp.float32),
+            top_p=jnp.full((B,), self.sampling.top_p, jnp.float32),
+            rep_pen=jnp.full((B,), self.sampling.repetition_penalty, jnp.float32),
+            do_sample=jnp.full((B,), self.sampling.do_sample, bool),
             key=jax.random.PRNGKey(seed),
         )
 
@@ -124,7 +134,8 @@ class ServingEngine:
     def _prefill_impl(
         self, params, state: PoolState, row: jnp.ndarray,
         input_ids, attention_mask, img_start_pos, pixel_values,
-        max_new_tokens: jnp.ndarray, sampling: SamplingConfig,
+        max_new_tokens: jnp.ndarray, knobs: jnp.ndarray,
+        sampling: SamplingConfig,
     ) -> PoolState:
         """Run one prompt (1, S) into pool row ``row``; sample its first token."""
         cfg = self.cfg
@@ -158,10 +169,11 @@ class ServingEngine:
         last_logits = llama.logits(params["text"], hidden[:, -1:, :])[:, 0]  # (1, V)
 
         key, sub = jax.random.split(state.key)
-        mu0 = jnp.full((1,), 2.0 * sampling.mirostat_tau, jnp.float32)
-        token, mu_row = sample_step(
+        token = sample_step_rowwise(
             last_logits, jnp.zeros((1, self.T), jnp.int32),
-            jnp.zeros((1,), jnp.int32), sub, mu0, sampling,
+            jnp.zeros((1,), jnp.int32), sub, sampling,
+            temperature=knobs[0:1], top_p=knobs[1:2],
+            repetition_penalty=knobs[2:3], do_sample=knobs[3:4] > 0.5,
         )
         tok = token[0]
         gen_row = jnp.zeros((self.T,), jnp.int32).at[0].set(tok)
@@ -180,7 +192,11 @@ class ServingEngine:
             max_len=state.max_len.at[row].set(max_new_tokens),
             active=state.active.at[row].set(True),
             finished=state.finished.at[row].set(tok == self.eos),
-            mu=state.mu.at[row].set(mu_row[0]),
+            mu=state.mu,
+            temp=state.temp.at[row].set(knobs[0]),
+            top_p=state.top_p.at[row].set(knobs[1]),
+            rep_pen=state.rep_pen.at[row].set(knobs[2]),
+            do_sample=state.do_sample.at[row].set(knobs[3] > 0.5),
             key=key,
         )
 
@@ -199,8 +215,10 @@ class ServingEngine:
         )
         step_logits = llama.logits(params["text"], hidden)[:, 0]
         key, sub = jax.random.split(state.key)
-        token, mu = sample_step(
-            step_logits, state.gen_ids, state.gen_len, sub, state.mu, sampling
+        token = sample_step_rowwise(
+            step_logits, state.gen_ids, state.gen_len, sub, sampling,
+            temperature=state.temp, top_p=state.top_p,
+            repetition_penalty=state.rep_pen, do_sample=state.do_sample,
         )
         token = jnp.where(run, token, jnp.int32(self.pad))
         gen_ids = state.gen_ids.at[jnp.arange(B), jnp.minimum(state.gen_len, self.T - 1)].set(
@@ -223,7 +241,9 @@ class ServingEngine:
             max_len=state.max_len,
             active=state.active,
             finished=state.finished | hit_eos | hit_cap,
-            mu=jnp.where(run, mu, state.mu),
+            mu=state.mu,
+            temp=state.temp, top_p=state.top_p, rep_pen=state.rep_pen,
+            do_sample=state.do_sample,
             key=key,
         )
 
@@ -236,7 +256,8 @@ class ServingEngine:
         raise ValueError(f"prompt length {n} exceeds {self.prompt_buckets[-1]}")
 
     def prefill_row(self, row: int, input_ids: np.ndarray,
-                    pixel_values, img_start_pos, max_new_tokens: int) -> None:
+                    pixel_values, img_start_pos, max_new_tokens: int,
+                    overrides: dict | None = None) -> None:
         S = input_ids.shape[-1]
         L = self.bucket_len(S)
         ids = np.full((1, L), self.pad, np.int32)
@@ -249,10 +270,18 @@ class ServingEngine:
         )
         if pixel_values is not None:
             pixel_values = jnp.asarray(pixel_values, self.dtype)
+        o = overrides or {}
+        knobs = jnp.asarray([
+            float(o.get("temperature", self.sampling.temperature)),
+            float(o.get("top_p", self.sampling.top_p)),
+            float(o.get("repetition_penalty", self.sampling.repetition_penalty)),
+            1.0 if o.get("do_sample", self.sampling.do_sample) else 0.0,
+        ], jnp.float32)
         self._state = self._prefill(
             self.params, self._state, jnp.int32(row),
             jnp.asarray(ids), jnp.asarray(mask), jnp.asarray(img_pos),
-            pixel_values, jnp.int32(min(max_new_tokens, self.T)), self.sampling,
+            pixel_values, jnp.int32(min(max_new_tokens, self.T)), knobs,
+            self.sampling,
         )
 
     def step(self) -> None:
@@ -289,6 +318,8 @@ class Request:
     img_start_pos: Optional[int]
     max_new_tokens: int
     out: "queue.Queue"  # receives ('token', id) then ('done', ids)
+    sampling_overrides: Optional[dict] = None  # per-request temperature/top_p/
+    #                                            repetition_penalty/do_sample
 
 
 class Scheduler:
@@ -326,6 +357,7 @@ class Scheduler:
                 eng.prefill_row(
                     row, req.input_ids, req.pixel_values,
                     req.img_start_pos, req.max_new_tokens,
+                    overrides=req.sampling_overrides,
                 )
                 self._rows[row] = [req, 0]
                 did_work = True
@@ -351,12 +383,14 @@ class Scheduler:
 
 def generate_sync(scheduler: Scheduler, input_ids, pixel_values=None,
                   img_start_pos=None, max_new_tokens: int = 512,
+                  sampling_overrides: Optional[dict] = None,
                   timeout: float = 600.0) -> np.ndarray:
     """Blocking helper: submit one request, wait for completion."""
     q: queue.Queue = queue.Queue()
     scheduler.submit(Request(
         input_ids=np.asarray(input_ids), pixel_values=pixel_values,
         img_start_pos=img_start_pos, max_new_tokens=max_new_tokens, out=q,
+        sampling_overrides=sampling_overrides,
     ))
     deadline = time.time() + timeout
     while True:
