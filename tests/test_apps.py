@@ -99,6 +99,43 @@ def test_http_server_round_trip(model_bundle):
         server.shutdown()
 
 
+def test_http_chat_stream(model_bundle):
+    import http.client
+
+    from http.server import ThreadingHTTPServer
+
+    from visualcla_tpu.apps.serve import ChatWorker, make_handler
+
+    model, tokenizer, cfg, tmp = model_bundle
+    model.image_processor.image_size = cfg.vision_config.image_size
+    model.image_processor.crop_size = cfg.vision_config.image_size
+    worker = ChatWorker(model)
+    server = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(worker))
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        import base64, io
+        from PIL import Image
+
+        buf = io.BytesIO()
+        Image.fromarray(
+            np.random.default_rng(5).integers(0, 256, (40, 40, 3), dtype=np.uint8)
+        ).save(buf, format="PNG")
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=300)
+        conn.request("POST", "/chat_stream", body=json.dumps({
+            "text": "ab", "image_b64": base64.b64encode(buf.getvalue()).decode(),
+            "generation_config": {"do_sample": False, "max_new_tokens": 4},
+        }), headers={"Content-Type": "application/json"})
+        resp = conn.getresponse()
+        assert resp.status == 200
+        lines = [json.loads(l) for l in resp.read().decode().splitlines() if l]
+        assert "response" in lines[-1]
+        assert any("partial" in l for l in lines[:-1]) or len(lines) >= 1
+    finally:
+        server.shutdown()
+
+
 def test_http_server_pool_mode(model_bundle):
     """Continuous-batching backend behind the HTTP endpoint."""
     import http.client

@@ -8,6 +8,10 @@ pipeline as JSON over HTTP with no extra dependencies:
   POST /chat   {"text": str, "image_b64": str|null, "history": [...],
                 "generation_config": {...}, "seed": int}
             -> {"response": str, "history": [...]}
+  POST /chat_stream  (same body) -> newline-delimited JSON partials
+            {"partial": str} ... {"response": str, "history": [...]}
+            (serial worker backend; the pool backend streams per-token via the
+             scheduler queues — HTTP exposure planned)
   GET  /health -> {"status": "ok"}
 
 Requests are serialized through a worker queue (the engine is single-stream;
@@ -141,6 +145,26 @@ class ChatWorker:
         self.q.put((req, done))
         return done.get(timeout=timeout)
 
+    def submit_stream(self, req: dict, timeout: float = 600.0):
+        """Yield {'partial': str} items, then the final response dict.
+        Runs inline on the caller thread (one stream at a time per worker)."""
+        from visualcla_tpu.api import as_sampling_config, chat_in_stream
+
+        image = None
+        if req.get("image_b64"):
+            from PIL import Image
+
+            image = Image.open(io.BytesIO(base64.b64decode(req["image_b64"])))
+        history = req.get("history") or []
+        response = ""
+        for response, history in chat_in_stream(
+            self.model, image=image, text=req["text"], history=history,
+            generation_config=as_sampling_config(req.get("generation_config")),
+            verbose=False, seed=int(req.get("seed", 0)),
+        ):
+            yield {"partial": response}
+        yield {"response": response, "history": history}
+
 
 def make_handler(worker: ChatWorker):
     class Handler(BaseHTTPRequestHandler):
@@ -159,7 +183,7 @@ def make_handler(worker: ChatWorker):
                 self._send(404, {"error": "not found"})
 
         def do_POST(self):  # noqa: N802
-            if self.path != "/chat":
+            if self.path not in ("/chat", "/chat_stream"):
                 self._send(404, {"error": "not found"})
                 return
             length = int(self.headers.get("Content-Length", 0))
@@ -167,6 +191,21 @@ def make_handler(worker: ChatWorker):
                 req = json.loads(self.rfile.read(length) or b"{}")
                 if "text" not in req:
                     self._send(400, {"error": "missing 'text'"})
+                    return
+                if self.path == "/chat_stream":
+                    if not hasattr(worker, "submit_stream"):
+                        self._send(400, {"error": "streaming needs the serial "
+                                                  "worker (run without --pool)"})
+                        return
+                    self.send_response(200)
+                    self.send_header("Content-Type",
+                                     "application/x-ndjson; charset=utf-8")
+                    self.end_headers()
+                    for item in worker.submit_stream(req):
+                        self.wfile.write(
+                            (json.dumps(item, ensure_ascii=False) + "\n").encode()
+                        )
+                        self.wfile.flush()
                     return
                 result = worker.submit(req)
                 self._send(200 if "error" not in result else 500, result)
