@@ -177,15 +177,36 @@ def _run_batch8(engine, cfg, input_ids, pixel_values, img_start_pos):
             mu=jnp.full((B8,), 2.0 * s8.mirostat_tau, jnp.float32),
         )
 
-    st = engine8._decode_loop(engine8.params, fresh_state(), s8, s8.max_new_tokens)
-    _sync(st.gen_ids[:, -1])  # compile + warm
+    try:
+        st = engine8._decode_loop(engine8.params, fresh_state(), s8,
+                                  s8.max_new_tokens)
+        _sync(st.gen_ids[:, -1])  # compile + warm
+        del st
+        st = fresh_state()
+        t0 = time.perf_counter()
+        st = engine8._decode_loop(engine8.params, st, s8, s8.max_new_tokens)
+        _sync(st.gen_ids[:, -1])
+        dt8 = time.perf_counter() - t0
+        return B8 * (int(st.gen_len) - 1) / dt8
+    except Exception as e:  # noqa: BLE001
+        print(f"# fused B8 loop unavailable ({str(e)[:90]}); "
+              "falling back to chained single steps", file=sys.stderr)
+    # fallback: chain N async single-step dispatches, sync once — the
+    # single-step program is small enough for the tunnel's compile helper,
+    # and async chaining keeps dispatch off the critical path
+    N = 64
+    st = fresh_state()
+    st = engine8._decode_step(engine8.params, st, s8)
+    _sync(st.last_token)  # compile + warm
     del st
     st = fresh_state()
+    _sync(st.last_token)
     t0 = time.perf_counter()
-    st = engine8._decode_loop(engine8.params, st, s8, s8.max_new_tokens)
+    for _ in range(N):
+        st = engine8._decode_step(engine8.params, st, s8)
     _sync(st.gen_ids[:, -1])
     dt8 = time.perf_counter() - t0
-    return B8 * (int(st.gen_len) - 1) / dt8
+    return B8 * N / dt8
 
 
 def main():
