@@ -1,0 +1,112 @@
+"""Beam search vs HF generate(num_beams=...) — differential tests."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+
+from tests import hf_ref
+from visualcla_tpu.core.config import LlamaConfig, VisualCLAConfig, ViTConfig, ResamplerConfig
+from visualcla_tpu.engine.beam import beam_generate
+
+
+@pytest.fixture(scope="module")
+def models():
+    hf, hf_cfg = hf_ref.tiny_hf_llama(vocab_size=64, hidden=32, layers=2,
+                                      heads=4, seed=11)
+    params = {"text": hf_ref.llama_params_from_hf(hf)}
+    params = {k: {kk: jnp.asarray(vv) if not isinstance(vv, dict)
+                  else {k3: jnp.asarray(v3) if not isinstance(v3, dict)
+                        else {k4: jnp.asarray(v4) for k4, v4 in v3.items()}
+                        for k3, v3 in vv.items()}
+                  for kk, vv in v.items()} for k, v in params.items()}
+    cfg = VisualCLAConfig(
+        text_config=LlamaConfig(
+            vocab_size=64, hidden_size=32, intermediate_size=64,
+            num_hidden_layers=2, num_attention_heads=4,
+            max_position_embeddings=256,
+        ),
+        use_visual_resampler=False,
+    )
+    return hf, params, cfg
+
+
+def hf_beam(hf, input_ids, num_beams, max_new_tokens, eos_id,
+            length_penalty=1.0, early_stopping=False):
+    with torch.no_grad():
+        ids = torch.from_numpy(np.asarray(input_ids, np.int64))
+        embeds = hf.get_input_embeddings()(ids)
+        out = hf.generate(
+            inputs_embeds=embeds,
+            attention_mask=torch.ones(embeds.shape[:2], dtype=torch.long),
+            num_beams=num_beams, do_sample=False,
+            max_new_tokens=max_new_tokens, eos_token_id=eos_id,
+            pad_token_id=0, length_penalty=length_penalty,
+            early_stopping=early_stopping,
+            temperature=None, top_p=None, top_k=None,
+        )
+    return np.asarray(out[0])
+
+
+@pytest.mark.parametrize("num_beams,max_new", [(2, 8), (3, 10), (4, 6)])
+def test_beam_matches_hf(models, num_beams, max_new):
+    hf, params, cfg = models
+    rng = np.random.default_rng(num_beams * 10 + max_new)
+    ids = rng.integers(3, 60, size=(1, 9)).astype(np.int32)
+    eos = hf.config.eos_token_id
+    ours = beam_generate(
+        params, cfg, ids, None, None,
+        num_beams=num_beams, max_new_tokens=max_new,
+        eos_token_id=eos, pad_token_id=0,
+    )
+    theirs = hf_beam(hf, ids, num_beams, max_new, eos)
+    # strip HF's right padding after eos
+    t = list(theirs)
+    if eos in t:
+        t = t[: t.index(eos) + 1]
+    o = list(np.asarray(ours))
+    if eos in o:
+        o = o[: o.index(eos) + 1]
+    assert o == t, (o, t)
+
+
+def test_chat_with_beams(tmp_path):
+    """chat() routes through beam search when num_beams>1 (greedy mode)."""
+    import jax
+
+    from tests.test_api import make_native_ckpt
+    import visualcla_tpu as v
+    from visualcla_tpu.engine.sampling import SamplingConfig
+
+    ckpt, cfg = make_native_ckpt(str(tmp_path))
+    model, tok, _ = v.get_model_and_tokenizer_and_processor(
+        visualcla_model=ckpt, dtype=jnp.float32, max_seq_len=256
+    )
+    import dataclasses
+
+    gc = dataclasses.replace(SamplingConfig.greedy(max_new_tokens=6), num_beams=2)
+    pix = np.random.default_rng(0).standard_normal(
+        (1, 3, cfg.vision_config.image_size, cfg.vision_config.image_size)
+    ).astype(np.float32)
+    resp, hist = v.chat(model, pix, "ab", [], gc, verbose=False)
+    assert isinstance(resp, str)
+    assert hist[-1]["type"] == "response"
+
+
+def test_beam_early_stopping(models):
+    hf, params, cfg = models
+    rng = np.random.default_rng(5)
+    ids = rng.integers(3, 60, size=(1, 7)).astype(np.int32)
+    eos = hf.config.eos_token_id
+    ours = beam_generate(
+        params, cfg, ids, None, None,
+        num_beams=3, max_new_tokens=8, eos_token_id=eos,
+        early_stopping=True,
+    )
+    theirs = hf_beam(hf, ids, 3, 8, eos, early_stopping=True)
+    t = list(theirs)
+    if eos in t:
+        t = t[: t.index(eos) + 1]
+    o = list(np.asarray(ours))
+    if eos in o:
+        o = o[: o.index(eos) + 1]
+    assert o == t, (o, t)

@@ -82,6 +82,21 @@ class VisualCLA:
     ) -> np.ndarray:
         sampling = as_sampling_config(generation_config)
         img_pos = img_marker_positions(input_ids, self.tokenizer.img_start_token_id)
+        if sampling.num_beams > 1 and not sampling.do_sample:
+            from .engine.beam import beam_generate
+
+            out = beam_generate(
+                self.params, self.config, np.asarray(input_ids),
+                pixel_values, img_pos,
+                num_beams=sampling.num_beams,
+                max_new_tokens=sampling.max_new_tokens,
+                eos_token_id=self.tokenizer.eos_token_id,
+                pad_token_id=self.tokenizer.pad_token_id,
+                length_penalty=sampling.length_penalty,
+                early_stopping=sampling.early_stopping,
+                dtype=self.engine.dtype,
+            )
+            return out[None]
         return self.engine.generate(
             input_ids, pixel_values, img_pos, sampling, seed=seed
         )

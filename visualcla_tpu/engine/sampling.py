@@ -31,6 +31,9 @@ class SamplingConfig:
     min_new_tokens: int = 0  # reference min_length=0 (modeling_utils.py:38);
     # counts generated tokens (the inputs_embeds path has no prompt in ids)
     eos_token_id: int = 2
+    num_beams: int = 1  # >1 routes VisualCLA.generate through engine/beam.py
+    length_penalty: float = 1.0
+    early_stopping: bool = False
     do_sample: bool = True
     temperature: float = 0.5
     top_k: int = 40
