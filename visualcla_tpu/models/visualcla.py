@@ -114,6 +114,38 @@ def multimodal_embeds(
     return jnp.where(keep_text, inputs_embeds, spliced)
 
 
+def resize_token_embeddings(
+    params: Params, new_size: int, rng: Optional[jax.Array] = None,
+    initializer_range: float = 0.02,
+) -> Params:
+    """Grow (or truncate) the text tower's vocab rows — the reference's
+    ``resize_token_embeddings`` step before applying LoRA at runtime
+    (scripts/inference/inference.py:66-74).  New rows draw N(0, init_range)
+    like HF; offline conversion normally handles this, but the capability is
+    part of the surface."""
+    text = dict(params["text"])
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+    k1, k2 = jax.random.split(rng)
+
+    def grow(w, key, row_axis):
+        old = w.shape[row_axis]
+        if new_size == old:
+            return w
+        if new_size < old:
+            return jax.lax.slice_in_dim(w, 0, new_size, axis=row_axis)
+        shape = list(w.shape)
+        shape[row_axis] = new_size - old
+        extra = (jax.random.normal(key, shape, jnp.float32)
+                 * initializer_range).astype(w.dtype)
+        return jnp.concatenate([w, extra], axis=row_axis)
+
+    text["embed_tokens"] = grow(text["embed_tokens"], k1, 0)  # (V, H)
+    text["lm_head"] = grow(text["lm_head"], k2, 1)  # (H, V)
+    out = dict(params)
+    out["text"] = text
+    return out
+
+
 def find_img_start(input_ids, img_start_token_id: int) -> jnp.ndarray:
     """First position of <img> per row, or -1 if absent.  (B, S) -> (B,) int32."""
     hit = input_ids == img_start_token_id

@@ -209,6 +209,18 @@ class VisualCLATokenizer:
     def convert_ids_to_tokens(self, ids: Sequence[int]) -> List[str]:
         return [self.convert_id_to_token(int(i)) for i in ids]
 
+    # HF-name aliases (reference code calls these spellings)
+    def convert_tokens_to_ids(self, tokens: Union[str, Sequence[str]]):
+        if isinstance(tokens, str):
+            return self.convert_token_to_id(tokens)
+        return [self.convert_token_to_id(t) for t in tokens]
+
+    def batch_decode(self, sequences, **kwargs) -> List[str]:
+        return [self.decode(s, **kwargs) for s in sequences]
+
+    def tokenize(self, text: str) -> List[str]:
+        return self.convert_ids_to_tokens(self.encode(text))
+
     # -- constructors -------------------------------------------------------
 
     @classmethod
