@@ -64,6 +64,20 @@ def test_native_fuzz_random_strings(native_and_model):
         assert native.encode(s) == sp_bpe.encode(sp, s), repr(s)
 
 
+def test_remove_extra_whitespaces_mode():
+    """Both implementations honor remove_extra_whitespaces=True identically."""
+    import dataclasses
+
+    from visualcla_tpu.text.native_tok import NativeEncoder
+
+    sp = build_test_model(["a", "b", "ab", "▁a"], [-3.0, -2.0, -1.0, -1.5])
+    sp = dataclasses.replace(sp, remove_extra_whitespaces=True,
+                             piece_to_id={}, byte_to_id=None)
+    native = NativeEncoder(sp)
+    for s in ("  a  b  ", "a b", "   ", "ab   ab"):
+        assert native.encode(s) == sp_bpe.encode(sp, s), repr(s)
+
+
 def test_tokenizer_uses_native_when_available():
     from visualcla_tpu.text import VisualCLATokenizer
 

@@ -161,6 +161,41 @@ class TestWarpersVsHF:
                              jnp.asarray([4, 4], jnp.int32), key, mu, cfg)
         assert tok.tolist() == [2, 2]
 
+    def test_sampled_marginals_match_warped_softmax(self):
+        """20k draws from the full sampler track softmax(warped logits)."""
+        import dataclasses
+
+        import jax
+
+        from visualcla_tpu.engine import sampling as S
+
+        rng = np.random.default_rng(0)
+        V = 16
+        logits = jnp.asarray(rng.standard_normal((1, V)) * 2, jnp.float32)
+        cfg = dataclasses.replace(
+            S.SamplingConfig(), top_k=8, top_p=0.9, temperature=0.7,
+            repetition_penalty=1.0, no_repeat_ngram_size=0,
+        )
+        # expected distribution: warp chain then softmax
+        x = S.warp_temperature(logits, 0.7)
+        x = S.warp_top_k(x, 8)
+        x = S.warp_top_p(x, 0.9)
+        expect = np.asarray(jax.nn.softmax(x, axis=-1))[0]
+
+        N = 20000
+        gen_ids = jnp.zeros((N, 4), jnp.int32)
+        gen_len = jnp.zeros((N,), jnp.int32)
+        mu = jnp.zeros((N,), jnp.float32)
+        toks, _ = S.sample_step(
+            jnp.broadcast_to(logits, (N, V)), gen_ids, gen_len,
+            jax.random.PRNGKey(1), mu, cfg,
+        )
+        counts = np.bincount(np.asarray(toks), minlength=V) / N
+        # masked-out tokens never sampled; surviving ones within 3 sigma
+        assert np.all(counts[expect == 0] == 0)
+        sigma = np.sqrt(expect * (1 - expect) / N)
+        assert np.all(np.abs(counts - expect) < 5 * sigma + 1e-3)
+
     def test_greedy_ignores_warpers(self):
         cfg = S.SamplingConfig.greedy()
         logits = jnp.asarray(np.array([[0.1, 3.0, -1.0]], np.float32))
