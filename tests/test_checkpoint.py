@@ -153,6 +153,33 @@ def test_load_checkpoint_int8_and_sharded(tmp_path):
     assert err < 0.1 * np.abs(np.asarray(dense)).max()
 
 
+def test_quantized_tree_checkpoint_roundtrip(tmp_path):
+    """int8 trees save/load losslessly (scales stay fp32 under bf16 target)."""
+    import jax
+    import jax.numpy as jnp
+
+    from visualcla_tpu.models import visualcla as vmod
+    from visualcla_tpu.ops.quantization import is_quantized, quantize_tree
+
+    cfg = tiny_visualcla_config()
+    params = vmod.init_params(jax.random.PRNGKey(2), cfg, jnp.float32)
+    q = quantize_tree(params)
+    out = str(tmp_path / "q")
+    save_checkpoint(out, q, cfg, dtype="bfloat16")
+    loaded, _ = load_checkpoint(out)
+    node = loaded["text"]["layers"]["q_proj"]
+    assert is_quantized(node)
+    assert node["q"].dtype == jnp.int8
+    assert node["scale"].dtype == jnp.float32
+    np.testing.assert_array_equal(
+        np.asarray(node["q"]), np.asarray(q["text"]["layers"]["q_proj"]["q"])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(node["scale"], np.float32),
+        np.asarray(q["text"]["layers"]["q_proj"]["scale"]),
+    )
+
+
 def test_fold_lora_matches_torch():
     torch.manual_seed(3)
     out_f, in_f, r = 12, 8, 4

@@ -70,6 +70,9 @@ def save_checkpoint(
         # safetensors writes the raw buffer: non-C-contiguous arrays (e.g.
         # np.stack over transposed torch weights) silently corrupt without this
         arr = np.ascontiguousarray(v)
+        if k.endswith("/scale"):  # int8 quantization scales stay fp32
+            tensors[k] = arr
+            continue
         if np.issubdtype(arr.dtype, np.floating) and arr.dtype != target:
             # numpy can't hold bf16 — round-trip through jnp and view as u16
             if target == jnp.bfloat16:
