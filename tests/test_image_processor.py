@@ -70,6 +70,25 @@ def test_full_pipeline_matches_hf_clip(h, w):
     np.testing.assert_allclose(ours, theirs, rtol=0, atol=1e-6)
 
 
+def test_non_rgb_inputs_convert():
+    """Grayscale / RGBA / palette PIL images match HF's handling (convert RGB)."""
+    from PIL import Image
+    from transformers import CLIPImageProcessor
+
+    rng = np.random.default_rng(9)
+    hf = CLIPImageProcessor(size={"shortest_edge": 224},
+                            crop_size={"height": 224, "width": 224})
+    ours = ImageProcessor()
+    gray = Image.fromarray(rng.integers(0, 256, (300, 260), dtype=np.uint8), "L")
+    rgba = Image.fromarray(
+        rng.integers(0, 256, (260, 300, 4), dtype=np.uint8), "RGBA"
+    )
+    for im in (gray, rgba):
+        theirs = hf(im.convert("RGB"), return_tensors="np")["pixel_values"]
+        got = ours([im])["pixel_values"]
+        np.testing.assert_allclose(got, theirs, atol=1e-6)
+
+
 def test_center_crop_pads_small_images():
     img = np.full((100, 100, 3), 7, np.uint8)
     out = center_crop(img, 224, 224)
