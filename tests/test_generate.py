@@ -174,6 +174,22 @@ class TestGreedyTokenIdentity:
         )
         np.testing.assert_array_equal(blocking, streamed[:, : blocking.shape[1]])
 
+    def test_chunked_stream_matches_per_token(self):
+        models, cfg, params = build_composite()
+        engine = Engine(
+            params, cfg, eos_token_id=EOS, pad_token_id=0,
+            max_seq_len=64, prompt_buckets=(16,), dtype=jnp.float64,
+        )
+        rng = np.random.default_rng(4)
+        ids = rng.integers(3, 60, size=(1, 10)).astype(np.int64)
+        s = SamplingConfig.greedy(max_new_tokens=9)
+        per_token = [t.copy() for t in engine.stream(ids, None, None, s)]
+        chunked = [t.copy()
+                   for t in engine.stream(ids, None, None, s, chunk_size=4)]
+        assert len(per_token) == len(chunked)
+        for a, b in zip(per_token, chunked):
+            np.testing.assert_array_equal(a, b)
+
     def test_sampled_decode_runs_with_default_config(self):
         """The reference's default sampling config end-to-end (no crash, valid ids)."""
         models, cfg, params = build_composite()

@@ -102,7 +102,7 @@ class Engine:
         )
         self._decode_loop = jax.jit(
             self._decode_loop_impl,
-            static_argnames=("sampling", "max_steps"),
+            static_argnames=("sampling",),
             donate_argnames=("state",),
         )
 
@@ -198,8 +198,12 @@ class Engine:
             mu=mu,
         )
 
-    def _decode_loop_impl(self, params, state: DecodeState, sampling: SamplingConfig, max_steps: int):
+    def _decode_loop_impl(self, params, state: DecodeState,
+                          sampling: SamplingConfig, max_steps):
+        """Fused decode until ``max_steps`` TOTAL generated tokens (dynamic
+        bound: one compile serves full generates and chunked streaming)."""
         Smax = state.kv_valid.shape[1]
+        max_steps = jnp.asarray(max_steps, jnp.int32)
 
         def cond(s: DecodeState):
             return (
@@ -289,8 +293,14 @@ class Engine:
         img_start_pos: Optional[np.ndarray] = None,
         sampling: Optional[SamplingConfig] = None,
         seed: int = 0,
+        chunk_size: int = 1,
     ) -> Iterator[np.ndarray]:
-        """Yield the (B,) token ids of each decode step as they are produced."""
+        """Yield the (B,) token ids of each decode step as they are produced.
+
+        ``chunk_size > 1`` decodes that many tokens per device dispatch (the
+        fused loop with a dynamic bound) and yields them individually —
+        amortizing host/tunnel round trips while preserving the per-token
+        streaming surface."""
         sampling = sampling or SamplingConfig.greedy()
         state = self.start(input_ids, pixel_values, img_start_pos, sampling, seed)
         yield np.asarray(state.last_token)
@@ -299,5 +309,14 @@ class Engine:
             and not bool(np.all(np.asarray(state.finished)))
             and int(state.cur_slot) < self.max_seq_len
         ):
-            state = self._decode_step(self.params, state, sampling)
-            yield np.asarray(state.last_token)
+            if chunk_size <= 1:
+                state = self._decode_step(self.params, state, sampling)
+                yield np.asarray(state.last_token)
+            else:
+                start_len = int(state.gen_len)
+                target = min(start_len + chunk_size, sampling.max_new_tokens)
+                state = self._decode_loop(self.params, state, sampling, target)
+                new_len = int(state.gen_len)
+                chunk = np.asarray(state.gen_ids[:, start_len:new_len])
+                for j in range(chunk.shape[1]):
+                    yield chunk[:, j]
