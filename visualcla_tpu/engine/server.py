@@ -346,19 +346,37 @@ class Scheduler:
 
     def _run(self):
         eng = self.engine
+        deferred = None  # request waiting for KV blocks (paged pool full)
         while not self._stop.is_set():
             did_work = False
             # admit queued requests into free rows
             for row in self._free_rows():
+                if deferred is not None:
+                    req = deferred
+                    deferred = None
+                else:
+                    try:
+                        req = self.requests.get_nowait()
+                    except queue.Empty:
+                        break
+                can_admit = getattr(eng, "can_admit", None)
+                if can_admit is not None and not can_admit(len(req.input_ids)):
+                    if self._rows:  # blocks free up as rows finish
+                        deferred = req
+                        break
+                    req.out.put(("error",
+                                 "request exceeds the engine's KV pool"))
+                    continue
                 try:
-                    req = self.requests.get_nowait()
-                except queue.Empty:
-                    break
-                eng.prefill_row(
-                    row, req.input_ids, req.pixel_values,
-                    req.img_start_pos, req.max_new_tokens,
-                    overrides=req.sampling_overrides,
-                )
+                    eng.prefill_row(
+                        row, req.input_ids, req.pixel_values,
+                        req.img_start_pos, req.max_new_tokens,
+                        overrides=req.sampling_overrides,
+                    )
+                except Exception as e:  # noqa: BLE001 — isolate the request
+                    logger.exception("prefill failed for a request")
+                    req.out.put(("error", str(e)))
+                    continue
                 self._rows[row] = [req, 0]
                 did_work = True
             if self._rows:
@@ -397,3 +415,5 @@ def generate_sync(scheduler: Scheduler, input_ids, pixel_values=None,
         kind, payload = q.get(timeout=max(0.0, deadline - time.time()))
         if kind == "done":
             return payload
+        if kind == "error":
+            raise RuntimeError(payload)
