@@ -102,10 +102,12 @@ class VisualCLA:
         )
 
     def stream_generate(self, input_ids, pixel_values=None,
-                        generation_config=None, seed: int = 0):
+                        generation_config=None, seed: int = 0,
+                        chunk_size: int = 1):
         sampling = as_sampling_config(generation_config)
         img_pos = img_marker_positions(input_ids, self.tokenizer.img_start_token_id)
-        return self.engine.stream(input_ids, pixel_values, img_pos, sampling, seed=seed)
+        return self.engine.stream(input_ids, pixel_values, img_pos, sampling,
+                                  seed=seed, chunk_size=chunk_size)
 
     # -- reference constructor surface (modeling_visualcla.py:120/183) --------
 
@@ -355,11 +357,13 @@ def chat_in_stream(
     *,
     verbose: bool = True,
     seed: int = 0,
+    chunk_size: int = 1,
 ) -> Iterator[Tuple[str, list]]:
     """Streaming chat turn: yields (partial_response, history) per decoded token
     (reference modeling_utils.py:180-247, incl. the '▁'-prefix space fixup at
     :234-236).  No producer thread needed — the jitted decode step IS the
-    iterator."""
+    iterator.  ``chunk_size>1`` decodes several tokens per device dispatch and
+    still yields token-by-token (recommended over high-latency links)."""
     if history is None:
         history = []
     sampling = as_sampling_config(generation_config)
@@ -370,7 +374,8 @@ def chat_in_stream(
     gen_ids: list = []
     response = ""
     for step_tokens in model.stream_generate(
-        test_input["input_ids"], pixel_values, sampling, seed=seed
+        test_input["input_ids"], pixel_values, sampling, seed=seed,
+        chunk_size=chunk_size,
     ):
         tok = int(np.asarray(step_tokens)[0])
         if tok == eos:
