@@ -116,6 +116,21 @@ def test_per_request_sampling_overrides(setup):
     assert len(outs["hot"]) >= 1
 
 
+def test_scheduler_isolates_bad_requests(setup):
+    """An overlong prompt errors its own request; the pool keeps serving."""
+    cfg, params, single, pool = setup
+    sched = Scheduler(pool)
+    try:
+        too_long = np.ones((200,), np.int32)  # > max bucket (32)
+        with pytest.raises(RuntimeError):
+            generate_sync(sched, too_long, max_new_tokens=4, timeout=120)
+        ok = prompts(1)[0]
+        out = generate_sync(sched, ok, max_new_tokens=4, timeout=300)
+        assert len(out) >= 1
+    finally:
+        sched.stop()
+
+
 def test_pool_interleaves_requests(setup):
     """Submit concurrently; rows must finish and free independently."""
     cfg, params, single, pool = setup
