@@ -31,6 +31,8 @@ setup(
             "visualcla-evaluate=visualcla_tpu.apps.evaluate:main",
             "visualcla-convert=visualcla_tpu.checkpoint.convert:main",
             "visualcla-train=visualcla_tpu.train.run_training:main",
+            "visualcla-parity=visualcla_tpu.apps.parity_check:main",
+            "visualcla-split-adapter=visualcla_tpu.checkpoint.split_adapter:main",
         ]
     },
 )

@@ -45,6 +45,37 @@ def test_sharded_flash_refuses_indivisible(mesh):
     assert out is None
 
 
+def test_engine_generate_on_mesh_matches_single(mesh):
+    """Full Engine greedy decode on a TP×DP mesh == unmeshed decode."""
+    import jax.numpy as jnp
+
+    from visualcla_tpu.core.config import tiny_visualcla_config
+    from visualcla_tpu.engine.generate import Engine
+    from visualcla_tpu.engine.sampling import SamplingConfig
+    from visualcla_tpu.models import visualcla as vmod
+    from visualcla_tpu.parallel import sharding as shd
+
+    cfg = tiny_visualcla_config(vocab_size=96, hidden_size=16)
+    params = vmod.init_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+    rng = np.random.default_rng(2)
+    ids = rng.integers(4, 90, size=(2, 12)).astype(np.int32)
+    s = SamplingConfig.greedy(max_new_tokens=6)
+
+    plain = Engine(params, cfg, eos_token_id=2, pad_token_id=0,
+                   max_seq_len=64, prompt_buckets=(16,), dtype=jnp.float32)
+    want = plain.generate(ids, sampling=s)
+
+    sharded_params = shd.shard_params(params, mesh)
+    try:
+        meshed = Engine(sharded_params, cfg, eos_token_id=2, pad_token_id=0,
+                        max_seq_len=64, prompt_buckets=(16,),
+                        dtype=jnp.float32, mesh=mesh)
+        got = meshed.generate(ids, sampling=s)
+    finally:
+        attn_mod.set_attention_mesh(None)
+    np.testing.assert_array_equal(np.asarray(want), np.asarray(got))
+
+
 def test_cached_attention_uses_mesh_when_registered(mesh):
     rng = np.random.default_rng(1)
     B, Sq, N, H, Smax = 2, 8, 4, 64, 32
