@@ -121,8 +121,13 @@ def _tree_specs(tree, rules: dict, prefix=()) -> dict:
     return out
 
 
-def param_specs(params: dict) -> dict:
-    """PartitionSpec pytree matching a composite VisualCLA param tree."""
+def param_specs(params: dict, fsdp: bool = False) -> dict:
+    """PartitionSpec pytree matching a composite VisualCLA param tree.
+
+    ``fsdp=True`` additionally shards every stacked layer tensor's leading
+    LAYER axis over 'data' (ZeRO-style parameter sharding for training: each
+    DP rank stores 1/n of the layer stack; GSPMD all-gathers a layer at use
+    and reduce-scatters its grads).  Requires num_layers % data == 0."""
     specs = {}
     if "text" in params:
         specs["text"] = _tree_specs(params["text"], _LLAMA_RULES)
@@ -135,7 +140,22 @@ def param_specs(params: dict) -> dict:
     # standalone LLaMA param tree
     if "embed_tokens" in params:
         specs = _tree_specs(params, _LLAMA_RULES)
+    if fsdp:
+        specs = _apply_fsdp(specs)
     return specs
+
+
+def _apply_fsdp(specs, inside_layers: bool = False):
+    out = {}
+    for k, v in specs.items():
+        if isinstance(v, dict):
+            out[k] = _apply_fsdp(v, inside_layers or k == "layers")
+        elif inside_layers:
+            rest = tuple(v)[1:] if len(v) >= 1 else ()
+            out[k] = P(DATA, *rest)  # leading axis of stacked tensors = layer
+        else:
+            out[k] = v
+    return out
 
 
 def _lookup_flat(flat_key: str) -> P:
@@ -176,9 +196,9 @@ def _valid_spec(spec: P, shape: tuple, mesh: Mesh) -> P:
     return P(*fixed)
 
 
-def shard_params(params: dict, mesh: Mesh) -> dict:
-    """Place a param tree onto the mesh with TP shardings (device_put)."""
-    specs = param_specs(params)
+def shard_params(params: dict, mesh: Mesh, fsdp: bool = False) -> dict:
+    """Place a param tree onto the mesh with TP (+optional FSDP) shardings."""
+    specs = param_specs(params, fsdp=fsdp)
 
     def place(p, spec):
         spec = _valid_spec(spec, np.shape(p), mesh)
