@@ -51,6 +51,9 @@ def main(argv=None):
                          "containing step_N dirs)")
     ap.add_argument("--remat", action="store_true",
                     help="rematerialize decoder layers (memory for FLOPs)")
+    ap.add_argument("--fsdp", action="store_true",
+                    help="ZeRO-style layer-axis param sharding over the data "
+                         "axis (needs num_layers % n_data == 0)")
     args = ap.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
 
@@ -75,6 +78,10 @@ def main(argv=None):
         if args.n_data > 0 and len(jax.devices()) > 1 else None
     )
     params, cfg = load_checkpoint(args.checkpoint, mesh=mesh, dtype=jnp.float32)
+    if mesh is not None and args.fsdp:
+        from ..parallel.sharding import shard_params
+
+        params = shard_params(params, mesh, fsdp=True)
     tokenizer = VisualCLATokenizer.from_pretrained(args.checkpoint)
     import os
 
