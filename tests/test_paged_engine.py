@@ -8,7 +8,7 @@ from visualcla_tpu.core.config import tiny_visualcla_config
 from visualcla_tpu.engine.generate import Engine
 from visualcla_tpu.engine.paged import PagedServingEngine
 from visualcla_tpu.engine.sampling import SamplingConfig
-from visualcla_tpu.engine.server import Scheduler, generate_sync
+from visualcla_tpu.engine.server import Request, Scheduler, generate_sync
 from visualcla_tpu.models import visualcla as vmod
 
 EOS, PAD = 2, 0
@@ -73,6 +73,47 @@ def test_paged_block_recycling(setup):
     assert len(outs) == 6
     assert len(paged._free) == free_before  # every block returned
     assert all(len(o) >= 1 for o in outs)
+
+
+def test_paged_soak_mixed_requests(setup):
+    """16 mixed requests through a 3-row pool: deferrals, varied lengths and
+    sampling configs, all blocks recycled at the end."""
+    import queue as q_mod
+
+    cfg, params, single, paged = setup
+    free_before = len(paged._free)
+    rng = np.random.default_rng(42)
+    sched = Scheduler(paged)
+    try:
+        queues = []
+        for i in range(16):
+            S = int(rng.integers(4, 28))
+            ids = rng.integers(4, 90, size=(S,)).astype(np.int32)
+            q_ = q_mod.Queue()
+            overrides = None
+            if i % 3 == 1:
+                overrides = {"do_sample": True, "temperature": 0.9, "top_p": 0.8}
+            elif i % 3 == 2:
+                overrides = {"do_sample": False}
+            sched.submit(Request(
+                input_ids=ids, pixel_values=None, img_start_pos=None,
+                max_new_tokens=int(rng.integers(2, 10)), out=q_,
+                sampling_overrides=overrides,
+            ))
+            queues.append(q_)
+        done = 0
+        for q_ in queues:
+            while True:
+                kind, payload = q_.get(timeout=600)
+                if kind == "done":
+                    done += 1
+                    assert len(payload) >= 1
+                    break
+                assert kind == "token"
+    finally:
+        sched.stop()
+    assert done == 16
+    assert len(paged._free) == free_before  # no block leaks
 
 
 def test_paged_multimodal_row(setup):
