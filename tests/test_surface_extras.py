@@ -22,6 +22,29 @@ def test_tokenizer_hf_aliases():
     assert all(isinstance(t, str) for t in tok.tokenize("ab"))
 
 
+def test_extend_to_resolution(tmp_path):
+    import visualcla_tpu as v
+    from tests.test_api import make_native_ckpt
+    from visualcla_tpu.engine.sampling import SamplingConfig
+
+    ckpt, cfg = make_native_ckpt(str(tmp_path))
+    model, tok, _ = v.get_model_and_tokenizer_and_processor(
+        visualcla_model=ckpt, dtype=jnp.float32, max_seq_len=256
+    )
+    old_size = cfg.vision_config.image_size  # 28 (2x2 patch grid)
+    new_size = old_size * 2  # 4x4 grid
+    model.extend_to_resolution(new_size)
+    assert model.config.vision_config.image_size == new_size
+    grid = (new_size // cfg.vision_config.patch_size) ** 2
+    assert model.params["vision"]["position_embedding"].shape[0] == grid + 1
+    # chat still runs at the new resolution
+    pix = np.random.default_rng(0).standard_normal(
+        (1, 3, new_size, new_size)).astype(np.float32)
+    resp, _ = v.chat(model, pix, "ab", [],
+                     SamplingConfig.greedy(max_new_tokens=4), verbose=False)
+    assert isinstance(resp, str)
+
+
 def test_resize_token_embeddings():
     cfg = tiny_visualcla_config(vocab_size=100)
     params = vmod.init_params(jax.random.PRNGKey(0), cfg, jnp.float32)

@@ -109,6 +109,33 @@ class VisualCLA:
         return self.engine.stream(input_ids, pixel_values, img_pos, sampling,
                                   seed=seed, chunk_size=chunk_size)
 
+    def extend_to_resolution(self, after: int) -> None:
+        """Bicubic-resize the ViT position table for a larger input resolution
+        and update configs/processor accordingly (usable wrapper around the
+        reference's extend_position_embedding, modeling_visualcla.py:13-43).
+        When the resampler is disabled (num_query_tokens == -1) the image token
+        budget grows to the new patch count."""
+        import dataclasses
+
+        from .models.clip_vit import extend_position_embedding
+
+        vcfg = self.config.vision_config
+        params = dict(self.params)
+        params["vision"] = extend_position_embedding(
+            dict(params["vision"]), vcfg.patch_size, after
+        )
+        self.params = params
+        self.engine.params = params
+        self.config = dataclasses.replace(
+            self.config,
+            vision_config=dataclasses.replace(vcfg, image_size=after),
+        )
+        self.engine.cfg = self.config
+        self.image_processor.image_size = after
+        self.image_processor.crop_size = after
+        if self.config.visual_resampler_config.num_query_tokens == -1:
+            self.num_patch = (after // vcfg.patch_size) ** 2 + 1
+
     # -- reference constructor surface (modeling_visualcla.py:120/183) --------
 
     @classmethod
