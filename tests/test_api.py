@@ -107,6 +107,40 @@ def test_chat_stream_matches_blocking(loaded):
     assert hist[-1]["value"] == final
 
 
+def test_load_reference_merged_dir_with_int8(tmp_path):
+    """get_model... on a reference-layout merged dir (in-memory conversion)
+    with load_in_8bit: quantized text tower, chat runs."""
+    import visualcla_tpu as v
+    from tests.test_checkpoint import build_merged_dir
+    from visualcla_tpu.ops.quantization import is_quantized
+    from visualcla_tpu.processor import ImageProcessor
+    from visualcla_tpu.text import build_test_model
+
+    merged, (text, vision, resampler, proj) = build_merged_dir(str(tmp_path))
+    chars = sorted(set("abcdefgh 图片?"))
+    sp = build_test_model(chars + ["ab"], [-100.0] * len(chars) + [-1.0],
+                          byte_fallback=False)
+    sp.save(os.path.join(merged, "tokenizer.model"))
+    with open(os.path.join(merged, "added_tokens.json"), "w") as f:
+        json.dump({"<pad>": sp.vocab_size, "<img>": sp.vocab_size + 1,
+                   "</img>": sp.vocab_size + 2, "<img_token>": sp.vocab_size + 3}, f)
+    ImageProcessor(image_size=28, crop_size=28).save_pretrained(merged)
+
+    model, tok, proc = v.get_model_and_tokenizer_and_processor(
+        visualcla_model=merged, load_in_8bit=True,
+        dtype=jnp.float32, max_seq_len=128,
+    )
+    assert is_quantized(model.params["text"]["layers"]["q_proj"])
+    assert not is_quantized(model.params["vision"]["layers"]["q_proj"])
+    from visualcla_tpu.api import chat
+
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, (40, 40, 3), dtype=np.uint8)
+    resp, hist = chat(model, img, "ab",
+                      [], SamplingConfig.greedy(max_new_tokens=4), verbose=False)
+    assert isinstance(resp, str)
+
+
 def test_int8_quantization_close():
     from visualcla_tpu.ops.quantization import quantize_tree
     from visualcla_tpu.train import train_forward_logits

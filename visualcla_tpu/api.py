@@ -284,12 +284,9 @@ def get_model_and_tokenizer_and_processor(
                 tmp, dtype="float32" if dtype == jnp.float32 else "bfloat16",
                 vocab_size=len(tokenizer),
             )
-            params, cfg = load_checkpoint(tmp, mesh=mesh, dtype=dtype)
-
-    if load_in_8bit:
-        from .ops.quantization import quantize_tree
-
-        params = quantize_tree(params)
+            params, cfg = load_checkpoint(
+                tmp, mesh=mesh, dtype=dtype, quantize_int8=load_in_8bit
+            )
 
     proc_src = visualcla_model or vision_model or lora_model
     if proc_src and os.path.exists(os.path.join(proc_src, "preprocessor_config.json")):
