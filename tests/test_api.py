@@ -128,14 +128,16 @@ def test_load_reference_merged_dir_with_int8(tmp_path):
 
     model, tok, proc = v.get_model_and_tokenizer_and_processor(
         visualcla_model=merged, load_in_8bit=True,
-        dtype=jnp.float32, max_seq_len=128,
+        dtype=jnp.float32, max_seq_len=256,
     )
     assert is_quantized(model.params["text"]["layers"]["q_proj"])
     assert not is_quantized(model.params["vision"]["layers"]["q_proj"])
     from visualcla_tpu.api import chat
 
+    from PIL import Image
+
     rng = np.random.default_rng(0)
-    img = rng.integers(0, 256, (40, 40, 3), dtype=np.uint8)
+    img = Image.fromarray(rng.integers(0, 256, (40, 40, 3), dtype=np.uint8))
     resp, hist = chat(model, img, "ab",
                       [], SamplingConfig.greedy(max_new_tokens=4), verbose=False)
     assert isinstance(resp, str)
