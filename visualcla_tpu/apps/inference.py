@@ -36,6 +36,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", default=-1, type=int, help="sampling seed")
     p.add_argument("--stream", action="store_true",
                    help="stream tokens as they decode")
+    p.add_argument("--stream_chunk", type=int, default=8,
+                   help="tokens decoded per device dispatch while streaming "
+                        "(amortizes dispatch latency; display stays per-token)")
     return p
 
 
@@ -100,7 +103,7 @@ def main(argv=None):
                 printed = 0
                 for response, history in chat_in_stream(
                     model, image=image_path, text=text, history=history,
-                    verbose=False, seed=seed,
+                    verbose=False, seed=seed, chunk_size=args.stream_chunk,
                 ):
                     print(response[printed:], end="", flush=True)
                     printed = len(response)
