@@ -64,6 +64,32 @@ def test_native_fuzz_random_strings(native_and_model):
         assert native.encode(s) == sp_bpe.encode(sp, s), repr(s)
 
 
+def test_no_native_env_falls_back(monkeypatch):
+    """VISUALCLA_NO_NATIVE=1 forces the pure-Python paths everywhere."""
+    monkeypatch.setenv("VISUALCLA_NO_NATIVE", "1")
+    import importlib
+
+    from visualcla_tpu.processor import image as img_mod
+    from visualcla_tpu.processor import native_img
+    from visualcla_tpu.text import VisualCLATokenizer
+    from visualcla_tpu.text import native_tok
+
+    # fresh lib state: the loaders check the env at build time
+    monkeypatch.setattr(native_img, "_LIB", None)
+    monkeypatch.setattr(native_tok, "_LIB", None)
+    sp = build_test_model(["a", "b", "ab"], [-3.0, -2.0, -1.0])
+    tok = VisualCLATokenizer(sp, use_native=True)
+    assert tok._native is None  # fell back silently
+    assert tok.encode("ab") == sp_bpe.encode(sp, "ab")
+
+    ip = img_mod.ImageProcessor(use_native=True)
+    assert not ip._native
+    out = ip.preprocess_one(
+        np.random.default_rng(0).integers(0, 256, (64, 64, 3), dtype=np.uint8)
+    )
+    assert out.shape == (3, 224, 224)
+
+
 def test_remove_extra_whitespaces_mode():
     """Both implementations honor remove_extra_whitespaces=True identically."""
     import dataclasses
