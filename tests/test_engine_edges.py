@@ -60,3 +60,14 @@ def test_as_sampling_config_from_hf_generation_config():
 def test_as_sampling_config_dict_ignores_unknown():
     sc = as_sampling_config({"max_new_tokens": 5, "bogus_field": 1})
     assert sc.max_new_tokens == 5
+
+
+def test_load_generation_preset_errors():
+    from visualcla_tpu.api import load_generation_preset
+
+    with pytest.raises(KeyError):
+        load_generation_preset("nope")
+    with pytest.raises(KeyError):
+        load_generation_preset("_server")  # private section not a preset
+    tfs = load_generation_preset("TFS")
+    assert tfs.tfs == 0.95 and tfs.do_sample
