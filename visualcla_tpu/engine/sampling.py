@@ -15,7 +15,7 @@ VisualCLA path, modeling_visualcla.py:382): the penalty/ngram context is the
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
