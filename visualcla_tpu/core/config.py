@@ -158,6 +158,41 @@ class VisualCLAConfig:
             return cls.from_hf_dict(json.load(f))
 
 
+# LLaMA family dims, keyed like the reference merge script's emb_to_model_size
+# (scripts/merge_llama_with_visualcla_lora.py:30-35: 4096->7B ... 8192->65B)
+LLAMA_SIZES = {
+    "7B": dict(hidden_size=4096, intermediate_size=11008,
+               num_hidden_layers=32, num_attention_heads=32),
+    "13B": dict(hidden_size=5120, intermediate_size=13824,
+                num_hidden_layers=40, num_attention_heads=40),
+    "33B": dict(hidden_size=6656, intermediate_size=17920,
+                num_hidden_layers=60, num_attention_heads=52),
+    "65B": dict(hidden_size=8192, intermediate_size=22016,
+                num_hidden_layers=80, num_attention_heads=64),
+}
+EMB_TO_MODEL_SIZE = {4096: "7B", 5120: "13B", 6656: "33B", 8192: "65B"}
+
+
+def llama_config_for_size(size: str, vocab_size: int = 49958) -> LlamaConfig:
+    """LlamaConfig for a named family size ('7B'...'65B')."""
+    return LlamaConfig(vocab_size=vocab_size, **LLAMA_SIZES[size])
+
+
+def visualcla_config_for_size(size: str = "7B",
+                              vocab_size: int = 49958) -> VisualCLAConfig:
+    """Composite config for a VisualCLA variant at any LLaMA family size
+    (vision tower and 6L/64q resampler as shipped)."""
+    return VisualCLAConfig(
+        text_config=llama_config_for_size(size, vocab_size),
+        vision_config=ViTConfig(),
+        visual_resampler_config=ResamplerConfig(
+            hidden_size=1024, num_hidden_layers=6, num_attention_heads=16,
+            intermediate_size=4096, num_query_tokens=64,
+            add_pooling_layer=False,
+        ),
+    )
+
+
 def tiny_visualcla_config(
     vocab_size: int = 128,
     hidden_size: int = 16,
