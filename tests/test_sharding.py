@@ -136,6 +136,15 @@ def test_sequence_sharded_forward(mesh8):
     np.testing.assert_allclose(np.asarray(out), ref, atol=1e-4, rtol=1e-4)
 
 
+def test_pod_mesh_shapes(mesh8):
+    from visualcla_tpu.parallel.distributed import pod_mesh
+
+    m = pod_mesh(n_data=2)
+    assert m.shape == {"data": 2, "model": len(jax.devices()) // 2}
+    m1 = pod_mesh(n_data=1)
+    assert m1.shape["model"] == len(jax.devices())
+
+
 def test_spec_validation_skips_indivisible_dims(mesh8):
     # hidden=16 with model=4 divides; a 6-dim axis must fall back to replicated
     spec = sharding._valid_spec(P(None, "model"), (3, 6), mesh8)
