@@ -1,5 +1,9 @@
 """Linear-application dispatch: dense | int8-quantized | LoRA-augmented.
 
+Covers the reference's three weight regimes in one leaf type: dense merged
+weights, bitsandbytes-style int8 (reference modeling_visualcla.py:155), and
+PEFT LoRA adapters (reference scripts/inference/inference.py:66-74).
+
 A "weight" leaf in a param tree can be:
 - a plain array W (in, out) — dense matmul;
 - {"q", "scale"} — int8 weight-only quantization (ops/quantization.py);

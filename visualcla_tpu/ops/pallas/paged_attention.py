@@ -1,5 +1,9 @@
 """Paged decode attention — flash-decoding over a block-paged KV pool.
 
+Replaces the per-step KV handling of HF generate (the reference's decode hot
+loop, modeling_visualcla.py:382-391) for the serving configuration
+(BASELINE.json north star: "paged KV cache").
+
 The serving engine stores KV in fixed-size blocks drawn from a global pool
 (``(num_blocks, block_size, Nkv, hd)`` per layer) with a per-row block table,
 so a row's context costs ceil(len/block_size) blocks instead of a full

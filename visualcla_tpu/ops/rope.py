@@ -1,5 +1,9 @@
 """Rotary position embeddings, HF-Llama convention (split-half rotate).
 
+(The reference delegates RoPE to HF LlamaForCausalLM — used at
+modeling_visualcla.py:151-156; this module is the numerics-defining
+replacement.)
+
 cos/sin are computed in fp32 and cast to the activation dtype before the
 elementwise multiply, matching HF ``LlamaRotaryEmbedding`` +
 ``apply_rotary_pos_emb`` so greedy decode stays token-identical.

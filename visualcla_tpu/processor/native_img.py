@@ -1,5 +1,8 @@
 """ctypes bindings for the native image preprocessing core (csrc/imgproc.cpp).
 
+(The reference's equivalent native dependency is Pillow's C resampling under
+CLIPImageProcessor — modeling_utils.py:149-154.)
+
 Same lazy-build pattern as text/native_tok.py; falls back to the numpy path in
 ``pil_resample`` when no toolchain is available (ImageProcessor handles that).
 """

@@ -1,5 +1,8 @@
 """ctypes bindings for the native tokenizer core (csrc/sptok.cpp).
 
+(The reference's equivalent native dependency is the sentencepiece C++ core
+under LlamaTokenizer — modeling_utils.py:94.)
+
 The shared library builds lazily (one g++ invocation, cached next to the
 source); environments without a toolchain fall back to the pure-Python
 ``sp_bpe`` automatically (tokenizer.py catches any failure here).
