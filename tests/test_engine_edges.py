@@ -71,3 +71,20 @@ def test_load_generation_preset_errors():
         load_generation_preset("_server")  # private section not a preset
     tfs = load_generation_preset("TFS")
     assert tfs.tfs == 0.95 and tfs.do_sample
+
+
+def test_top_bucket_prompt_still_gets_decode_headroom():
+    """Regression: a prompt landing in a bucket == max_seq_len used to leave
+    zero cache room, silently truncating generation to the prefill token.
+    The cache must grow so all max_new_tokens decode slots exist."""
+    cfg = tiny_visualcla_config(vocab_size=64)
+    params = vmod.init_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+    eng = Engine(params, cfg, eos_token_id=2, pad_token_id=0,
+                 max_seq_len=32, prompt_buckets=(32,), dtype=jnp.float32)
+    ids = np.random.default_rng(0).integers(3, 60, size=(1, 30)).astype(np.int64)
+    scfg = SamplingConfig.greedy(max_new_tokens=8)
+    out = eng.generate(ids, None, None, scfg)
+    assert out.shape[1] == 8 or 2 in out[0]  # full length unless EOS fired
+    # streaming honors the grown cache too
+    toks = list(eng.stream(ids, None, None, scfg))
+    assert len(toks) == out.shape[1]

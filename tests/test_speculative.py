@@ -1,0 +1,190 @@
+"""Prompt-lookup speculative decoding: token-identity vs the plain Engine.
+
+Speculation must never change outputs — every test asserts EXACT id equality
+against ``Engine.generate`` for the same deterministic config (the same
+guarantee the reference's one-token-per-step HF loop gives,
+modeling_visualcla.py:382-391), while the stats prove drafts are accepted.
+"""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from visualcla_tpu.engine.generate import Engine
+from visualcla_tpu.engine.sampling import SamplingConfig
+from visualcla_tpu.engine.speculative import SpeculativeDecoder, ngram_draft
+
+from .test_generate import EOS, build_composite, make_prompt
+
+
+def tiny_engine(params, cfg, buckets=(32,)):
+    return Engine(
+        params, cfg, eos_token_id=EOS, pad_token_id=0,
+        max_seq_len=64, prompt_buckets=buckets, dtype=jnp.float64,
+    )
+
+
+def assert_rows_equal(plain, spec, pad=0):
+    """Same tokens per row, ignoring trailing pad (row lengths may differ
+    because plain Engine pads to a global gen_len)."""
+    assert plain.shape[0] == spec.shape[0]
+    for b in range(plain.shape[0]):
+        a = plain[b][plain[b] != pad] if pad is not None else plain[b]
+        c = spec[b][spec[b] != pad] if pad is not None else spec[b]
+        np.testing.assert_array_equal(a, c)
+
+
+class TestNgramDraft:
+    def test_copies_continuation_of_last_ngram(self):
+        # context ...[7 8 9 4 5] with earlier [4 5] followed by [6 7 8]
+        ctx = jnp.asarray([3, 4, 5, 6, 7, 8, 9, 4, 5, 0, 0, 0], jnp.int32)
+        d = ngram_draft(ctx, jnp.int32(0), jnp.int32(9), k=3, max_ngram=3)
+        np.testing.assert_array_equal(np.asarray(d), [6, 7, 8])
+
+    def test_prefers_larger_ngram(self):
+        # last trigram [1 2 3] occurs earlier (→ 9); last unigram [3] also at
+        # pos 5 (→ 7).  Trigram match must win.
+        ctx = jnp.asarray([1, 2, 3, 9, 8, 3, 7, 1, 2, 3, 0, 0, 0], jnp.int32)
+        d = ngram_draft(ctx, jnp.int32(0), jnp.int32(10), k=1, max_ngram=3)
+        np.testing.assert_array_equal(np.asarray(d), [9])
+
+    def test_no_match_falls_back_to_last_token(self):
+        ctx = jnp.asarray([1, 2, 3, 4, 5, 0, 0], jnp.int32)
+        d = ngram_draft(ctx, jnp.int32(0), jnp.int32(5), k=2, max_ngram=3)
+        np.testing.assert_array_equal(np.asarray(d), [5, 5])
+
+    def test_respects_start_boundary(self):
+        # the only earlier [4] continuation sits before start → fallback
+        ctx = jnp.asarray([4, 9, 1, 2, 4, 0, 0], jnp.int32)
+        d = ngram_draft(ctx, jnp.int32(2), jnp.int32(5), k=1, max_ngram=1)
+        np.testing.assert_array_equal(np.asarray(d), [4])
+
+
+class TestSpeculativeIdentity:
+    def test_multimodal_matches_plain_greedy(self):
+        models, cfg, params = build_composite()
+        rng = np.random.default_rng(11)
+        ids = make_prompt(rng)
+        pixels = rng.normal(size=(1, 3, 28, 28))
+        img_pos = np.asarray([3], np.int32)
+        eng = tiny_engine(params, cfg)
+        scfg = SamplingConfig.greedy(max_new_tokens=12)
+        plain = eng.generate(ids, pixels, img_pos, scfg)
+        spec = SpeculativeDecoder(eng, spec_k=4, max_ngram=3).generate(
+            ids, pixels, img_pos, scfg
+        )
+        assert_rows_equal(plain, spec)
+
+    def test_text_only_matches_plain_greedy(self):
+        models, cfg, params = build_composite()
+        rng = np.random.default_rng(13)
+        ids = rng.integers(3, 90, size=(1, 10)).astype(np.int64)
+        ids[0, 0] = 1
+        eng = tiny_engine(params, cfg, buckets=(16,))
+        scfg = SamplingConfig.greedy(max_new_tokens=16)
+        plain = eng.generate(ids, None, None, scfg)
+        dec = SpeculativeDecoder(eng, spec_k=5, max_ngram=3)
+        spec = dec.generate(ids, None, None, scfg)
+        assert_rows_equal(plain, spec)
+        assert dec.last_stats["chunks"] >= 1
+
+    def test_batch_rows_advance_independently(self):
+        models, cfg, params = build_composite()
+        rng = np.random.default_rng(23)
+        ids = rng.integers(3, 90, size=(3, 10)).astype(np.int64)
+        ids[:, 0] = 1
+        eng = tiny_engine(params, cfg, buckets=(16,))
+        scfg = SamplingConfig.greedy(max_new_tokens=10)
+        plain = eng.generate(ids, None, None, scfg)
+        spec = SpeculativeDecoder(eng, spec_k=3).generate(ids, None, None, scfg)
+        assert_rows_equal(plain, spec)
+
+    def test_greedy_with_processors_matches(self):
+        """Greedy + context-dependent processors (rep-penalty, no-repeat-ngram,
+        min_new_tokens) goes through the sequential verifier and stays exact."""
+        models, cfg, params = build_composite()
+        rng = np.random.default_rng(29)
+        ids = rng.integers(3, 90, size=(1, 10)).astype(np.int64)
+        ids[0, 0] = 1
+        eng = tiny_engine(params, cfg, buckets=(16,))
+        scfg = SamplingConfig(
+            max_new_tokens=12, do_sample=False, temperature=1.0,
+            top_k=0, top_p=1.0, repetition_penalty=1.3,
+            no_repeat_ngram_size=3, min_new_tokens=4, eos_token_id=EOS,
+        )
+        plain = eng.generate(ids, None, None, scfg)
+        spec = SpeculativeDecoder(eng, spec_k=4).generate(ids, None, None, scfg)
+        assert_rows_equal(plain, spec)
+
+    def test_repetitive_prompt_accepts_drafts(self):
+        """A looping context must yield >1 emitted token per verify chunk —
+        otherwise speculation is doing nothing."""
+        models, cfg, params = build_composite()
+        ids = np.asarray([[1] + [7, 8, 9, 10] * 3], np.int64)  # strong ngrams
+        eng = tiny_engine(params, cfg, buckets=(16,))
+        scfg = SamplingConfig.greedy(max_new_tokens=24)
+        dec = SpeculativeDecoder(eng, spec_k=6, max_ngram=3)
+        spec = dec.generate(ids, None, None, scfg)
+        plain = eng.generate(ids, None, None, scfg)
+        assert_rows_equal(plain, spec)
+        # tiny random models are often repetitive; require measurable acceptance
+        assert dec.last_stats["tokens_per_chunk"] > 1.0
+
+    def test_eos_cut_is_exact(self):
+        """When plain greedy hits EOS, speculative output ends at the same spot
+        (no draft echo past EOS)."""
+        models, cfg, params = build_composite()
+        rng = np.random.default_rng(31)
+        # scan seeds until plain decode emits EOS before max_new_tokens
+        eng = tiny_engine(params, cfg, buckets=(16,))
+        scfg = SamplingConfig.greedy(max_new_tokens=20)
+        found = None
+        for seed in range(40):
+            ids = rng.integers(3, 90, size=(1, 10)).astype(np.int64)
+            ids[0, 0] = 1
+            out = eng.generate(ids, None, None, scfg)
+            if EOS in out[0]:
+                found = (ids, out)
+                break
+        if found is None:
+            pytest.skip("no EOS-terminating prompt found for the tiny model")
+        ids, plain = found
+        spec = SpeculativeDecoder(eng, spec_k=4).generate(ids, None, None, scfg)
+        assert_rows_equal(plain, spec)
+        assert EOS in spec[0]
+
+    def test_rejects_sampled_configs(self):
+        models, cfg, params = build_composite()
+        eng = tiny_engine(params, cfg)
+        with pytest.raises(ValueError):
+            SpeculativeDecoder(eng).generate(
+                np.ones((1, 4), np.int64), None, None,
+                SamplingConfig(do_sample=True),
+            )
+
+
+class TestChatIntegration:
+    def test_chat_speculative_matches_blocking(self, tmp_path_factory):
+        """chat(speculative=True) is token-identical to plain greedy chat."""
+        import jax.numpy as jnp
+
+        import visualcla_tpu as v
+        from visualcla_tpu.api import chat
+
+        from .test_api import make_native_ckpt
+
+        tmp = str(tmp_path_factory.mktemp("spec_api"))
+        ckpt, cfg = make_native_ckpt(tmp)
+        model, _, _ = v.get_model_and_tokenizer_and_processor(
+            visualcla_model=ckpt, dtype=jnp.float32, max_seq_len=256
+        )
+        pix = np.asarray(
+            np.random.default_rng(5).standard_normal(
+                (1, 3, cfg.vision_config.image_size, cfg.vision_config.image_size)
+            ),
+            np.float32,
+        )
+        gc = SamplingConfig.greedy(max_new_tokens=8)
+        plain, _ = chat(model, pix, "ab", [], gc, verbose=False)
+        spec, _ = chat(model, pix, "ab", [], gc, verbose=False, speculative=True)
+        assert plain == spec

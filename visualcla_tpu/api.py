@@ -71,6 +71,19 @@ class VisualCLA:
             mesh=mesh,
         )
 
+    def speculative_decoder(self, spec_k: int = 8, max_ngram: int = 3):
+        """Cached prompt-lookup speculative decoder over this model's engine
+        (greedy-exact; see engine/speculative.py)."""
+        from .engine.speculative import SpeculativeDecoder
+
+        key = (spec_k, max_ngram)
+        cache = getattr(self, "_spec_decoders", None)
+        if cache is None:
+            cache = self._spec_decoders = {}
+        if key not in cache:
+            cache[key] = SpeculativeDecoder(self.engine, spec_k, max_ngram)
+        return cache[key]
+
     # reference VisualCLAModel.generate contract: returns generated-only ids
     def generate(
         self,
@@ -79,6 +92,8 @@ class VisualCLA:
         pixel_values: Optional[np.ndarray] = None,
         generation_config: Optional[SamplingConfig] = None,
         seed: int = 0,
+        speculative: bool = False,
+        spec_k: int = 8,
     ) -> np.ndarray:
         sampling = as_sampling_config(generation_config)
         img_pos = img_marker_positions(input_ids, self.tokenizer.img_start_token_id)
@@ -97,6 +112,10 @@ class VisualCLA:
                 dtype=self.engine.dtype,
             )
             return out[None]
+        if speculative and not sampling.do_sample:
+            return self.speculative_decoder(spec_k).generate(
+                input_ids, pixel_values, img_pos, sampling, seed=seed
+            )
         return self.engine.generate(
             input_ids, pixel_values, img_pos, sampling, seed=seed
         )
@@ -352,8 +371,12 @@ def chat(
     *,
     verbose: bool = True,
     seed: int = 0,
+    speculative: bool = False,
 ) -> Tuple[str, list]:
-    """Blocking chat turn.  Mutates+returns history like the reference."""
+    """Blocking chat turn.  Mutates+returns history like the reference.
+
+    ``speculative=True`` enables prompt-lookup speculative decoding for
+    deterministic configs (token-identical output, fewer device dispatches)."""
     if history is None:
         history = []
     test_input, pixel_values = _prepare_inputs(model, image, text, history)
@@ -363,6 +386,7 @@ def chat(
         pixel_values=pixel_values,
         generation_config=generation_config,
         seed=seed,
+        speculative=speculative,
     )
     response = model.tokenizer.decode(outputs[0], skip_special_tokens=True)
     history.append({"type": "response", "value": response})

@@ -226,8 +226,15 @@ class Engine:
         img_start_pos: Optional[np.ndarray],  # (B,) or None
         sampling: SamplingConfig,
         seed: int = 0,
+        extra_slots: int = 0,
     ) -> DecodeState:
-        """Run prefill (+ first sampled token).  Returns device DecodeState."""
+        """Run prefill (+ first sampled token).  Returns device DecodeState.
+
+        The KV cache is ``max_seq_len`` slots, grown (in 256-slot steps, to
+        bound compile variants) when prompt bucket + max_new_tokens needs more —
+        otherwise a prompt landing in the top bucket would silently leave no
+        decode room.  ``extra_slots`` requests additional headroom (speculative
+        verify chunks)."""
         input_ids = np.asarray(input_ids, np.int32)
         B, S = input_ids.shape
         padded, mask = self.pad_prompt(input_ids)
@@ -240,8 +247,12 @@ class Engine:
             ).astype(np.int32)
         if pixel_values is not None:
             pixel_values = jnp.asarray(pixel_values, self.dtype)
+        need = padded.shape[1] + sampling.max_new_tokens + extra_slots
+        cache_len = self.max_seq_len
+        if need > cache_len:
+            cache_len = -(-need // 256) * 256
         cache = llama.init_kv_cache(
-            self.cfg.text_config, B, self.max_seq_len, self.dtype
+            self.cfg.text_config, B, cache_len, self.dtype
         )
         if self.mesh is not None:
             from jax.sharding import NamedSharding
@@ -307,7 +318,7 @@ class Engine:
         while (
             int(state.gen_len) < sampling.max_new_tokens
             and not bool(np.all(np.asarray(state.finished)))
-            and int(state.cur_slot) < self.max_seq_len
+            and int(state.cur_slot) < state.kv_valid.shape[1]
         ):
             if chunk_size <= 1:
                 state = self._decode_step(self.params, state, sampling)
