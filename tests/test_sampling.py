@@ -204,3 +204,65 @@ class TestWarpersVsHF:
             jax.random.PRNGKey(0), jnp.zeros((1,)), cfg,
         )
         assert int(token[0]) == 1
+
+
+class TestFusedTopKTopP:
+    """warp_top_k_top_p_fused must be bit-identical to the sequential warpers
+    (it replaces three full-vocab sorts per sampled decode step)."""
+
+    def _check(self, logits, k, p):
+        from visualcla_tpu.engine.sampling import (
+            warp_top_k, warp_top_k_top_p_fused, warp_top_p,
+        )
+
+        seq = np.asarray(warp_top_p(warp_top_k(jnp.asarray(logits), k), p))
+        fused = np.asarray(warp_top_k_top_p_fused(jnp.asarray(logits), k, p))
+        np.testing.assert_array_equal(seq, fused)
+
+    def test_random_logits_many_configs(self):
+        rng = np.random.default_rng(0)
+        for k, p in [(40, 0.9), (5, 0.5), (1, 0.9), (100, 0.99), (40, 0.1)]:
+            for _ in range(5):
+                logits = rng.standard_normal((3, 512)).astype(np.float32) * 4
+                self._check(logits, k, p)
+
+    def test_k_larger_than_subset_window(self):
+        rng = np.random.default_rng(1)
+        # M = max(2k,128) capped at V: force the M == V corner
+        logits = rng.standard_normal((2, 200)).astype(np.float32)
+        self._check(logits, 150, 0.8)
+
+    def test_boundary_ties_fall_back_exactly(self):
+        # a long run of identical values straddling the subset boundary must
+        # trigger the sequential fallback and still match bit-for-bit
+        rng = np.random.default_rng(2)
+        logits = rng.standard_normal((1, 512)).astype(np.float32)
+        logits[0, 10:300] = 1.5  # 290 tied values, k=40 -> ties beyond M=128
+        self._check(logits, 40, 0.9)
+
+    def test_sample_step_tokens_unchanged_default_config(self):
+        """End-to-end: sample_step with the reference default config draws the
+        same tokens as the explicit sequential warpers with the same key."""
+        from visualcla_tpu.engine.sampling import (
+            SamplingConfig, apply_no_repeat_ngram, apply_repetition_penalty,
+            sample_step, warp_temperature, warp_top_k, warp_top_p,
+        )
+
+        rng = np.random.default_rng(3)
+        cfg = SamplingConfig(max_new_tokens=4)  # default: T=.5 k=40 p=.9 rp=1.1
+        B, V, T = 2, 300, 6
+        logits = jnp.asarray(rng.standard_normal((B, V)).astype(np.float32) * 3)
+        gen_ids = jnp.asarray(rng.integers(0, V, (B, T)).astype(np.int32))
+        gen_len = jnp.asarray([3, 5], jnp.int32)
+        key = jax.random.PRNGKey(7)
+        mu = jnp.zeros((B,), jnp.float32)
+        tok, _ = sample_step(logits, gen_ids, gen_len, key, mu, cfg)
+
+        ref = logits.astype(jnp.float32)
+        gen_valid = jnp.arange(T)[None, :] < gen_len[:, None]
+        ref = apply_repetition_penalty(ref, gen_ids, gen_valid, cfg.repetition_penalty)
+        ref = apply_no_repeat_ngram(ref, gen_ids, gen_len, cfg.no_repeat_ngram_size)
+        ref = warp_temperature(ref, cfg.temperature)
+        ref = warp_top_p(warp_top_k(ref, cfg.top_k), cfg.top_p)
+        ref_tok = jax.random.categorical(key, ref, axis=-1).astype(jnp.int32)
+        np.testing.assert_array_equal(np.asarray(tok), np.asarray(ref_tok))

@@ -135,7 +135,8 @@ def warp_top_k(logits: jnp.ndarray, k: int) -> jnp.ndarray:
         return logits
     V = logits.shape[-1]
     k = min(k, V)
-    kth = jnp.sort(logits, axis=-1)[..., -k][..., None]
+    # lax.top_k finds the k-th value without a full-vocab sort (HF keeps ties)
+    kth = jax.lax.top_k(logits, k)[0][..., -1][..., None]
     return jnp.where(logits < kth, NEG_INF, logits)
 
 
@@ -154,6 +155,52 @@ def warp_top_p(logits: jnp.ndarray, p: float, min_tokens_to_keep: int = 1) -> jn
     remove = jnp.zeros_like(remove_sorted)
     remove = jnp.put_along_axis(remove, sorted_idx, remove_sorted, axis=-1, inplace=False)
     return jnp.where(remove, NEG_INF, logits)
+
+
+def warp_top_k_top_p_fused(
+    logits: jnp.ndarray, k: int, p: float
+) -> jnp.ndarray:
+    """Exact fusion of ``warp_top_p(warp_top_k(logits, k), p)`` without
+    full-vocab sorts.
+
+    The sequential warpers cost three ~50k-element sorts per decode step
+    (top-k's sort, top-p's sort + argsort).  After top-k only ~k logits are
+    finite, so top-p's cumulative only needs the top slice: take the top
+    M >= k values with ``lax.top_k`` (O(V·log M)), do all masking on that
+    (B, M) slice, and scatter the keep-mask back.  Values are never modified —
+    both warpers only mask — so the output is bit-identical to the sequential
+    path.  The one hazard is a value *tie* spanning the M boundary (HF's top-k
+    keeps every token equal to the k-th value); if detected, fall back to the
+    sequential warpers inside ``lax.cond``.
+    """
+    B, V = logits.shape
+    if k <= 0 or k >= V:  # top-k inactive; semantics differ — caller guards
+        return warp_top_p(warp_top_k(logits, k), p)
+    M = min(max(2 * k, 128), V)
+
+    vals, idx = jax.lax.top_k(logits, M)  # (B, M) descending
+    kth = vals[:, k - 1 : k]  # threshold value (ties kept, like HF)
+    keep_k = vals >= kth
+    # tie across the M boundary: tokens beyond M might equal kth → fallback
+    tie_risk = (M < V) & jnp.any(vals[:, -1:] >= kth)
+
+    def fused(_):
+        probs = jax.nn.softmax(jnp.where(keep_k, vals, NEG_INF), axis=-1)
+        # HF removes ascending-cum <= 1-p ⇔ keep iff inclusive descending
+        # suffix mass > 1-p; suffix_inc = total - exclusive prefix
+        prefix_exc = jnp.cumsum(probs, axis=-1) - probs
+        suffix_inc = jnp.sum(probs, axis=-1, keepdims=True) - prefix_exc
+        keep_p = suffix_inc > (1.0 - p)
+        keep = keep_k & keep_p
+        keep = keep.at[:, 0].set(True)  # min_tokens_to_keep=1
+        out = jnp.full_like(logits, NEG_INF)
+        rows = jnp.arange(B)[:, None]
+        return out.at[rows, idx].set(jnp.where(keep, vals, NEG_INF))
+
+    def sequential(_):
+        return warp_top_p(warp_top_k(logits, k), p)
+
+    return jax.lax.cond(tie_risk, sequential, fused, operand=None)
 
 
 def warp_tfs(logits: jnp.ndarray, tfs: float, min_tokens_to_keep: int = 1) -> jnp.ndarray:
@@ -337,14 +384,20 @@ def sample_step(
         token, mu = mirostat_step(logits, mu, key, cfg.mirostat_tau, cfg.mirostat_eta)
         return token.astype(jnp.int32), mu
 
-    if cfg.top_k > 0:
-        logits = warp_top_k(logits, cfg.top_k)
-    if cfg.top_p < 1.0:
-        logits = warp_top_p(logits, cfg.top_p)
-    if cfg.tfs < 1.0:
-        logits = warp_tfs(logits, cfg.tfs)
-    if cfg.top_a > 0.0:
-        logits = warp_top_a(logits, cfg.top_a)
+    if (cfg.top_k > 0 and cfg.top_p < 1.0 and cfg.tfs >= 1.0
+            and cfg.top_a <= 0.0):
+        # the reference's default config (top_k=40, top_p=0.9): fused sortless
+        # path, bit-identical to the sequential warpers
+        logits = warp_top_k_top_p_fused(logits, cfg.top_k, cfg.top_p)
+    else:
+        if cfg.top_k > 0:
+            logits = warp_top_k(logits, cfg.top_k)
+        if cfg.top_p < 1.0:
+            logits = warp_top_p(logits, cfg.top_p)
+        if cfg.tfs < 1.0:
+            logits = warp_tfs(logits, cfg.tfs)
+        if cfg.top_a > 0.0:
+            logits = warp_top_a(logits, cfg.top_a)
 
     token = jax.random.categorical(key, logits, axis=-1)
     return token.astype(jnp.int32), mu
