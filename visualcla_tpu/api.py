@@ -46,6 +46,7 @@ class VisualCLA:
         dtype=None,
         max_seq_len: int = 2048,
         mesh=None,
+        kv_quant: str = "none",
     ):
         import jax.numpy as jnp
 
@@ -69,6 +70,7 @@ class VisualCLA:
             max_seq_len=max_seq_len,
             dtype=dtype if dtype is not None else jnp.bfloat16,
             mesh=mesh,
+            kv_quant=kv_quant,
         )
 
     def speculative_decoder(self, spec_k: int = 8, max_ngram: int = 3):
@@ -230,6 +232,7 @@ def get_model_and_tokenizer_and_processor(
     dtype=None,
     max_seq_len: int = 2048,
     mesh=None,
+    kv_quant: str = "none",  # "int8": quantized KV cache (half cache bytes)
 ):
     """Load (model, tokenizer, processor) — reference modeling_utils.py:83-141.
 
@@ -316,7 +319,7 @@ def get_model_and_tokenizer_and_processor(
 
     model = VisualCLA(
         params, cfg, tokenizer, image_processor,
-        dtype=dtype, max_seq_len=max_seq_len, mesh=mesh,
+        dtype=dtype, max_seq_len=max_seq_len, mesh=mesh, kv_quant=kv_quant,
     )
     processor = VisualCLAProcessor(image_processor, tokenizer)
     return model, tokenizer, processor

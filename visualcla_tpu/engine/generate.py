@@ -73,6 +73,7 @@ class Engine:
         prompt_buckets: Tuple[int, ...] = (128, 256, 512, 1024, 2048),
         dtype=jnp.bfloat16,
         mesh=None,
+        kv_quant: str = "none",  # "int8": half the KV cache bytes/bandwidth
     ):
         self.params = params
         self.cfg = cfg
@@ -81,6 +82,9 @@ class Engine:
         self.max_seq_len = max_seq_len
         self.prompt_buckets = tuple(b for b in prompt_buckets if b <= max_seq_len)
         self.dtype = dtype
+        if kv_quant not in ("none", "int8"):
+            raise ValueError(f"kv_quant must be 'none' or 'int8', got {kv_quant!r}")
+        self.kv_quant = kv_quant
         self.mesh = mesh  # when set, KV cache is sharded (batch on 'data',
         # kv heads on 'model') and GSPMD propagates TP from the param shardings
         if mesh is not None:
@@ -252,7 +256,7 @@ class Engine:
         if need > cache_len:
             cache_len = -(-need // 256) * 256
         cache = llama.init_kv_cache(
-            self.cfg.text_config, B, cache_len, self.dtype
+            self.cfg.text_config, B, cache_len, self.dtype, kv_quant=self.kv_quant
         )
         if self.mesh is not None:
             from jax.sharding import NamedSharding

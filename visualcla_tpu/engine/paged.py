@@ -46,14 +46,7 @@ def init_pools(cfg, num_blocks: int, block_size: int, dtype=jnp.bfloat16,
     return jnp.zeros(shape, dtype), jnp.zeros(shape, dtype), None, None
 
 
-def quantize_kv(x: jnp.ndarray):
-    """Per-token-per-head int8: x (..., Nkv, hd) -> (int8, scales (..., Nkv))."""
-    absmax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)
-    s = jnp.where(absmax == 0, 1.0, absmax / 127.0)
-    q = jnp.clip(
-        jnp.round(x.astype(jnp.float32) / s[..., None]), -127, 127
-    ).astype(jnp.int8)
-    return q, s.astype(jnp.float32)
+from ..ops.quantization import quantize_kv  # noqa: E402  (shared with llama cache)
 
 
 def paged_decode_forward(

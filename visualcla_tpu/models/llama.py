@@ -61,10 +61,24 @@ def init_params(rng: jax.Array, cfg: LlamaConfig, dtype=jnp.float32) -> Params:
 
 
 def init_kv_cache(
-    cfg: LlamaConfig, batch: int, max_len: int, dtype=jnp.float32
+    cfg: LlamaConfig, batch: int, max_len: int, dtype=jnp.float32,
+    kv_quant: str = "none",
 ) -> dict:
+    """KV cache buffers.  ``kv_quant='int8'`` stores int8 values with
+    per-token-per-head fp32 scales — half the cache bytes, dequant fused into
+    the attention read (Pallas kernel / XLA)."""
     L, Nkv, hd = cfg.num_hidden_layers, cfg.num_key_value_heads, cfg.head_dim
     shape = (L, batch, max_len, Nkv, hd)
+    if kv_quant == "int8":
+        sshape = (L, batch, max_len, Nkv)
+        return {
+            "k": jnp.zeros(shape, jnp.int8),
+            "v": jnp.zeros(shape, jnp.int8),
+            "k_scale": jnp.ones(sshape, jnp.float32),
+            "v_scale": jnp.ones(sshape, jnp.float32),
+        }
+    if kv_quant != "none":
+        raise ValueError(f"unknown kv_quant {kv_quant!r}")
     return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
 
 
@@ -97,53 +111,73 @@ def forward(
     B, Sq, H = inputs_embeds.shape
     Smax = kv_cache["k"].shape[2]
     N, Nkv, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+    quant = "k_scale" in kv_cache  # int8 KV cache (per-token-per-head scales)
 
     cos, sin = rope_table(rope_positions, hd, cfg.rope_theta)  # (B, Sq, hd) fp32
 
+    def put_chunk(buf, chunk, l, slot):
+        """Write a (B, Sq, ...) chunk into buffer (L, B, Smax, ...) at layer l,
+        slot(s) ``slot`` (scalar = contiguous update, (B,) = per-row vmap)."""
+        zero = jnp.int32(0)
+        if slot.ndim == 0:
+            idx = (l, zero, slot) + (zero,) * (buf.ndim - 3)
+            return jax.lax.dynamic_update_slice(buf, chunk[None], idx)
+
+        def put(row_buf, row_chunk, s):
+            return jax.lax.dynamic_update_slice(
+                row_buf, row_chunk, (s,) + (zero,) * (row_buf.ndim - 1)
+            )
+
+        bl = jax.lax.dynamic_index_in_dim(buf, l, axis=0, keepdims=False)
+        bl = jax.vmap(put)(bl, chunk, slot)
+        return jax.lax.dynamic_update_index_in_dim(buf, bl, l, axis=0)
+
     def layer(carry, xs):
-        h, k_cache, v_cache = carry
+        h, cache = carry
         p, l = xs
         x = rms_norm(h, p["input_norm"], cfg.rms_norm_eps)
         q = linear(x, p["q_proj"]).reshape(B, Sq, N, hd)
         k = linear(x, p["k_proj"]).reshape(B, Sq, Nkv, hd)
         v = linear(x, p["v_proj"]).reshape(B, Sq, Nkv, hd)
         q, k = apply_rope(q, k, cos, sin)
-        zero = jnp.int32(0)
         slot = jnp.asarray(write_slot, jnp.int32)
-        if slot.ndim == 0:  # shared slot: one contiguous in-place update
-            idx = (l, zero, slot, zero, zero)
-            k_cache = jax.lax.dynamic_update_slice(k_cache, k[None], idx)
-            v_cache = jax.lax.dynamic_update_slice(v_cache, v[None], idx)
-        else:  # per-row slots (continuous batching): vmapped row updates
-            def put(row_cache, row_kv, s):
-                return jax.lax.dynamic_update_slice(
-                    row_cache, row_kv, (s, zero, zero)
-                )
+        if quant:
+            from ..ops.quantization import quantize_kv
 
-            kl = jax.lax.dynamic_index_in_dim(k_cache, l, axis=0, keepdims=False)
-            vl = jax.lax.dynamic_index_in_dim(v_cache, l, axis=0, keepdims=False)
-            kl = jax.vmap(put)(kl, k, slot)
-            vl = jax.vmap(put)(vl, v, slot)
-            k_cache = jax.lax.dynamic_update_index_in_dim(k_cache, kl, l, axis=0)
-            v_cache = jax.lax.dynamic_update_index_in_dim(v_cache, vl, l, axis=0)
-        k_all = jax.lax.dynamic_index_in_dim(k_cache, l, axis=0, keepdims=False)
-        v_all = jax.lax.dynamic_index_in_dim(v_cache, l, axis=0, keepdims=False)
-        attn = cached_attention(q, k_all, v_all, kv_valid, write_slot)
+            kq, ksc = quantize_kv(k)
+            vq, vsc = quantize_kv(v)
+            writes = {"k": kq, "v": vq, "k_scale": ksc, "v_scale": vsc}
+        else:
+            writes = {"k": k.astype(cache["k"].dtype),
+                      "v": v.astype(cache["v"].dtype)}
+        cache = dict(cache)
+        for name, chunk in writes.items():
+            cache[name] = put_chunk(cache[name], chunk, l, slot)
+        take = lambda name: jax.lax.dynamic_index_in_dim(  # noqa: E731
+            cache[name], l, axis=0, keepdims=False
+        )
+        if quant:
+            attn = cached_attention(
+                q, take("k"), take("v"), kv_valid, write_slot,
+                k_scale=take("k_scale"), v_scale=take("v_scale"),
+            )
+        else:
+            attn = cached_attention(q, take("k"), take("v"), kv_valid, write_slot)
         h = h + linear(attn.reshape(B, Sq, N * hd), p["o_proj"])
         x2 = rms_norm(h, p["post_norm"], cfg.rms_norm_eps)
         gate = jax.nn.silu(linear(x2, p["gate_proj"])) * linear(x2, p["up_proj"])
         h = h + linear(gate, p["down_proj"])
-        return (h, k_cache, v_cache), None
+        return (h, cache), None
 
     L = cfg.num_hidden_layers
     body = jax.checkpoint(layer) if remat else layer
-    (h, k_cache, v_cache), _ = jax.lax.scan(
+    (h, kv_cache), _ = jax.lax.scan(
         body,
-        (inputs_embeds, kv_cache["k"], kv_cache["v"]),
+        (inputs_embeds, kv_cache),
         (params["layers"], jnp.arange(L, dtype=jnp.int32)),
     )
     h = rms_norm(h, params["final_norm"], cfg.rms_norm_eps)
-    return h, {"k": k_cache, "v": v_cache}
+    return h, kv_cache
 
 
 def logits(params: Params, hidden: jnp.ndarray) -> jnp.ndarray:

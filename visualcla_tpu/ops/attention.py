@@ -76,7 +76,8 @@ def set_attention_mesh(mesh) -> None:
     _ATTN_MESH = mesh
 
 
-def _flash_sharded(q, k, v, kv_valid, write_slot, mesh):
+def _flash_sharded(q, k, v, kv_valid, write_slot, mesh, *,
+                   k_scale=None, v_scale=None):
     """Pallas flash under a TP×DP mesh: heads are embarrassingly parallel, so
     shard_map over ('data', 'model') runs the kernel per-shard with no
     collectives (the surrounding matmuls' all-reduces are GSPMD's job)."""
@@ -96,14 +97,26 @@ def _flash_sharded(q, k, v, kv_valid, write_slot, mesh):
     qs = P(DATA, None, MODEL, None)
     slot_spec = P() if jnp.asarray(write_slot).ndim == 0 else P(DATA)
 
+    if k_scale is None:
+        fn = shard_map(
+            lambda q_, k_, v_, ok_, s_: flash_attention(
+                q_, k_, v_, ok_, s_, causal=True),
+            mesh=mesh,
+            in_specs=(qs, qs, qs, P(DATA, None), slot_spec),
+            out_specs=qs,
+            check_vma=False,  # pallas_call outputs carry no vma annotation
+        )
+        return fn(q, k, v, kv_valid, write_slot)
+    scale_spec = P(DATA, None, MODEL)  # (B, Skv, Nkv): kv heads on 'model'
     fn = shard_map(
-        lambda q_, k_, v_, ok_, s_: flash_attention(q_, k_, v_, ok_, s_, causal=True),
+        lambda q_, k_, v_, ok_, s_, ks_, vs_: flash_attention(
+            q_, k_, v_, ok_, s_, causal=True, k_scale=ks_, v_scale=vs_),
         mesh=mesh,
-        in_specs=(qs, qs, qs, P(DATA, None), slot_spec),
+        in_specs=(qs, qs, qs, P(DATA, None), slot_spec, scale_spec, scale_spec),
         out_specs=qs,
-        check_vma=False,  # pallas_call outputs carry no vma annotation
+        check_vma=False,
     )
-    return fn(q, k, v, kv_valid, write_slot)
+    return fn(q, k, v, kv_valid, write_slot, k_scale, v_scale)
 
 
 def attention_impl() -> str:
@@ -119,26 +132,35 @@ def attention_impl() -> str:
 
 def cached_attention(
     q: jnp.ndarray,  # (B, Sq, N, H)
-    k: jnp.ndarray,  # (B, Skv, Nkv, H) — full cache buffer
+    k: jnp.ndarray,  # (B, Skv, Nkv, H) — full cache buffer (fp or int8)
     v: jnp.ndarray,
     kv_valid: jnp.ndarray,  # (B, Skv) bool
     write_slot: jnp.ndarray,  # () or (B,) int32
     *,
+    k_scale: jnp.ndarray | None = None,  # (B, Skv, Nkv) f32 when k/v are int8
+    v_scale: jnp.ndarray | None = None,
     impl: str | None = None,
 ) -> jnp.ndarray:
     """Causal attention over a KV cache: Pallas flash kernel on TPU, dense XLA
     fallback elsewhere.  Query i occupies slot write_slot+i (per-row when
-    write_slot is (B,)) and sees kv slots <= its own among the valid ones."""
+    write_slot is (B,)) and sees kv slots <= its own among the valid ones.
+    int8 caches pass per-token-per-head scales; dequant happens inside the
+    kernel (the HBM read stays int8 — half the decode bandwidth)."""
     impl = impl or attention_impl()
     if impl == "flash":
         if _ATTN_MESH is not None:
-            out = _flash_sharded(q, k, v, kv_valid, write_slot, _ATTN_MESH)
+            out = _flash_sharded(q, k, v, kv_valid, write_slot, _ATTN_MESH,
+                                 k_scale=k_scale, v_scale=v_scale)
             if out is not None:
                 return out
         else:
             from .pallas.flash_attention import flash_attention
 
-            return flash_attention(q, k, v, kv_valid, write_slot, causal=True)
+            return flash_attention(q, k, v, kv_valid, write_slot, causal=True,
+                                   k_scale=k_scale, v_scale=v_scale)
+    if k_scale is not None:  # dense fallback: dequantize (XLA fuses the mul)
+        k = (k.astype(jnp.float32) * k_scale[..., None]).astype(q.dtype)
+        v = (v.astype(jnp.float32) * v_scale[..., None]).astype(q.dtype)
     B, Sq = q.shape[:2]
     Smax = k.shape[1]
     slot = jnp.asarray(write_slot, jnp.int32).reshape(-1, 1)  # (1|B, 1)

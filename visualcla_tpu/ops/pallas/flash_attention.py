@@ -30,17 +30,22 @@ def _flash_kernel(
     slot_ref,  # (B, 1) int32 in SMEM — per-row cache slot of the first query
     kvok_ref,  # (B, Skv) int32 in VMEM — kv slot validity (full array)
     q_ref,  # (1, 1, BQ, H)
-    k_ref,  # (1, 1, Skv, H)
+    k_ref,  # (1, 1, Skv, H) — fp, or int8 when kv_int8
     v_ref,  # (1, 1, Skv, H)
-    o_ref,  # (1, 1, BQ, H)
-    *,
+    *refs,  # [ks_ref (B, N, Skv), vs_ref (B, N, Skv) f32 when kv_int8], o_ref
     scale: float,
     block_kv: int,
     causal: bool,
+    kv_int8: bool = False,
 ):
+    if kv_int8:
+        ks_ref, vs_ref, o_ref = refs
+    else:
+        (o_ref,) = refs
     BQ, H = q_ref.shape[2], q_ref.shape[3]
     Skv = k_ref.shape[2]
     b = pl.program_id(0)
+    n = pl.program_id(1)
     qblk = pl.program_id(2)
     q = q_ref[0, 0].astype(jnp.float32) * scale
     # query cache slots: write_slot + global query index
@@ -61,6 +66,16 @@ def _flash_kernel(
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )  # (BQ, block_kv)
+        if kv_int8:
+            # per-kv-row scales fold in AFTER the matmuls (lane-aligned (1, bkv)
+            # slices; k dequant: s_j *= ks_j, v dequant: weight p_j by vs_j)
+            ks = ks_ref[
+                pl.ds(b, 1), pl.ds(n, 1), pl.ds(i * block_kv, block_kv)
+            ].reshape(1, block_kv)
+            vs = vs_ref[
+                pl.ds(b, 1), pl.ds(n, 1), pl.ds(i * block_kv, block_kv)
+            ].reshape(1, block_kv)
+            s = s * ks
         ok = jnp.broadcast_to(
             kvok_ref[pl.ds(b, 1), pl.ds(i * block_kv, block_kv)] > 0,
             (BQ, block_kv),
@@ -75,8 +90,9 @@ def _flash_kernel(
         p = jnp.exp(s - m_new)
         alpha = jnp.exp(m - m_new)
         l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        pv = p * vs if kv_int8 else p
         acc = acc * alpha + jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            pv, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
         return m_new, l, acc
 
@@ -105,10 +121,12 @@ def _ceil_mult(x: int, m: int) -> int:
 )
 def _flash_attention_jit(
     q: jnp.ndarray,  # (B, Sq, N, H)
-    k: jnp.ndarray,  # (B, Skv, Nkv, H)
+    k: jnp.ndarray,  # (B, Skv, Nkv, H) — fp, or int8 with k_scale/v_scale
     v: jnp.ndarray,  # (B, Skv, Nkv, H)
     kv_valid: jnp.ndarray,  # (B, Skv) bool/int — slot validity
     write_slot: jnp.ndarray,  # () or (B,) int32 — cache slot of the first query
+    k_scale: Optional[jnp.ndarray] = None,  # (B, Skv, Nkv) f32 (int8 KV cache)
+    v_scale: Optional[jnp.ndarray] = None,
     *,
     scale: Optional[float] = None,
     causal: bool = True,
@@ -117,14 +135,20 @@ def _flash_attention_jit(
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Returns (B, Sq, N, H) in q.dtype.  kv slot j is visible to query i iff
-    kv_valid[b, j] and (not causal or j <= write_slot + i).
+    kv_valid[b, j] and (not causal or j <= write_slot + i).  int8 K/V stream
+    from HBM as int8 (half bandwidth); per-token-per-head scales fold into the
+    score/probability rows after the matmuls.
     (Implementation body; call ``flash_attention`` which resolves interpret.)"""
     B, Sq, N, H = q.shape
     Skv, Nkv = k.shape[1], k.shape[2]
+    kv_int8 = k_scale is not None
     if N != Nkv:
         rep = N // Nkv
         k = jnp.repeat(k, rep, axis=2)
         v = jnp.repeat(v, rep, axis=2)
+        if kv_int8:
+            k_scale = jnp.repeat(k_scale, rep, axis=2)
+            v_scale = jnp.repeat(v_scale, rep, axis=2)
     if scale is None:
         scale = 1.0 / math.sqrt(H)
 
@@ -143,38 +167,55 @@ def _flash_attention_jit(
     )
 
     grid = (B, N, Sq_p // bq)
+    in_specs = [
+        # full (B,1)/(B,Skv) arrays: per-row blocks of height 1 violate the
+        # TPU (8,128) tiling rule when B>1; rows index by program_id inside
+        pl.BlockSpec((B, 1), lambda b, n, i: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((B, Skv_p), lambda b, n, i: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, bq, H), lambda b, n, i: (b, n, i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, Skv_p, H), lambda b, n, i: (b, n, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, Skv_p, H), lambda b, n, i: (b, n, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    operands = [slot, kvok, qt, kt, vt]
+    if kv_int8:
+        # scales travel as (B, N, Skv_p): the kernel slices a lane-aligned
+        # (1, bkv) row per block — no in-kernel relayout
+        kst = _pad_to(k_scale.transpose(0, 2, 1), Skv_p, 2)
+        vst = _pad_to(v_scale.transpose(0, 2, 1), Skv_p, 2)
+        in_specs += [
+            pl.BlockSpec((B, N, Skv_p), lambda b, n, i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, N, Skv_p), lambda b, n, i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        operands += [kst, vst]
     out = pl.pallas_call(
-        functools.partial(_flash_kernel, scale=scale, block_kv=bkv, causal=causal),
+        functools.partial(_flash_kernel, scale=scale, block_kv=bkv,
+                          causal=causal, kv_int8=kv_int8),
         grid=grid,
-        in_specs=[
-            # full (B,1)/(B,Skv) arrays: per-row blocks of height 1 violate the
-            # TPU (8,128) tiling rule when B>1; rows index by program_id inside
-            pl.BlockSpec((B, 1), lambda b, n, i: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((B, Skv_p), lambda b, n, i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, bq, H), lambda b, n, i: (b, n, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, Skv_p, H), lambda b, n, i: (b, n, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, Skv_p, H), lambda b, n, i: (b, n, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, 1, bq, H), lambda b, n, i: (b, n, i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, N, Sq_p, H), q.dtype),
         interpret=interpret,
-    )(slot, kvok, qt, kt, vt)
+    )(*operands)
     return out.transpose(0, 2, 1, 3)[:, :Sq]
 
 
 def flash_attention(q, k, v, kv_valid, write_slot, *, scale=None, causal=True,
-                    block_q=256, block_kv=256, interpret=None):
+                    block_q=256, block_kv=256, interpret=None,
+                    k_scale=None, v_scale=None):
     """Public entry: ``interpret=None`` auto-selects the Pallas interpreter on
-    non-TPU backends (CPU tests / virtual meshes run the same kernel code)."""
+    non-TPU backends (CPU tests / virtual meshes run the same kernel code).
+    Pass ``k_scale``/``v_scale`` (B, Skv, Nkv) with int8 k/v buffers."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     return _flash_attention_jit(
-        q, k, v, kv_valid, write_slot,
+        q, k, v, kv_valid, write_slot, k_scale, v_scale,
         scale=scale, causal=causal, block_q=block_q, block_kv=block_kv,
         interpret=interpret,
     )

@@ -49,6 +49,18 @@ def quantize(w, axis: int = -2):
     return {"q": q, "scale": scale.astype(jnp.float32)}
 
 
+def quantize_kv(x: jnp.ndarray):
+    """Per-token-per-head int8 for KV caches: x (..., Nkv, hd) ->
+    (int8 same shape, scales (..., Nkv) f32).  Shared by the paged pool and
+    the contiguous engine cache."""
+    absmax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)
+    s = jnp.where(absmax == 0, 1.0, absmax / 127.0)
+    q = jnp.clip(
+        jnp.round(x.astype(jnp.float32) / s[..., None]), -127, 127
+    ).astype(jnp.int8)
+    return q, s.astype(jnp.float32)
+
+
 def dequantize(wq: dict, dtype=jnp.float32):
     return (wq["q"].astype(jnp.float32) * wq["scale"]).astype(dtype)
 

@@ -208,8 +208,11 @@ def shard_params(params: dict, mesh: Mesh, fsdp: bool = False) -> dict:
 
 
 def kv_cache_specs() -> dict:
-    """KV cache (L, B, S, N_kv, hd): batch on data, heads on model."""
-    return {"k": P(None, DATA, None, MODEL, None), "v": P(None, DATA, None, MODEL, None)}
+    """KV cache (L, B, S, N_kv, hd): batch on data, heads on model.
+    int8 caches add per-token-per-head scales (L, B, S, N_kv)."""
+    kv = P(None, DATA, None, MODEL, None)
+    sc = P(None, DATA, None, MODEL)
+    return {"k": kv, "v": kv, "k_scale": sc, "v_scale": sc}
 
 
 def batch_spec() -> P:
