@@ -108,12 +108,35 @@ def forward(
     ``write_slot`` may be per-row (B,) — the continuous-batching case where each
     request sits at a different cache depth.
     """
+    cos, sin = rope_table(
+        rope_positions, cfg.head_dim, cfg.rope_theta
+    )  # (B, Sq, hd) fp32
+    h, kv_cache = decoder_stack(
+        params["layers"], cfg, inputs_embeds, cos, sin,
+        kv_cache, kv_valid, write_slot, remat=remat,
+    )
+    h = rms_norm(h, params["final_norm"], cfg.rms_norm_eps)
+    return h, kv_cache
+
+
+def decoder_stack(
+    layers: Params,  # per-layer params stacked on a leading (local) layer axis
+    cfg: LlamaConfig,
+    inputs_embeds: jnp.ndarray,  # (B, Sq, H)
+    cos: jnp.ndarray,  # (B, Sq, hd) fp32 rope tables
+    sin: jnp.ndarray,
+    kv_cache: dict,  # leading dim = this stack's layer count
+    kv_valid: jnp.ndarray,
+    write_slot: jnp.ndarray,
+    remat: bool = False,
+) -> Tuple[jnp.ndarray, dict]:
+    """Scan a stack of decoder layers (no embedding / final norm).
+
+    Factored out of ``forward`` so pipeline parallelism can run each stage's
+    local layer slice with the identical math (parallel/pipeline.py)."""
     B, Sq, H = inputs_embeds.shape
-    Smax = kv_cache["k"].shape[2]
     N, Nkv, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
     quant = "k_scale" in kv_cache  # int8 KV cache (per-token-per-head scales)
-
-    cos, sin = rope_table(rope_positions, hd, cfg.rope_theta)  # (B, Sq, hd) fp32
 
     def put_chunk(buf, chunk, l, slot):
         """Write a (B, Sq, ...) chunk into buffer (L, B, Smax, ...) at layer l,
@@ -169,14 +192,13 @@ def forward(
         h = h + linear(gate, p["down_proj"])
         return (h, cache), None
 
-    L = cfg.num_hidden_layers
+    L = jax.tree.leaves(layers)[0].shape[0]  # local layer count (PP: L/P)
     body = jax.checkpoint(layer) if remat else layer
     (h, kv_cache), _ = jax.lax.scan(
         body,
         (inputs_embeds, kv_cache),
-        (params["layers"], jnp.arange(L, dtype=jnp.int32)),
+        (layers, jnp.arange(L, dtype=jnp.int32)),
     )
-    h = rms_norm(h, params["final_norm"], cfg.rms_norm_eps)
     return h, kv_cache
 
 

@@ -1,3 +1,11 @@
+from .pipeline import (  # noqa: F401
+    PIPE,
+    make_pipe_mesh,
+    pipeline_forward,
+    pipeline_kv_cache,
+    shard_text_params,
+    stage_param_specs,
+)
 from .sharding import (  # noqa: F401
     DATA,
     MODEL,
