@@ -190,3 +190,56 @@ class TestResamplerParity:
         hidden = resampler.forward(params, cfg, jnp.asarray(image.numpy()))
         ours = resampler.pool(params, hidden)
         np.testing.assert_allclose(np.asarray(ours), ref_out, atol=ATOL, rtol=RTOL)
+
+
+class TestResamplerHeadPruning:
+    """prune_heads mask vs the reference's physical prune_linear_layer slicing
+    (modeling_visual_resampler.py:287-303): outputs must agree exactly."""
+
+    def _make(self, layers=2, heads=4):
+        ref_mod = hf_ref.load_reference_resampler_module()
+        if ref_mod is None:
+            pytest.skip("reference resampler not importable in this environment")
+        torch.manual_seed(11)
+        ref_cfg = ref_mod.VisualResamplerConfig(
+            hidden_size=8, num_hidden_layers=layers, num_attention_heads=heads,
+            intermediate_size=16, num_query_tokens=4,
+            hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+        )
+        ref_model = ref_mod.VisualResamplerModel(ref_cfg).eval().double()
+        with torch.no_grad():
+            ref_model.query_embeddding.normal_(0, 0.5)
+        cfg = ResamplerConfig(
+            hidden_size=8, num_hidden_layers=layers, num_attention_heads=heads,
+            intermediate_size=16, num_query_tokens=4,
+        )
+        params = f64(hf_ref.resampler_params_from_ref(ref_model))
+        return ref_model, cfg, params
+
+    def test_pruned_heads_match_reference(self):
+        ref_model, cfg, params = self._make()
+        to_prune = {0: [1], 1: [0, 3]}
+        # NOTE: the reference's VisualResamplerModel._prune_heads (:595-601) is
+        # itself broken — it dereferences `layer.attention` but the attribute
+        # is `crossattention` (:367).  Call the working per-layer path.
+        for l, heads in to_prune.items():
+            ref_model.encoder.layer[l].crossattention.prune_heads(heads)
+        ref_model.double()  # prune_linear_layer rebuilds Linears in float32
+        image = torch.randn(2, 5, 8, dtype=torch.float64)
+        with torch.no_grad():
+            ref_out = ref_model(encoder_hidden_states=image).last_hidden_state.numpy()
+        pruned = resampler.prune_heads(params, cfg, to_prune)
+        ours = resampler.forward(pruned, cfg, jnp.asarray(image.numpy()))
+        np.testing.assert_allclose(np.asarray(ours), ref_out, atol=ATOL, rtol=RTOL)
+
+    def test_unpruned_unchanged_and_validation(self):
+        _, cfg, params = self._make()
+        image = jnp.asarray(np.random.default_rng(0).standard_normal((1, 5, 8)))
+        base = resampler.forward(params, cfg, image)
+        noop = resampler.forward(
+            resampler.prune_heads(params, cfg, {}), cfg, image)
+        np.testing.assert_array_equal(np.asarray(base), np.asarray(noop))
+        with pytest.raises(ValueError):
+            resampler.prune_heads(params, cfg, {9: [0]})
+        with pytest.raises(ValueError):
+            resampler.prune_heads(params, cfg, {0: [99]})

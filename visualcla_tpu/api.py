@@ -73,6 +73,20 @@ class VisualCLA:
             kv_quant=kv_quant,
         )
 
+    def prune_resampler_heads(self, heads_to_prune: dict) -> None:
+        """Prune resampler attention heads ({layer: [head, ...]}) — the
+        reference's VisualResamplerModel._prune_heads surface
+        (modeling_visual_resampler.py:625-631, attention :287-303)."""
+        from .models import resampler as rmod
+
+        params = dict(self.params)
+        params["resampler"] = rmod.prune_heads(
+            dict(params["resampler"]), self.config.visual_resampler_config,
+            heads_to_prune,
+        )
+        self.params = params
+        self.engine.params = params
+
     def speculative_decoder(self, spec_k: int = 8, max_ngram: int = 3):
         """Cached prompt-lookup speculative decoder over this model's engine
         (greedy-exact; see engine/speculative.py)."""

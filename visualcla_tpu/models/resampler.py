@@ -70,7 +70,8 @@ def forward(
         image_embeds.dtype
     )
 
-    def layer(h, p):
+    def layer(h, xs):
+        p, hmask = xs
         # K/V over [queries ; image] — reference modeling_visual_resampler.py:315-316
         kv_in = jnp.concatenate([h, image_embeds], axis=1)  # (B, Nq+S_img, H)
         Skv = kv_in.shape[1]
@@ -78,7 +79,11 @@ def forward(
         k = (kv_in @ p["k_proj"] + p["k_bias"]).reshape(B, Skv, N, hd)
         v = (kv_in @ p["v_proj"] + p["v_bias"]).reshape(B, Skv, N, hd)
         # the reference softmaxes in the input dtype (modeling_visual_resampler.py:243)
-        ctx = full_attention(q, k, v, softmax_dtype="native").reshape(B, Nq, H)
+        ctx = full_attention(q, k, v, softmax_dtype="native")  # (B, Nq, N, hd)
+        # pruned/masked heads contribute zero context — numerically identical
+        # to the reference's prune_linear_layer slicing (:285-303), kept as a
+        # mask so the stacked-layer scan layout is undisturbed
+        ctx = (ctx * hmask[None, None, :, None].astype(ctx.dtype)).reshape(B, Nq, H)
         # post-LN self-output (reference :266-277)
         attn_out = layer_norm(
             ctx @ p["attn_out"] + p["attn_out_bias"] + h,
@@ -89,9 +94,35 @@ def forward(
         h = layer_norm(ffn + attn_out, p["out_ln"]["weight"], p["out_ln"]["bias"], eps)
         return h, None
 
+    L = jax.tree.leaves(params["layers"])[0].shape[0]
+    head_mask = params.get("head_mask")
+    if head_mask is None:
+        head_mask = jnp.ones((L, N), image_embeds.dtype)
     body = jax.checkpoint(layer) if remat else layer
-    hidden, _ = jax.lax.scan(body, hidden, params["layers"])
+    hidden, _ = jax.lax.scan(body, hidden, (params["layers"], head_mask))
     return hidden
+
+
+def prune_heads(params: Params, cfg: ResamplerConfig, heads_to_prune: dict) -> Params:
+    """Reference ``VisualResamplerAttention.prune_heads``
+    (modeling_visual_resampler.py:287-303) — ``{layer: [head, ...]}``.
+
+    The reference slices head rows out of q/k/v and columns out of the output
+    projection; a removed head's contribution to ``ctx @ attn_out`` is exactly
+    zero, so a per-layer head mask reproduces the pruned model's outputs
+    bit-for-bit while keeping the scan-friendly stacked weights."""
+    L = jax.tree.leaves(params["layers"])[0].shape[0]
+    N = cfg.num_attention_heads
+    mask = params.get("head_mask")
+    mask = jnp.ones((L, N)) if mask is None else jnp.asarray(mask)
+    for l, heads in heads_to_prune.items():
+        if not 0 <= l < L:
+            raise ValueError(f"layer {l} out of range (0..{L - 1})")
+        for h in heads:
+            if not 0 <= h < N:
+                raise ValueError(f"head {h} out of range (0..{N - 1})")
+            mask = mask.at[l, h].set(0.0)
+    return {**params, "head_mask": mask}
 
 
 def pool(params: Params, hidden: jnp.ndarray) -> jnp.ndarray:
