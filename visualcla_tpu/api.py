@@ -128,6 +128,17 @@ class VisualCLA:
                 dtype=self.engine.dtype,
             )
             return out[None]
+        if sampling.num_beams > 1 and sampling.do_sample:
+            from .engine.beam import beam_sample_generate
+
+            out = beam_sample_generate(
+                self.params, self.config, np.asarray(input_ids),
+                pixel_values, img_pos, sampling,
+                eos_token_id=self.tokenizer.eos_token_id,
+                pad_token_id=self.tokenizer.pad_token_id,
+                seed=seed, dtype=self.engine.dtype,
+            )
+            return out[None]
         if speculative and not sampling.do_sample:
             return self.speculative_decoder(spec_k).generate(
                 input_ids, pixel_values, img_pos, sampling, seed=seed

@@ -191,3 +191,168 @@ def beam_generate(
             if len(hyp.hyps) >= nb:
                 break
     return hyp.best()
+
+
+def beam_sample_generate(
+    params,
+    cfg,
+    input_ids: np.ndarray,  # (1, S)
+    pixel_values: Optional[np.ndarray],
+    img_start_pos: Optional[np.ndarray],
+    sampling,  # SamplingConfig (num_beams, temperature/top_k/top_p, penalties)
+    *,
+    eos_token_id: int,
+    pad_token_id: int = 0,
+    seed: int = 0,
+    max_seq_len: Optional[int] = None,
+    dtype=jnp.float32,
+) -> np.ndarray:
+    """HF ``beam_sample`` (num_beams > 1 AND do_sample=True), transformers 4.30
+    semantics: per-beam log-softmax -> logits processors -> + beam scores ->
+    warpers -> flatten over (nb, V) -> softmax -> multinomial WITHOUT
+    replacement of 2*nb candidates (Gumbel-top-k here — the exact equivalent)
+    -> sort by score -> BeamSearchScorer bookkeeping (shared with beam search).
+    RNG differs from torch, so parity is distributional, not bit-level."""
+    from .sampling import (
+        apply_no_repeat_ngram, apply_repetition_penalty, warp_temperature,
+        warp_top_k, warp_top_p,
+    )
+
+    nb = sampling.num_beams
+    max_new_tokens = sampling.max_new_tokens
+    S = input_ids.shape[1]
+    Smax = max_seq_len or (S + max_new_tokens)
+    text_cfg = cfg.text_config
+
+    def candidates(logits, beam_scores, gen_ids, gen_len, key):
+        """(nb, V) raw logits -> 2*nb sampled (score, beam, token)."""
+        logprobs = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
+        T = gen_ids.shape[1]
+        gen_valid = jnp.arange(T)[None, :] < gen_len[:, None]
+        if sampling.repetition_penalty != 1.0:
+            logprobs = apply_repetition_penalty(
+                logprobs, gen_ids, gen_valid, sampling.repetition_penalty)
+        if sampling.no_repeat_ngram_size > 0:
+            logprobs = apply_no_repeat_ngram(
+                logprobs, gen_ids, gen_len, sampling.no_repeat_ngram_size)
+        scores = logprobs + beam_scores[:, None]
+        # HF beam_sample applies the warpers AFTER adding beam scores
+        if sampling.temperature != 1.0:
+            scores = warp_temperature(scores, sampling.temperature)
+        if sampling.top_k > 0:
+            scores = warp_top_k(scores, sampling.top_k)
+        if sampling.top_p < 1.0:
+            scores = warp_top_p(scores, sampling.top_p)
+        flat = scores.reshape(1, -1)
+        # multinomial without replacement == top-k of logits + Gumbel noise
+        g = jax.random.gumbel(key, flat.shape, jnp.float32)
+        noisy = jax.nn.log_softmax(flat, -1) + g
+        _, top_idx = jax.lax.top_k(noisy, 2 * nb)
+        top_scores = jnp.take_along_axis(flat, top_idx, axis=-1)
+        order = jnp.argsort(-top_scores, axis=-1)
+        top_scores = jnp.take_along_axis(top_scores, order, -1)[0]
+        top_idx = jnp.take_along_axis(top_idx, order, -1)[0]
+        V = logits.shape[-1]
+        return top_scores, top_idx // V, top_idx % V
+
+    @jax.jit
+    def prefill(params, ids, img_pos, pix, key):
+        embeds = visualcla.multimodal_embeds(params, cfg, ids, img_pos, pix)
+        cache = llama.init_kv_cache(text_cfg, 1, Smax, dtype)
+        kv_valid = jnp.concatenate(
+            [jnp.ones((1, S), bool), jnp.zeros((1, Smax - S), bool)], -1
+        )
+        positions = jnp.arange(S, dtype=jnp.int32)[None]
+        hidden, cache = llama.forward(
+            params["text"], text_cfg, embeds, positions, cache, kv_valid,
+            jnp.int32(0),
+        )
+        logits = llama.logits(params["text"], hidden[:, -1:, :])[:, 0]
+        beam_scores = jnp.full((nb,), -1e9, jnp.float32).at[0].set(0.0)
+        gen_ids = jnp.zeros((nb, max_new_tokens), jnp.int32)
+        ts, bi, tk = candidates(
+            jnp.repeat(logits, nb, axis=0), beam_scores, gen_ids,
+            jnp.zeros((nb,), jnp.int32), key,
+        )
+        return ts, bi, tk, cache
+
+    @jax.jit
+    def step(params, cache, kv_valid, tokens, beam_scores, gen_ids, gen_len,
+             slot, pos, key):
+        kv_valid = kv_valid.at[:, slot].set(True)
+        embeds = llama.embed(params["text"], tokens[:, None])
+        hidden, cache = llama.forward(
+            params["text"], text_cfg, embeds,
+            jnp.full((nb, 1), pos, jnp.int32), cache, kv_valid, slot,
+        )
+        logits = llama.logits(params["text"], hidden)[:, 0]
+        ts, bi, tk = candidates(logits, beam_scores, gen_ids, gen_len, key)
+        return ts, bi, tk, cache, kv_valid
+
+    @jax.jit
+    def reorder(cache, beam_idx):
+        return {k: v[:, beam_idx] for k, v in cache.items()}
+
+    img_pos = (jnp.asarray(img_start_pos, jnp.int32)
+               if img_start_pos is not None else jnp.full((1,), -1, jnp.int32))
+    pix = jnp.asarray(pixel_values, dtype) if pixel_values is not None else None
+    key = jax.random.PRNGKey(seed)
+    key, sub = jax.random.split(key)
+    ts, bi, tk, cache1 = prefill(
+        params, jnp.asarray(input_ids, jnp.int32), img_pos, pix, sub
+    )
+    cache = {k: jnp.repeat(v, nb, axis=1) for k, v in cache1.items()}
+    kv_valid = jnp.concatenate(
+        [jnp.ones((nb, S), bool), jnp.zeros((nb, Smax - S), bool)], -1
+    )
+    cand = list(zip(np.asarray(ts).tolist(), np.asarray(bi).tolist(),
+                    np.asarray(tk).tolist()))
+
+    hyp = BeamHypotheses(nb, sampling.length_penalty, sampling.early_stopping)
+    gen = [np.zeros((0,), np.int64) for _ in range(nb)]
+    next_beams: List[Tuple[float, int, int]] = []
+    slot, pos = S, S
+
+    for step_i in range(max_new_tokens):
+        next_beams = []
+        for score, b, tok in cand:
+            if tok == eos_token_id:
+                hyp.add(np.append(gen[b], eos_token_id), score)
+            else:
+                next_beams.append((score, b, tok))
+            if len(next_beams) == nb:
+                break
+        while len(next_beams) < nb:
+            next_beams.append((-1e9, 0, pad_token_id))
+        cur_len = step_i + 1
+        if hyp.is_done(max(s for s, _, _ in cand), cur_len) or slot >= Smax:
+            break
+        scores = np.asarray([s for s, _, _ in next_beams], np.float32)
+        beam_idx = np.asarray([b for _, b, _ in next_beams], np.int32)
+        tokens = np.asarray([t for _, _, t in next_beams], np.int32)
+        gen = [np.append(gen[b], t) for b, t in zip(beam_idx, tokens)]
+        cache = reorder(cache, jnp.asarray(beam_idx))
+        if step_i == max_new_tokens - 1:
+            break
+        gen_buf = np.zeros((nb, max_new_tokens), np.int32)
+        for j, g in enumerate(gen):
+            gen_buf[j, : len(g)] = g
+        key, sub = jax.random.split(key)
+        ts, bi, tk, cache, kv_valid = step(
+            params, cache, kv_valid, jnp.asarray(tokens), jnp.asarray(scores),
+            jnp.asarray(gen_buf), jnp.full((nb,), cur_len, jnp.int32),
+            jnp.int32(slot), jnp.int32(pos), sub,
+        )
+        slot += 1
+        pos += 1
+        cand = list(zip(np.asarray(ts).tolist(), np.asarray(bi).tolist(),
+                        np.asarray(tk).tolist()))
+
+    if len(hyp.hyps) < nb and next_beams:
+        order = np.argsort(-np.asarray([s for s, _, _ in next_beams]))
+        for j in order:
+            s, _, _ = next_beams[int(j)]
+            hyp.add(gen[int(j)], s)
+            if len(hyp.hyps) >= nb:
+                break
+    return hyp.best()
