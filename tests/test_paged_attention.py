@@ -126,3 +126,44 @@ def test_paged_gqa():
         impl="xla",
     )[:, 0]
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_dense_reference_matches_kernel():
+    """The kernel-unsafe-shape fallback must agree with the interpreted kernel."""
+    from visualcla_tpu.ops.pallas.paged_attention import (
+        _dense_reference, paged_decode_attention,
+    )
+
+    rng = np.random.default_rng(9)
+    B, N, H, NB, BS, Nkv = 2, 4, 16, 8, 8, 2
+    q = jnp.asarray(rng.standard_normal((B, N, H)), jnp.float32)
+    kp = jnp.asarray(rng.standard_normal((NB, BS, Nkv, H)), jnp.float32)
+    vp = jnp.asarray(rng.standard_normal((NB, BS, Nkv, H)), jnp.float32)
+    tables = jnp.asarray([[1, 2, 3], [4, 5, 0]], jnp.int32)
+    lens = jnp.asarray([20, 11], jnp.int32)
+    kern = paged_decode_attention(q, kp, vp, tables, lens, interpret=True)
+    dense = _dense_reference(q, kp, vp, tables, lens, None, None, H ** -0.5)
+    np.testing.assert_allclose(np.asarray(kern), np.asarray(dense),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_dense_reference_int8_matches_kernel():
+    from visualcla_tpu.ops.pallas.paged_attention import (
+        _dense_reference, paged_decode_attention,
+    )
+    from visualcla_tpu.ops.quantization import quantize_kv
+
+    rng = np.random.default_rng(10)
+    B, N, H, NB, BS, Nkv = 1, 2, 16, 6, 8, 2
+    q = jnp.asarray(rng.standard_normal((B, N, H)), jnp.float32)
+    kf = jnp.asarray(rng.standard_normal((NB, BS, Nkv, H)), jnp.float32)
+    vf = jnp.asarray(rng.standard_normal((NB, BS, Nkv, H)), jnp.float32)
+    kp, ks = quantize_kv(kf)
+    vp, vs = quantize_kv(vf)
+    tables = jnp.asarray([[1, 2]], jnp.int32)
+    lens = jnp.asarray([13], jnp.int32)
+    kern = paged_decode_attention(q, kp, vp, tables, lens, ks, vs,
+                                  interpret=True)
+    dense = _dense_reference(q, kp, vp, tables, lens, ks, vs, H ** -0.5)
+    np.testing.assert_allclose(np.asarray(kern), np.asarray(dense),
+                               rtol=2e-5, atol=2e-5)

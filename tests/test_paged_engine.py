@@ -142,3 +142,52 @@ def test_paged_multimodal_row(setup):
     finally:
         sched.stop()
     assert trim(want) == trim(got)
+
+
+class TestPagedTensorParallel:
+    """Paged engine under a TP mesh (virtual CPU devices): token-identical to
+    the unsharded paged engine — heads shard over 'model', pools shard on the
+    Nkv axis, the paged kernel runs shard_map'ed per head group."""
+
+    def _run(self, mesh, kv_quant="none"):
+        from visualcla_tpu.ops import attention as attn_mod
+        from visualcla_tpu.parallel.sharding import shard_params
+
+        cfg = tiny_visualcla_config(vocab_size=96)  # 4 heads
+        params = vmod.init_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+        if mesh is not None:
+            params = shard_params(params, mesh)
+        try:
+            eng = PagedServingEngine(
+                params, cfg, eos_token_id=EOS, pad_token_id=PAD,
+                pool_size=2, block_size=16, num_blocks=24,
+                max_seq_len=96, max_new_tokens_cap=12, prompt_buckets=(32,),
+                sampling=SamplingConfig.greedy(max_new_tokens=12),
+                dtype=jnp.float32, kv_quant=kv_quant, mesh=mesh,
+            )
+            rng = np.random.default_rng(3)
+            p = rng.integers(4, 90, size=(11,)).astype(np.int32)
+            eng.prefill_row(0, p, None, None, 12)
+            for _ in range(11):
+                eng.step()
+            eng.snapshot()
+            return list(eng.collect_row(0))
+        finally:
+            attn_mod.set_attention_mesh(None)
+
+    @pytest.mark.parametrize("n_model", [2, 4])
+    def test_tp_token_identity(self, n_model):
+        from visualcla_tpu.parallel.sharding import make_mesh
+
+        base = self._run(None)
+        tp = self._run(make_mesh(n_data=1, n_model=n_model,
+                                 devices=jax.devices()[:n_model]))
+        assert base == tp
+
+    def test_tp_int8_pools(self):
+        from visualcla_tpu.parallel.sharding import make_mesh
+
+        base = self._run(None, kv_quant="int8")
+        tp = self._run(make_mesh(n_data=1, n_model=2,
+                                 devices=jax.devices()[:2]), kv_quant="int8")
+        assert base == tp

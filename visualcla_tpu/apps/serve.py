@@ -55,6 +55,7 @@ class PoolWorker:
                 max_seq_len=model.engine.max_seq_len,
                 dtype=model.engine.dtype,
                 kv_quant=kv_quant,
+                mesh=model.mesh,  # TP serving when the model was loaded meshed
             )
         else:
             self.engine = ServingEngine(

@@ -49,6 +49,50 @@ def init_pools(cfg, num_blocks: int, block_size: int, dtype=jnp.bfloat16,
 from ..ops.quantization import quantize_kv  # noqa: E402  (shared with llama cache)
 
 
+def _paged_attention(q, kp, vp, tables, lens, ks=None, vs=None):
+    """Dispatch the paged kernel; under a registered attention mesh, shard_map
+    over the 'model' axis (kv heads are embarrassingly parallel — no
+    collectives; the surrounding matmuls' all-reduces are GSPMD's job, exactly
+    like ops.attention._flash_sharded)."""
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+
+    from ..ops import attention as attn_mod
+    from ..parallel.sharding import MODEL
+
+    mesh = attn_mod._ATTN_MESH
+    B, N, H = q.shape
+    Nkv = kp.shape[2]
+    if mesh is not None and MODEL in mesh.shape:
+        n_model = mesh.shape[MODEL]
+        if n_model > 1 and N % n_model == 0 and Nkv % n_model == 0:
+            qs = P(None, MODEL, None)
+            pool_s = P(None, None, MODEL, None)
+            scale_s = P(None, None, MODEL)
+            if ks is None:
+                fn = shard_map(
+                    lambda q_, k_, v_, t_, l_: paged_decode_attention(
+                        q_, k_, v_, t_, l_),
+                    mesh=mesh,
+                    in_specs=(qs, pool_s, pool_s, P(), P()),
+                    out_specs=qs,
+                    check_vma=False,
+                )
+                return fn(q, kp, vp, tables, lens)
+            fn = shard_map(
+                lambda q_, k_, v_, t_, l_, ks_, vs_: paged_decode_attention(
+                    q_, k_, v_, t_, l_, ks_, vs_),
+                mesh=mesh,
+                in_specs=(qs, pool_s, pool_s, P(), P(), scale_s, scale_s),
+                out_specs=qs,
+                check_vma=False,
+            )
+            return fn(q, kp, vp, tables, lens, ks, vs)
+    if ks is None:
+        return paged_decode_attention(q, kp, vp, tables, lens)
+    return paged_decode_attention(q, kp, vp, tables, lens, ks, vs)
+
+
 def paged_decode_forward(
     params,
     cfg,
@@ -91,13 +135,13 @@ def paged_decode_forward(
             vs_l = vs_l.at[blk, off].set(vsc)
             ks = jax.lax.dynamic_update_index_in_dim(ks, ks_l, l, axis=0)
             vs = jax.lax.dynamic_update_index_in_dim(vs, vs_l, l, axis=0)
-            attn = paged_decode_attention(
+            attn = _paged_attention(
                 q[:, 0], kp_l, vp_l, tables, lens, ks_l, vs_l
             )
         else:
             kp_l = kp_l.at[blk, off].set(k[:, 0].astype(kp_l.dtype))
             vp_l = vp_l.at[blk, off].set(v[:, 0].astype(vp_l.dtype))
-            attn = paged_decode_attention(
+            attn = _paged_attention(
                 q[:, 0], kp_l, vp_l, tables, lens
             )  # (B, N, hd)
         kp = jax.lax.dynamic_update_index_in_dim(kp, kp_l, l, axis=0)
@@ -170,9 +214,15 @@ class PagedServingEngine:
         dtype=jnp.bfloat16,
         kv_quant: str = "none",  # "int8": halve KV pool bytes (per-token scales)
         seed: int = 0,
+        mesh=None,  # TP: pools shard kv heads on 'model'; params via GSPMD
     ):
         self.params = params
         self.cfg = cfg
+        self.mesh = mesh
+        if mesh is not None:
+            from ..ops import attention as attn_mod
+
+            attn_mod.set_attention_mesh(mesh)  # shard_map'd paged kernel
         self.kv_quant = kv_quant
         self.eos = eos_token_id
         self.pad = pad_token_id
@@ -201,6 +251,19 @@ class PagedServingEngine:
         k_pool, v_pool, k_scales, v_scales = init_pools(
             text, num_blocks, block_size, dtype, kv_quant
         )
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from ..parallel.sharding import MODEL
+
+            if text.num_key_value_heads % mesh.shape.get(MODEL, 1) == 0:
+                pool_s = NamedSharding(mesh, P(None, None, None, MODEL, None))
+                scale_s = NamedSharding(mesh, P(None, None, None, MODEL))
+                k_pool = jax.device_put(k_pool, pool_s)
+                v_pool = jax.device_put(v_pool, pool_s)
+                if k_scales is not None:
+                    k_scales = jax.device_put(k_scales, scale_s)
+                    v_scales = jax.device_put(v_scales, scale_s)
         B, T = self.B, self.T
         self._state = PagedState(
             k_pool=k_pool, v_pool=v_pool, k_scales=k_scales, v_scales=v_scales,

@@ -98,6 +98,33 @@ def _min_sublane(dtype) -> int:
     return 16 if dtype == jnp.bfloat16 else 8
 
 
+def _dense_reference(q, k_pool, v_pool, tables, lens, k_scales, v_scales,
+                     scale):
+    """XLA fallback for kernel-unsafe shapes (the kernel's per-head KV block
+    is a slice of the trailing Nkv*hd dim, so Mosaic needs hd % 128 == 0 —
+    true for the 7B flagship, not for tiny test models on a real TPU)."""
+    B, N, H = q.shape
+    _, BS, Nkv, hd = k_pool.shape
+    rep = N // Nkv
+
+    def row(qb, tb, ln):
+        k = k_pool[tb].reshape(-1, Nkv, hd).astype(jnp.float32)
+        v = v_pool[tb].reshape(-1, Nkv, hd).astype(jnp.float32)
+        if k_scales is not None:
+            k = k * k_scales[tb].reshape(-1, Nkv)[..., None].astype(jnp.float32)
+            v = v * v_scales[tb].reshape(-1, Nkv)[..., None].astype(jnp.float32)
+        if rep > 1:
+            k = jnp.repeat(k, rep, axis=1)
+            v = jnp.repeat(v, rep, axis=1)
+        s = jnp.einsum("nh,snh->ns", qb.astype(jnp.float32) * scale, k)
+        valid = jnp.arange(k.shape[0]) < ln
+        s = jnp.where(valid[None, :], s, NEG_INF)
+        p = jax.nn.softmax(s, axis=-1)
+        return jnp.einsum("ns,snh->nh", p, v).astype(q.dtype)
+
+    return jax.vmap(row)(q, tables.astype(jnp.int32), lens.astype(jnp.int32))
+
+
 @functools.partial(
     jax.jit, static_argnames=("scale", "interpret"),
 )
@@ -125,6 +152,11 @@ def paged_decode_attention(
         scale = 1.0 / math.sqrt(H)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    # Mosaic tiling: the per-head KV block slices the trailing Nkv*hd dim
+    kernel_safe = BS % 8 == 0 and (hd % 128 == 0 or Nkv == 1)
+    if not interpret and not kernel_safe:
+        return _dense_reference(q, k_pool, v_pool, block_tables, context_lens,
+                                k_scales, v_scales, scale)
     max_blocks = block_tables.shape[1]
 
     QP = _min_sublane(q.dtype)
