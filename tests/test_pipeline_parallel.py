@@ -148,3 +148,72 @@ def test_bad_microbatch_count_raises():
     with pytest.raises(ValueError):
         pp.pipeline_forward(params, cfg, embeds, positions, cache, kv_valid,
                             jnp.int32(0), mesh, n_micro=3)
+
+
+def test_pipeline_grad_matches_plain():
+    """Reverse-mode AD through the GPipe schedule (ppermute transposes to the
+    reverse ring) gives the same gradients as the plain forward."""
+    cfg = make_cfg(layers=4)
+    B, S, Smax = 2, 8, 16
+    params, embeds0, positions, cache0, kv_valid = make_inputs(cfg, B=B, S=S,
+                                                               Smax=Smax)
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(3, 60, (B, S)), jnp.int32)
+    mesh = pp.make_pipe_mesh(2, 1)
+
+    def loss_pp(p):
+        cache = llama.init_kv_cache(cfg, B, Smax, jnp.float64)
+        h, _ = pp.pipeline_forward(p, cfg, llama.embed(p, ids), positions,
+                                   cache, kv_valid, jnp.int32(0), mesh,
+                                   n_micro=2)
+        return jnp.sum(h ** 2)
+
+    def loss_ref(p):
+        cache = llama.init_kv_cache(cfg, B, Smax, jnp.float64)
+        h, _ = llama.forward(p, cfg, llama.embed(p, ids), positions, cache,
+                             kv_valid, jnp.int32(0))
+        return jnp.sum(h ** 2)
+
+    g_pp = jax.grad(loss_pp)(params)
+    g_ref = jax.grad(loss_ref)(params)
+    for a, b in zip(jax.tree.leaves(g_pp), jax.tree.leaves(g_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-10, atol=1e-10)
+
+
+def test_pipeline_train_step_matches_plain():
+    """make_train_step(pipeline_mesh=...) produces the same loss/grad_norm as
+    the plain step — full multimodal composite, 2-stage pipe."""
+    from visualcla_tpu.core.config import tiny_visualcla_config
+    from visualcla_tpu.models import visualcla as vmod
+    from visualcla_tpu.train import (
+        init_train_state, make_optimizer, make_train_step,
+    )
+
+    cfg = tiny_visualcla_config(vocab_size=128)  # 2 text layers
+    params = vmod.init_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+    mesh = pp.make_pipe_mesh(2, 1)
+    opt = make_optimizer(learning_rate=1e-3)
+    B, S = 2, 24
+    n_img = cfg.num_image_tokens
+    rng = np.random.default_rng(1)
+    batch = {
+        "input_ids": jnp.asarray(rng.integers(3, 120, (B, S)), jnp.int32),
+        "attention_mask": jnp.ones((B, S), jnp.int32),
+        "labels": jnp.concatenate(
+            [jnp.full((B, n_img + 2), -100, jnp.int32),
+             jnp.ones((B, S - n_img - 2), jnp.int32)], axis=-1),
+        "img_start_pos": jnp.zeros((B,), jnp.int32),
+        "pixel_values": jnp.asarray(
+            rng.standard_normal(
+                (B, 3, cfg.vision_config.image_size, cfg.vision_config.image_size)
+            ), jnp.float32),
+    }
+    plain_step = make_train_step(cfg, opt)
+    pp_step = make_train_step(cfg, opt, pipeline_mesh=mesh, n_micro=2)
+    _, m_plain = plain_step(init_train_state(params, opt), batch)
+    _, m_pp = pp_step(init_train_state(params, opt), batch)
+    np.testing.assert_allclose(float(m_pp["loss"]), float(m_plain["loss"]),
+                               rtol=1e-6)
+    np.testing.assert_allclose(float(m_pp["grad_norm"]),
+                               float(m_plain["grad_norm"]), rtol=1e-5)

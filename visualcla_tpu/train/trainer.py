@@ -67,18 +67,34 @@ def train_forward_logits(
     img_start_pos: jnp.ndarray,
     pixel_values: Optional[jnp.ndarray],
     remat: bool = False,
+    pipeline_mesh=None,  # ('pipe','data') mesh: text tower runs GPipe-pipelined
+    n_micro: int = 1,
 ) -> jnp.ndarray:
-    """Full multimodal forward for training: (B, S) -> (B, S, V) fp32 logits."""
+    """Full multimodal forward for training: (B, S) -> (B, S, V) fp32 logits.
+
+    With ``pipeline_mesh`` the decoder stack runs pipeline-parallel
+    (parallel/pipeline.py); reverse-mode AD flows through the GPipe schedule
+    (ppermute transposes to the reverse ring), so the same loss/grads come out
+    — verified to machine precision in tests/test_pipeline_parallel.py."""
     B, S = input_ids.shape
     embeds = visualcla.multimodal_embeds(
         params, cfg, input_ids, img_start_pos, pixel_values, remat=remat
     )
     positions = jnp.maximum(jnp.cumsum(attention_mask, axis=-1) - 1, 0).astype(jnp.int32)
     cache = llama.init_kv_cache(cfg.text_config, B, S, embeds.dtype)
-    hidden, _ = llama.forward(
-        params["text"], cfg.text_config, embeds, positions, cache,
-        attention_mask.astype(bool), jnp.int32(0), remat=remat,
-    )
+    if pipeline_mesh is not None:
+        from ..parallel import pipeline as pp
+
+        hidden, _ = pp.pipeline_forward(
+            params["text"], cfg.text_config, embeds, positions, cache,
+            attention_mask.astype(bool), jnp.int32(0), pipeline_mesh,
+            n_micro=n_micro,
+        )
+    else:
+        hidden, _ = llama.forward(
+            params["text"], cfg.text_config, embeds, positions, cache,
+            attention_mask.astype(bool), jnp.int32(0), remat=remat,
+        )
     return llama.logits(params["text"], hidden)
 
 
@@ -134,6 +150,8 @@ def make_train_step(
     optimizer: optax.GradientTransformation,
     trainable: Optional[Callable[[tuple], bool]] = None,
     remat: bool = False,
+    pipeline_mesh=None,
+    n_micro: int = 1,
 ):
     """Build a pure ``train_step(state, batch) -> (state, metrics)``.
 
@@ -148,7 +166,7 @@ def make_train_step(
             params, cfg,
             batch["input_ids"], batch["attention_mask"],
             batch["img_start_pos"], batch.get("pixel_values"),
-            remat=remat,
+            remat=remat, pipeline_mesh=pipeline_mesh, n_micro=n_micro,
         )
         return causal_lm_loss(logits, batch["labels"])
 
