@@ -51,6 +51,12 @@ def main(argv=None):
                          "containing step_N dirs)")
     ap.add_argument("--remat", action="store_true",
                     help="rematerialize decoder layers (memory for FLOPs)")
+    ap.add_argument("--pipeline", type=int, default=0,
+                    help="pipeline-parallel stages for the text tower "
+                         "(GPipe over a 'pipe' axis; 0 = off; layers must "
+                         "divide evenly; combines with --n_data as DP)")
+    ap.add_argument("--n_micro", type=int, default=2,
+                    help="GPipe microbatches per step (with --pipeline)")
     ap.add_argument("--fsdp", action="store_true",
                     help="ZeRO-style layer-axis param sharding over the data "
                          "axis (needs num_layers % n_data == 0)")
@@ -73,11 +79,26 @@ def main(argv=None):
     from .lora import add_lora, export_adapter, lora_trainable, merge_lora
 
     enable_compilation_cache()
-    mesh = (
-        make_mesh(n_data=args.n_data)
-        if args.n_data > 0 and len(jax.devices()) > 1 else None
-    )
+    pipe_mesh = None
+    if args.pipeline > 1:
+        from ..parallel.pipeline import make_pipe_mesh
+
+        n_data = max(args.n_data, 1)
+        pipe_mesh = make_pipe_mesh(args.pipeline, n_data)
+        mesh = None  # PP shards the text layers itself; no GSPMD TP mesh
+    else:
+        mesh = (
+            make_mesh(n_data=args.n_data)
+            if args.n_data > 0 and len(jax.devices()) > 1 else None
+        )
     params, cfg = load_checkpoint(args.checkpoint, mesh=mesh, dtype=jnp.float32)
+    if pipe_mesh is not None:
+        from ..parallel.pipeline import shard_text_params
+
+        params = dict(params)
+        params["text"] = shard_text_params(
+            dict(params["text"]), pipe_mesh, cfg.text_config
+        )
     if mesh is not None and args.fsdp:
         from ..parallel.sharding import shard_params
 
@@ -111,7 +132,8 @@ def main(argv=None):
         total_steps=total, grad_clip=args.grad_clip,
     )
     step_fn = jax.jit(
-        make_train_step(cfg, optimizer, trainable=trainable, remat=args.remat),
+        make_train_step(cfg, optimizer, trainable=trainable, remat=args.remat,
+                        pipeline_mesh=pipe_mesh, n_micro=args.n_micro),
         donate_argnums=(0,),
     )
     state = init_train_state(params, optimizer)
