@@ -188,3 +188,56 @@ class TestChatIntegration:
         plain, _ = chat(model, pix, "ab", [], gc, verbose=False)
         spec, _ = chat(model, pix, "ab", [], gc, verbose=False, speculative=True)
         assert plain == spec
+
+
+class TestSpeculativeStreaming:
+    def test_stream_matches_generate(self):
+        models, cfg, params = build_composite()
+        rng = np.random.default_rng(41)
+        ids = rng.integers(3, 90, size=(1, 10)).astype(np.int64)
+        ids[0, 0] = 1
+        eng = Engine(params, cfg, eos_token_id=EOS, pad_token_id=0,
+                     max_seq_len=64, prompt_buckets=(16,), dtype=jnp.float64)
+        scfg = SamplingConfig.greedy(max_new_tokens=12)
+        dec = SpeculativeDecoder(eng, spec_k=4)
+        blocking = dec.generate(ids, None, None, scfg)
+        streamed = np.concatenate(list(dec.stream(ids, None, None, scfg)))
+        a = blocking[0][blocking[0] != 0]
+        np.testing.assert_array_equal(a, streamed[: len(a)])
+        # streamed may include EOS; nothing beyond it
+        assert len(streamed) <= blocking.shape[1] or streamed[len(a)] == EOS
+
+    def test_stream_rejects_batch(self):
+        models, cfg, params = build_composite()
+        eng = Engine(params, cfg, eos_token_id=EOS, pad_token_id=0,
+                     max_seq_len=64, prompt_buckets=(16,), dtype=jnp.float64)
+        with pytest.raises(ValueError):
+            list(SpeculativeDecoder(eng).stream(
+                np.ones((2, 4), np.int64), None, None,
+                SamplingConfig.greedy(max_new_tokens=4)))
+
+    def test_chat_in_stream_speculative(self, tmp_path_factory):
+        import jax.numpy as jnp
+
+        import visualcla_tpu as v
+        from visualcla_tpu.api import chat, chat_in_stream
+
+        from .test_api import make_native_ckpt
+
+        tmp = str(tmp_path_factory.mktemp("spec_stream"))
+        ckpt, cfg = make_native_ckpt(tmp)
+        model, _, _ = v.get_model_and_tokenizer_and_processor(
+            visualcla_model=ckpt, dtype=jnp.float32, max_seq_len=256
+        )
+        pix = np.asarray(
+            np.random.default_rng(9).standard_normal(
+                (1, 3, cfg.vision_config.image_size, cfg.vision_config.image_size)
+            ), np.float32,
+        )
+        gc = SamplingConfig.greedy(max_new_tokens=8)
+        blocking, _ = chat(model, pix, "ab", [], gc, verbose=False)
+        last = ""
+        for partial, _ in chat_in_stream(model, pix, "ab", [], gc,
+                                         verbose=False, speculative=True):
+            last = partial
+        assert last == blocking

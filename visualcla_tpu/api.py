@@ -149,9 +149,14 @@ class VisualCLA:
 
     def stream_generate(self, input_ids, pixel_values=None,
                         generation_config=None, seed: int = 0,
-                        chunk_size: int = 1):
+                        chunk_size: int = 1, speculative: bool = False,
+                        spec_k: int = 8):
         sampling = as_sampling_config(generation_config)
         img_pos = img_marker_positions(input_ids, self.tokenizer.img_start_token_id)
+        if speculative and not sampling.do_sample:
+            return self.speculative_decoder(spec_k).stream(
+                input_ids, pixel_values, img_pos, sampling, seed=seed
+            )
         return self.engine.stream(input_ids, pixel_values, img_pos, sampling,
                                   seed=seed, chunk_size=chunk_size)
 
@@ -434,6 +439,7 @@ def chat_in_stream(
     verbose: bool = True,
     seed: int = 0,
     chunk_size: int = 1,
+    speculative: bool = False,
 ) -> Iterator[Tuple[str, list]]:
     """Streaming chat turn: yields (partial_response, history) per decoded token
     (reference modeling_utils.py:180-247, incl. the '▁'-prefix space fixup at
@@ -451,7 +457,7 @@ def chat_in_stream(
     response = ""
     for step_tokens in model.stream_generate(
         test_input["input_ids"], pixel_values, sampling, seed=seed,
-        chunk_size=chunk_size,
+        chunk_size=chunk_size, speculative=speculative,
     ):
         tok = int(np.asarray(step_tokens)[0])
         if tok == eos:

@@ -315,6 +315,14 @@ class SpeculativeDecoder:
             ),
             donate_argnums=(2,),
         )
+        self._chunk = jax.jit(
+            spec_chunk,
+            static_argnums=(1, 5),
+            static_argnames=(
+                "eos_token_id", "pad_token_id", "spec_k", "max_ngram",
+            ),
+            donate_argnums=(2,),
+        )
 
     def _to_spec_state(self, st: DecodeState, B: int, max_new: int) -> SpecState:
         K = self.spec_k
@@ -395,3 +403,50 @@ class SpeculativeDecoder:
         for b in range(B):
             out[b, gen_len[b]:] = eng.pad_token_id
         return out
+
+    def stream(
+        self,
+        input_ids: np.ndarray,  # (1, S) — streaming is single-request
+        pixel_values: Optional[np.ndarray] = None,
+        img_start_pos: Optional[np.ndarray] = None,
+        sampling: Optional[SamplingConfig] = None,
+        seed: int = 0,
+    ):
+        """Yield (1,) token arrays like ``Engine.stream``, one device dispatch
+        per verify chunk — each dispatch can emit up to K+1 tokens, so host
+        round trips amortize by the acceptance rate while preserving the
+        per-token streaming surface."""
+        eng = self.engine
+        sampling = sampling or SamplingConfig.greedy()
+        if sampling.do_sample:
+            raise ValueError("speculative streaming is greedy-exact only")
+        input_ids = np.asarray(input_ids, np.int32)
+        B = input_ids.shape[0]
+        if B != 1:
+            raise ValueError("speculative streaming supports batch size 1")
+        st = eng.start(input_ids, pixel_values, img_start_pos, sampling, seed,
+                       extra_slots=self.spec_k + 1)
+        padded, mask = eng.pad_prompt(input_ids)
+        prompt_start = jnp.asarray(
+            (padded.shape[1] - mask.sum(axis=1)).astype(np.int32))
+        prompt_ids = jnp.asarray(padded)
+        spec = self._to_spec_state(st, B, sampling.max_new_tokens)
+        yield np.asarray(spec.last_token)
+        emitted = 1
+        while (
+            not bool(np.all(np.asarray(spec.finished)))
+            and emitted < sampling.max_new_tokens
+        ):
+            spec = self._chunk(
+                eng.params, eng.cfg.text_config, spec, prompt_ids,
+                prompt_start, sampling,
+                eos_token_id=eng.eos_token_id, pad_token_id=eng.pad_token_id,
+                spec_k=self.spec_k, max_ngram=self.max_ngram,
+            )
+            new_len = int(spec.gen_len[0])
+            if new_len == emitted:  # finished row emitted nothing
+                break
+            chunk = np.asarray(spec.gen_ids[0, emitted:new_len])
+            for t in chunk:
+                yield np.asarray([t])
+            emitted = new_len
