@@ -153,14 +153,83 @@ class TestSpeculativeIdentity:
         assert_rows_equal(plain, spec)
         assert EOS in spec[0]
 
-    def test_rejects_sampled_configs(self):
+    def test_rejects_mirostat_configs(self):
         models, cfg, params = build_composite()
         eng = tiny_engine(params, cfg)
         with pytest.raises(ValueError):
             SpeculativeDecoder(eng).generate(
                 np.ones((1, 4), np.int64), None, None,
-                SamplingConfig(do_sample=True),
+                SamplingConfig(do_sample=True, mirostat_mode=2),
             )
+
+
+class TestSpeculativeSampling:
+    """Speculative SAMPLING: accept draft w.p. p(d); reject -> resample from
+    p \\ {d}.  The marginal at every position equals the plain sampling
+    distribution exactly."""
+
+    def test_verify_sampled_marginal_matches_distribution(self):
+        """Analytic check: emitted-first-token frequencies equal softmax(w)."""
+        import jax
+        from visualcla_tpu.engine.speculative import _verify_sampled
+
+        V = 4
+        logits_row = np.log(np.asarray([0.45, 0.30, 0.15, 0.10], np.float32))
+        logits = jnp.asarray(logits_row)[None, None, :].repeat(2, axis=1)  # K=1
+        logits = jnp.broadcast_to(logits, (1, 2, V))
+        gen_ids = jnp.zeros((1, 8), jnp.int32)
+        gen_len = jnp.zeros((1,), jnp.int32)
+        drafts = jnp.asarray([[1]], jnp.int32)  # draft token 1 (p=0.30)
+        cfg = SamplingConfig(do_sample=True, temperature=1.0, top_k=0,
+                             top_p=1.0, repetition_penalty=1.0,
+                             no_repeat_ngram_size=0, max_new_tokens=4)
+
+        run = jax.jit(lambda k: _verify_sampled(
+            logits, gen_ids, gen_len, drafts, k, cfg))
+        N = 4000
+        keys = jax.random.split(jax.random.PRNGKey(0), N)
+        preds = np.asarray(jax.vmap(run)(keys))[:, 0, 0]  # first position
+        freq = np.bincount(preds, minlength=V) / N
+        p = np.exp(logits_row) / np.exp(logits_row).sum()
+        # 4-sigma binomial bounds
+        for t in range(V):
+            sigma = np.sqrt(p[t] * (1 - p[t]) / N)
+            assert abs(freq[t] - p[t]) < 4 * sigma + 1e-3, (t, freq, p)
+
+    def test_topk1_sampling_collapses_to_greedy(self):
+        """With top_k=1 only one token has mass: sampled speculation must be
+        deterministic and equal plain greedy."""
+        models, cfg, params = build_composite()
+        rng = np.random.default_rng(51)
+        ids = rng.integers(3, 90, size=(1, 10)).astype(np.int64)
+        ids[0, 0] = 1
+        eng = tiny_engine(params, cfg, buckets=(16,))
+        greedy = eng.generate(ids, None, None,
+                              SamplingConfig.greedy(max_new_tokens=10))
+        scfg = SamplingConfig(
+            do_sample=True, temperature=1.0, top_k=1, top_p=1.0,
+            repetition_penalty=1.0, no_repeat_ngram_size=0, max_new_tokens=10,
+        )
+        spec = SpeculativeDecoder(eng, spec_k=3).generate(
+            ids, None, None, scfg, seed=123)
+        assert_rows_equal(greedy, spec)
+
+    def test_sampled_spec_runs_default_config(self):
+        """Reference default config (T=.5, k=40, p=.9, penalties) through the
+        sampled speculative path end-to-end."""
+        models, cfg, params = build_composite()
+        rng = np.random.default_rng(53)
+        ids = rng.integers(3, 90, size=(1, 10)).astype(np.int64)
+        ids[0, 0] = 1
+        eng = tiny_engine(params, cfg, buckets=(16,))
+        scfg = SamplingConfig(max_new_tokens=10)  # default: sampled
+        dec = SpeculativeDecoder(eng, spec_k=4)
+        out1 = dec.generate(ids, None, None, scfg, seed=3)
+        out2 = dec.generate(ids, None, None, scfg, seed=3)
+        out3 = dec.generate(ids, None, None, scfg, seed=4)
+        np.testing.assert_array_equal(out1, out2)  # seed-deterministic
+        assert out1.shape[1] >= 1
+        assert not np.array_equal(out1, out3) or out1.shape[1] <= 2
 
 
 class TestChatIntegration:

@@ -139,7 +139,9 @@ class VisualCLA:
                 seed=seed, dtype=self.engine.dtype,
             )
             return out[None]
-        if speculative and not sampling.do_sample:
+        if speculative and sampling.mirostat_mode != 2:
+            # greedy: token-identical; sampled: identical distribution
+            # (speculative sampling — engine/speculative.py)
             return self.speculative_decoder(spec_k).generate(
                 input_ids, pixel_values, img_pos, sampling, seed=seed
             )
@@ -153,7 +155,7 @@ class VisualCLA:
                         spec_k: int = 8):
         sampling = as_sampling_config(generation_config)
         img_pos = img_marker_positions(input_ids, self.tokenizer.img_start_token_id)
-        if speculative and not sampling.do_sample:
+        if speculative and sampling.mirostat_mode != 2:
             return self.speculative_decoder(spec_k).stream(
                 input_ids, pixel_values, img_pos, sampling, seed=seed
             )

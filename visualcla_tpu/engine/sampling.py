@@ -345,20 +345,14 @@ def sample_step_rowwise(
 # full sampler step
 # ---------------------------------------------------------------------------
 
-def sample_step(
-    logits: jnp.ndarray,  # (B, V) fp32 next-token logits
-    gen_ids: jnp.ndarray,  # (B, T) generated-so-far buffer
-    gen_len: jnp.ndarray,  # (B,) int32
-    key: jax.Array,
-    mu: jnp.ndarray,  # (B,) mirostat state
+def processed_logits(
+    logits: jnp.ndarray,  # (B, V) fp32
+    gen_ids: jnp.ndarray,
+    gen_len: jnp.ndarray,
     cfg: SamplingConfig,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """One sampling step.  Returns (token (B,) int32, new_mu).
-
-    Order matches HF generate with the reference's hijack_samplers patch:
-    processors (rep-penalty, no-repeat-ngram) then warpers
-    (temperature, top-k, top-p, tfs, top-a) or mirostat (temperature only).
-    """
+) -> jnp.ndarray:
+    """Context-dependent processors only (min-new-tokens EOS ban, repetition
+    penalty, no-repeat-ngram) — the part shared by greedy and sampling."""
     logits = logits.astype(jnp.float32)
     T = gen_ids.shape[1]
     gen_valid = jnp.arange(T)[None, :] < gen_len[:, None]
@@ -373,16 +367,22 @@ def sample_step(
         logits = apply_repetition_penalty(logits, gen_ids, gen_valid, cfg.repetition_penalty)
     if cfg.no_repeat_ngram_size > 0:
         logits = apply_no_repeat_ngram(logits, gen_ids, gen_len, cfg.no_repeat_ngram_size)
+    return logits
 
-    if not cfg.do_sample:
-        return jnp.argmax(logits, axis=-1).astype(jnp.int32), mu
+
+def warped_logits(
+    logits: jnp.ndarray,  # (B, V) fp32 next-token logits
+    gen_ids: jnp.ndarray,
+    gen_len: jnp.ndarray,
+    cfg: SamplingConfig,
+) -> jnp.ndarray:
+    """Full sampling pipeline up to (but excluding) the categorical draw:
+    softmax of the result IS the sampling distribution.  Not valid for
+    mirostat (its truncation is stateful — use sample_step)."""
+    logits = processed_logits(logits, gen_ids, gen_len, cfg)
 
     if cfg.temperature != 1.0:
         logits = warp_temperature(logits, cfg.temperature)
-
-    if cfg.mirostat_mode == 2:
-        token, mu = mirostat_step(logits, mu, key, cfg.mirostat_tau, cfg.mirostat_eta)
-        return token.astype(jnp.int32), mu
 
     if (cfg.top_k > 0 and cfg.top_p < 1.0 and cfg.tfs >= 1.0
             and cfg.top_a <= 0.0):
@@ -398,6 +398,34 @@ def sample_step(
             logits = warp_tfs(logits, cfg.tfs)
         if cfg.top_a > 0.0:
             logits = warp_top_a(logits, cfg.top_a)
+    return logits
 
+
+def sample_step(
+    logits: jnp.ndarray,  # (B, V) fp32 next-token logits
+    gen_ids: jnp.ndarray,  # (B, T) generated-so-far buffer
+    gen_len: jnp.ndarray,  # (B,) int32
+    key: jax.Array,
+    mu: jnp.ndarray,  # (B,) mirostat state
+    cfg: SamplingConfig,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """One sampling step.  Returns (token (B,) int32, new_mu).
+
+    Order matches HF generate with the reference's hijack_samplers patch:
+    processors (rep-penalty, no-repeat-ngram) then warpers
+    (temperature, top-k, top-p, tfs, top-a) or mirostat (temperature only).
+    """
+    if not cfg.do_sample:
+        logits = processed_logits(logits, gen_ids, gen_len, cfg)
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32), mu
+
+    if cfg.mirostat_mode == 2:
+        logits = processed_logits(logits, gen_ids, gen_len, cfg)
+        if cfg.temperature != 1.0:
+            logits = warp_temperature(logits, cfg.temperature)
+        token, mu = mirostat_step(logits, mu, key, cfg.mirostat_tau, cfg.mirostat_eta)
+        return token.astype(jnp.int32), mu
+
+    logits = warped_logits(logits, gen_ids, gen_len, cfg)
     token = jax.random.categorical(key, logits, axis=-1)
     return token.astype(jnp.int32), mu

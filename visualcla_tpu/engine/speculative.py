@@ -35,7 +35,7 @@ import numpy as np
 
 from ..models import llama
 from .generate import DecodeState, Engine
-from .sampling import SamplingConfig, sample_step
+from .sampling import SamplingConfig, sample_step, warped_logits
 
 
 @dataclasses.dataclass
@@ -51,6 +51,7 @@ class SpecState:
     last_token: jnp.ndarray  # (B,) int32
     finished: jnp.ndarray  # (B,) bool
     mu: jnp.ndarray  # (B,) fp32 (mirostat state pass-through, unused for greedy)
+    key: jax.Array  # PRNG state (speculative SAMPLING accept/resample draws)
     chunks: jnp.ndarray  # () int32 — number of verify chunks run
     emitted: jnp.ndarray  # () int32 — total tokens emitted (all rows)
 
@@ -59,7 +60,7 @@ jax.tree_util.register_dataclass(
     SpecState,
     data_fields=[
         "cache", "kv_valid", "cur_slot", "positions", "gen_ids", "gen_len",
-        "last_token", "finished", "mu", "chunks", "emitted",
+        "last_token", "finished", "mu", "key", "chunks", "emitted",
     ],
     meta_fields=[],
 )
@@ -169,6 +170,58 @@ def _verify_with_processors(
     return jax.lax.fori_loop(0, K1, step, preds)
 
 
+def _verify_sampled(
+    logits: jnp.ndarray,  # (B, K+1, V) fp32
+    gen_ids: jnp.ndarray,
+    gen_len: jnp.ndarray,
+    drafts: jnp.ndarray,  # (B, K)
+    key: jax.Array,
+    cfg: SamplingConfig,
+) -> jnp.ndarray:
+    """Speculative SAMPLING verify — exact in distribution.
+
+    The prompt-lookup draft is deterministic (q = delta at d), so the
+    standard speculative-sampling rule reduces to: accept d with probability
+    p(d); on rejection draw from p restricted to tokens != d (renormalized);
+    the bonus position (all drafts accepted) draws from the full p.  The
+    marginal at every position is exactly p — the same distribution plain
+    sampled decode uses — though the realized tokens differ from plain decode
+    under the same seed (different RNG consumption)."""
+    B, K1, V = logits.shape
+    K = K1 - 1
+
+    def put(row, d, s):
+        return jax.lax.dynamic_update_slice(row, d, (s,))
+
+    hyp_ids = jax.vmap(put)(gen_ids, drafts, gen_len)
+    keys = jax.random.split(key, K1)
+
+    def step(j, preds):
+        w = warped_logits(logits[:, j], hyp_ids, gen_len + j, cfg)  # (B, V)
+        k_acc, k_res = jax.random.split(keys[j])
+        is_last = j == K
+        d = drafts[:, jnp.minimum(j, K - 1)]
+        p_d = jnp.take_along_axis(
+            jax.nn.softmax(w, axis=-1), d[:, None], axis=1
+        )[:, 0]
+        u = jax.random.uniform(k_acc, (B,))
+        accept = (u < p_d) & ~is_last
+        w_masked = jnp.where(
+            jnp.arange(V)[None, :] == d[:, None], float(jnp.finfo(jnp.float32).min), w
+        )
+        # degenerate guard: if ALL mass sat on d, rejection is measure-zero but
+        # fp rounding could still land here — resample from the full dist then
+        empty = jnp.max(w_masked, axis=-1) <= jnp.finfo(jnp.float32).min / 2
+        full_src = empty | is_last  # (B,) — bonus position or degenerate mask
+        resample_src = jnp.where(full_src[:, None], w, w_masked)
+        resample = jax.random.categorical(k_res, resample_src, axis=-1)
+        pred_j = jnp.where(accept, d, resample).astype(jnp.int32)
+        return preds.at[:, j].set(pred_j)
+
+    preds = jnp.zeros((B, K1), jnp.int32)
+    return jax.lax.fori_loop(0, K1, step, preds)
+
+
 def spec_chunk(
     params,
     cfg_text,
@@ -208,8 +261,14 @@ def spec_chunk(
     )
     logits = llama.logits(params["text"], hidden)  # (B, K+1, V) fp32
 
-    # ---- verify (greedy-exact) ----
-    if _has_processors(sampling):
+    # ---- verify ----
+    key = state.key
+    if sampling.do_sample:  # speculative sampling (exact in distribution)
+        key, sub = jax.random.split(key)
+        preds = _verify_sampled(
+            logits, state.gen_ids, state.gen_len, drafts, sub, sampling
+        )
+    elif _has_processors(sampling):
         preds = _verify_with_processors(
             logits, state.gen_ids, state.gen_len, drafts, state.mu, sampling
         )
@@ -262,6 +321,7 @@ def spec_chunk(
         last_token=new_last,
         finished=finished,
         mu=state.mu,
+        key=key,
         chunks=(state.chunks + 1).astype(jnp.int32),
         emitted=(state.emitted + jnp.sum(n_emit)).astype(jnp.int32),
     )
@@ -341,6 +401,7 @@ class SpeculativeDecoder:
             last_token=st.last_token,
             finished=st.finished,
             mu=st.mu,
+            key=st.key,
             chunks=jnp.int32(0),
             emitted=jnp.int32(B),
         )
@@ -357,10 +418,10 @@ class SpeculativeDecoder:
         (per-row pads after EOS, truncated at the longest row)."""
         eng = self.engine
         sampling = sampling or SamplingConfig.greedy()
-        if sampling.do_sample:
+        if sampling.do_sample and sampling.mirostat_mode == 2:
             raise ValueError(
-                "speculative decoding is greedy-exact only (do_sample=False); "
-                "use Engine.generate for sampled decoding"
+                "speculative decoding does not support mirostat (stateful "
+                "truncation); use Engine.generate"
             )
         input_ids = np.asarray(input_ids, np.int32)
         B, S = input_ids.shape
@@ -418,8 +479,8 @@ class SpeculativeDecoder:
         per-token streaming surface."""
         eng = self.engine
         sampling = sampling or SamplingConfig.greedy()
-        if sampling.do_sample:
-            raise ValueError("speculative streaming is greedy-exact only")
+        if sampling.do_sample and sampling.mirostat_mode == 2:
+            raise ValueError("speculative streaming does not support mirostat")
         input_ids = np.asarray(input_ids, np.int32)
         B = input_ids.shape[0]
         if B != 1:
