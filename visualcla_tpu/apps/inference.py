@@ -36,6 +36,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", default=-1, type=int, help="sampling seed")
     p.add_argument("--stream", action="store_true",
                    help="stream tokens as they decode")
+    p.add_argument("--speculative", action="store_true",
+                   help="prompt-lookup speculative decoding (token-identical "
+                        "for greedy, identical distribution for sampled "
+                        "configs; fewer device dispatches)")
     p.add_argument("--stream_chunk", type=int, default=8,
                    help="tokens decoded per device dispatch while streaming "
                         "(amortizes dispatch latency; display stays per-token)")
@@ -104,13 +108,15 @@ def main(argv=None):
                 for response, history in chat_in_stream(
                     model, image=image_path, text=text, history=history,
                     verbose=False, seed=seed, chunk_size=args.stream_chunk,
+                    speculative=args.speculative,
                 ):
                     print(response[printed:], end="", flush=True)
                     printed = len(response)
                 print()
             else:
                 response, history = chat(
-                    model, image=image_path, text=text, history=history, seed=seed
+                    model, image=image_path, text=text, history=history,
+                    seed=seed, speculative=args.speculative,
                 )
         except FileNotFoundError:
             print(f"Cannot find file {image_path}. Clear history")
