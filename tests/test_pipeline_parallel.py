@@ -217,3 +217,26 @@ def test_pipeline_train_step_matches_plain():
                                rtol=1e-6)
     np.testing.assert_allclose(float(m_pp["grad_norm"]),
                                float(m_plain["grad_norm"]), rtol=1e-5)
+
+
+@pytest.mark.parametrize("n_pipe,n_model,n_micro", [(2, 2, 1), (2, 4, 2), (4, 2, 1)])
+def test_pipeline_tp_composition(n_pipe, n_model, n_micro):
+    """PP x TP on a ('pipe','model') mesh — 'pipe' manual (GPipe ring),
+    'model' left to GSPMD (partial-manual shard_map). Exact equality."""
+    cfg = make_cfg(layers=4)
+    B = max(2, n_micro)
+    params, embeds, positions, cache, kv_valid = make_inputs(cfg, B=B)
+    mesh = pp.make_pipe_tp_mesh(n_pipe, n_model,
+                                devices=jax.devices()[: n_pipe * n_model])
+    text = pp.shard_text_params(params, mesh, cfg)
+    h_ref, c_ref = run_ref(params, cfg, embeds, positions, cache, kv_valid,
+                           jnp.int32(0))
+    h_pp, c_pp = pp.pipeline_forward(
+        text, cfg, embeds, positions, cache, kv_valid, jnp.int32(0),
+        mesh, n_micro=n_micro,
+    )
+    np.testing.assert_allclose(np.asarray(h_pp), np.asarray(h_ref),
+                               rtol=1e-12, atol=1e-12)
+    for k in c_ref:
+        np.testing.assert_allclose(np.asarray(c_pp[k]), np.asarray(c_ref[k]),
+                                   rtol=1e-12, atol=1e-12)

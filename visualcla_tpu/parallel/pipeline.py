@@ -31,7 +31,7 @@ from ..models import llama
 from ..ops.norms import rms_norm
 from ..ops.rope import rope_table
 
-PIPE, DATA = "pipe", "data"
+PIPE, DATA, MODEL = "pipe", "data", "model"
 
 
 def make_pipe_mesh(n_pipe: int, n_data: int = 1, devices=None) -> Mesh:
@@ -43,31 +43,46 @@ def make_pipe_mesh(n_pipe: int, n_data: int = 1, devices=None) -> Mesh:
     return Mesh(grid, (PIPE, DATA))
 
 
-def stage_param_specs(n_pipe: int, cfg: LlamaConfig) -> dict:
+def make_pipe_tp_mesh(n_pipe: int, n_model: int, devices=None) -> Mesh:
+    """A ('pipe', 'model') mesh: PP stages over DCN/outer, Megatron TP over
+    ICI within each stage.  ``pipeline_forward`` runs 'pipe' manually (GPipe
+    ppermute ring) and leaves 'model' to GSPMD (partial-manual shard_map)."""
+    devices = devices if devices is not None else jax.devices()
+    grid = np.asarray(devices[: n_pipe * n_model]).reshape(n_pipe, n_model)
+    return Mesh(grid, (PIPE, MODEL))
+
+
+def stage_param_specs(n_pipe: int, cfg: LlamaConfig, tp: bool = False) -> dict:
     """PartitionSpecs for the text tower under PP: stacked layer params shard
-    their leading layer axis over 'pipe'; stage-independent params replicate."""
+    their leading layer axis over 'pipe'; stage-independent params replicate.
+    ``tp=True`` adds Megatron sharding on 'model' within each stage (column-
+    parallel QKV/gate/up, row-parallel O/down) for ('pipe','model') meshes."""
     if cfg.num_hidden_layers % n_pipe:
         raise ValueError(
             f"num_hidden_layers {cfg.num_hidden_layers} not divisible by "
             f"pipe={n_pipe}"
         )
+    col = P(PIPE, None, MODEL) if tp else P(PIPE, None, None)
+    row = P(PIPE, MODEL, None) if tp else P(PIPE, None, None)
     layer_spec = {}
     for name in ("input_norm", "post_norm"):
         layer_spec[name] = P(PIPE)
-    for name in ("q_proj", "k_proj", "v_proj", "o_proj",
-                 "gate_proj", "up_proj", "down_proj"):
-        layer_spec[name] = P(PIPE, None, None)
+    for name in ("q_proj", "k_proj", "v_proj", "gate_proj", "up_proj"):
+        layer_spec[name] = col
+    for name in ("o_proj", "down_proj"):
+        layer_spec[name] = row
     return {
-        "embed_tokens": P(),
+        "embed_tokens": P(None, MODEL) if tp else P(),
         "layers": layer_spec,
         "final_norm": P(),
-        "lm_head": P(),
+        "lm_head": P(None, MODEL) if tp else P(),
     }
 
 
 def shard_text_params(text_params: dict, mesh: Mesh, cfg: LlamaConfig) -> dict:
-    """Place the text tower for PP on ``mesh`` (('pipe','data'))."""
-    specs = stage_param_specs(mesh.shape[PIPE], cfg)
+    """Place the text tower for PP on ``mesh`` (('pipe','data') or
+    ('pipe','model') — the latter adds Megatron TP within stages)."""
+    specs = stage_param_specs(mesh.shape[PIPE], cfg, tp=MODEL in mesh.shape)
 
     def put(path_spec, tree):
         if isinstance(tree, dict):
@@ -198,22 +213,40 @@ def pipeline_forward(
         return outs, cache_local
 
     layer_specs = P(PIPE)  # leading layer axis; rest replicated per stage
-    cache_spec = P(PIPE, None, DATA)  # (L, M, mb, ...): layers to stages, mb to DP
-    out = shard_map(
+    if MODEL in mesh.shape:
+        # PP × TP: only 'pipe' runs manually; 'model' stays a GSPMD auto axis
+        # — Megatron shardings on the stage-local weights partition the
+        # matmuls inside each stage (partial-manual shard_map).
+        cache_spec = P(PIPE)
+        extra = dict(axis_names={PIPE})
+        b3, kvs, ss = P(), P(), P()
+    else:
+        cache_spec = P(PIPE, None, DATA)  # (L, M, mb, ...): stages × DP rows
+        extra = {}
+        b3 = batch3
+        kvs = P(None, DATA, None)
+        ss = P(None, DATA) if per_row_slot else P()
+    fn = shard_map(
         stage_fn,
         mesh=mesh,
         in_specs=(
             jax.tree.map(lambda _: layer_specs, params["layers"]),
             jax.tree.map(lambda _: cache_spec, cache_mb),
-            batch3,  # embeds (M, mb, Sq, H)
-            batch3,  # cos
-            batch3,  # sin
-            P(None, DATA, None),  # kv_valid (M, mb, Smax)
-            P(None, DATA) if per_row_slot else P(),
+            b3,  # embeds (M, mb, Sq, H)
+            b3,  # cos
+            b3,  # sin
+            kvs,  # kv_valid (M, mb, Smax)
+            ss,
         ),
-        out_specs=(batch3, jax.tree.map(lambda _: cache_spec, cache_mb)),
+        out_specs=(b3, jax.tree.map(lambda _: cache_spec, cache_mb)),
         check_vma=False,
-    )(params["layers"], cache_mb, embeds_mb, cos_mb, sin_mb, kvok_mb, slot_mb)
+        **extra,
+    )
+    if extra:  # partial-manual (auto 'model') only lowers under jit — an
+        # eager call trips a misleading "out_specs refers to 'model'" error
+        fn = jax.jit(fn)
+    out = fn(params["layers"], cache_mb, embeds_mb, cos_mb, sin_mb, kvok_mb,
+             slot_mb)
     hidden_mb, cache_mb = out
     h = hidden_mb.reshape(B, Sq, H)
     h = rms_norm(h, params["final_norm"], cfg.rms_norm_eps)
