@@ -123,6 +123,9 @@ def run(max_seq_len: int, quant: str = "bf16"):
     import gc
 
     del st  # free the B1 KV cache before allocating 8 rows (16GB chip)
+    # the decode loop never touches the vision tower/resampler/projector —
+    # drop them (~0.75 GB) for extra HBM headroom under the B8 cache rows
+    engine.params = {"text": engine.params["text"]}
     gc.collect()
     tok_s_b8 = None
     for b8_attempt in range(3):
@@ -177,20 +180,28 @@ def _run_batch8(engine, cfg, input_ids, pixel_values, img_start_pos):
             mu=jnp.full((B8,), 2.0 * s8.mirostat_tau, jnp.float32),
         )
 
-    try:
-        st = engine8._decode_loop(engine8.params, fresh_state(), s8,
-                                  s8.max_new_tokens)
-        _sync(st.gen_ids[:, -1])  # compile + warm
-        del st
-        st = fresh_state()
-        t0 = time.perf_counter()
-        st = engine8._decode_loop(engine8.params, st, s8, s8.max_new_tokens)
-        _sync(st.gen_ids[:, -1])
-        dt8 = time.perf_counter() - t0
-        return B8 * (int(st.gen_len) - 1) / dt8
-    except Exception as e:  # noqa: BLE001
-        print(f"# fused B8 loop unavailable ({str(e)[:90]}); "
-              "falling back to chained single steps", file=sys.stderr)
+    # the fused-loop compile is rejected when the tunnel's compile helper is
+    # in an unhealthy window (it compiled fine in healthy ones — see
+    # BENCH_HISTORY.json); retry a few times before falling back.  Once it
+    # lands in the persistent compile cache, later runs skip straight through.
+    for fused_attempt in range(3):
+        try:
+            st = engine8._decode_loop(engine8.params, fresh_state(), s8,
+                                      s8.max_new_tokens)
+            _sync(st.gen_ids[:, -1])  # compile + warm
+            del st
+            st = fresh_state()
+            t0 = time.perf_counter()
+            st = engine8._decode_loop(engine8.params, st, s8, s8.max_new_tokens)
+            _sync(st.gen_ids[:, -1])
+            dt8 = time.perf_counter() - t0
+            return B8 * (int(st.gen_len) - 1) / dt8
+        except Exception as e:  # noqa: BLE001
+            print(f"# fused B8 loop attempt {fused_attempt} failed "
+                  f"({str(e)[:90]})", file=sys.stderr)
+            time.sleep(30)
+    print("# fused B8 loop unavailable; falling back to chained single steps",
+          file=sys.stderr)
     # fallback: chain N async single-step dispatches, sync once — the
     # single-step program is small enough for the tunnel's compile helper,
     # and async chaining keeps dispatch off the critical path
