@@ -1,4 +1,4 @@
-"""Prewarm the persistent XLA compile cache for every program bench.py runs.
+"""Prewarm the persistent XLA compile cache for the programs bench.py runs.
 
 The axon tunnel's remote compile helper is intermittently unhealthy (HTTP 500
 "tpu_compile_helper subprocess exit code 1", or multi-minute hangs) — see
@@ -11,6 +11,12 @@ Run (repeatedly, if needed) until it prints ``ALL WARM``:
     python tools/prewarm_bench.py           # bf16 programs (the headline)
     python tools/prewarm_bench.py --int8    # int8 variants too
 
+Coverage note: this warms bench's primary max_seq=768 programs and the B8
+serving programs (via ``bench.batch8_setup`` — same code path, so provably
+the same cache keys).  bench.main's OOM-fallback sizes (512/384) and the
+``--xla-attn`` variant are NOT warmed; they only run after a
+RESOURCE_EXHAUSTED at 768, which has not been observed on a 16 GB v5e.
+
 Exit code 0 = everything compiled (now or previously); 1 = something still
 cold after the retry budget.
 """
@@ -22,8 +28,6 @@ import time
 
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
-import jax  # noqa: E402
-import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 
 from visualcla_tpu.utils import enable_compilation_cache  # noqa: E402
@@ -45,15 +49,14 @@ def _attempt(label: str, fn) -> bool:
             print(f"[warm] {label}: attempt {i} failed after "
                   f"{time.time() - t0:.0f}s: {str(e)[:140]}", flush=True)
             gc.collect()
-            time.sleep(SLEEP_S)
+            if i < RETRIES - 1:
+                time.sleep(SLEEP_S)
     return False
 
 
 def warm(quant: str) -> bool:
     import bench
-    from visualcla_tpu.engine.generate import DecodeState, Engine
     from visualcla_tpu.engine.sampling import SamplingConfig
-    from visualcla_tpu.models import llama
 
     engine, cfg = bench.build_engine(768, quant)
     rng = np.random.default_rng(0)
@@ -62,49 +65,29 @@ def warm(quant: str) -> bool:
     img_pos = np.full((1,), 2, np.int32)
     sampling = SamplingConfig.greedy(max_new_tokens=768 - 128 - 8)
 
-    state = {}
-
     def prefill():
         st = engine.start(input_ids, pixel_values, img_pos, sampling)
         bench._sync(st.last_token)
-        state["st"] = st
+        del st
 
     ok = _attempt(f"{quant} B1 prefill (incl. image encode)", prefill)
 
     def loop():
-        st = state.get("st") or engine.start(
-            input_ids, pixel_values, img_pos, sampling)
+        # fresh prefill each attempt: _decode_loop donates its state, so a
+        # failed attempt may leave a previously-built state deleted
+        st = engine.start(input_ids, pixel_values, img_pos, sampling)
         st = engine._decode_loop(engine.params, st, sampling,
                                  sampling.max_new_tokens)
         bench._sync(st.gen_ids[:, -1])
-        state.pop("st", None)
         del st
 
     ok = _attempt(f"{quant} B1 fused decode loop", loop) and ok
-    state.pop("st", None)
+    gc.collect()
 
-    # B8 serving programs (decode-only; mirrors bench._run_batch8 exactly —
-    # same shapes => same cache keys)
+    # B8 serving programs — exactly bench._run_batch8's fixtures
     engine.params = {"text": engine.params["text"]}
     gc.collect()
-    B8, seq8, prompt8 = 8, 256, 128
-    engine8 = Engine(engine.params, cfg, eos_token_id=2, pad_token_id=49954,
-                     max_seq_len=seq8, prompt_buckets=(prompt8,),
-                     dtype=engine.dtype)
-    s8 = SamplingConfig.greedy(max_new_tokens=seq8 - prompt8 - 8)
-
-    def fresh_state():
-        cache = llama.init_kv_cache(cfg.text_config, B8, seq8, engine.dtype)
-        kv_valid = jnp.concatenate(
-            [jnp.ones((B8, prompt8), bool),
-             jnp.zeros((B8, seq8 - prompt8), bool)], axis=-1)
-        return DecodeState(
-            cache=cache, kv_valid=kv_valid, cur_slot=jnp.int32(prompt8),
-            positions=jnp.full((B8,), prompt8, jnp.int32),
-            gen_ids=jnp.zeros((B8, s8.max_new_tokens), jnp.int32),
-            gen_len=jnp.int32(1), last_token=jnp.ones((B8,), jnp.int32),
-            finished=jnp.zeros((B8,), bool), key=jax.random.PRNGKey(0),
-            mu=jnp.full((B8,), 2.0 * s8.mirostat_tau, jnp.float32))
+    engine8, s8, fresh_state, _unused = bench.batch8_setup(engine, cfg)
 
     def b8_fused():
         st = engine8._decode_loop(engine8.params, fresh_state(), s8,
@@ -113,6 +96,7 @@ def warm(quant: str) -> bool:
         del st
 
     ok = _attempt(f"{quant} B8 fused decode loop", b8_fused) and ok
+    gc.collect()
 
     def b8_step():
         st = engine8._decode_step(engine8.params, fresh_state(), s8)

@@ -52,58 +52,68 @@ def ring_attention(
     n_dev = lax.axis_size(axis_name)
     B, Sq, N, H = q.shape
     Nkv = k.shape[2]
-    if N != Nkv:  # grouped-query: materialize full heads once, locally
-        rep = N // Nkv
-        k = jnp.repeat(k, rep, axis=2)
-        v = jnp.repeat(v, rep, axis=2)
+    G = N // Nkv  # grouped-query: G query heads share each K/V head.  K/V stay
+    # at Nkv heads on the ring — ICI bytes/hop scale with Nkv, not N; the
+    # grouping lives in the einsum instead of a materialized repeat.
     if scale is None:
         scale = H ** -0.5
-    qf = q.astype(jnp.float32) * scale
+    qf = (q.astype(jnp.float32) * scale).reshape(B, Sq, Nkv, G, H)
 
     perm = [(j, (j + 1) % n_dev) for j in range(n_dev)]
 
-    def block(carry, _):
-        m, l, acc, k_c, v_c, kv_pos_c, kv_ok_c = carry
-        # scores for the resident queries against the block currently here
+    def block_update(m, l, acc, k_c, v_c, kv_pos_c, kv_ok_c):
+        """Fold one K/V block into the online-softmax accumulators.
+
+        m, l: (B, Nkv, G, Sq);  acc: (B, Sq, Nkv, G, H)."""
         logits = jnp.einsum(
-            "bqnh,bknh->bnqk", qf, k_c.astype(jnp.float32),
+            "bqngh,bknh->bngqk", qf, k_c.astype(jnp.float32),
             preferred_element_type=jnp.float32,
-        )
-        ok = kv_ok_c[:, None, None, :]
+        )  # (B, Nkv, G, Sq, Sk)
+        ok = kv_ok_c[:, None, None, None, :]
         if causal:
             ok = ok & (
-                kv_pos_c[:, None, None, :] <= q_positions[:, None, :, None]
+                kv_pos_c[:, None, None, None, :]
+                <= q_positions[:, None, None, :, None]
             )
         logits = jnp.where(ok, logits, _NEG)
-        m_new = jnp.maximum(m, logits.max(axis=-1))  # (B, N, Sq)
+        m_new = jnp.maximum(m, logits.max(axis=-1))
         p = jnp.exp(logits - m_new[..., None]) * ok  # masked lanes contribute 0
-        corr = jnp.exp(m - m_new)  # (B, N, Sq)
+        corr = jnp.exp(m - m_new)  # (B, Nkv, G, Sq)
         l_new = l * corr + p.sum(axis=-1)
         pv = jnp.einsum(
-            "bnqk,bknh->bqnh", p, v_c.astype(jnp.float32),
+            "bngqk,bknh->bqngh", p, v_c.astype(jnp.float32),
             preferred_element_type=jnp.float32,
         )
-        acc_new = acc * corr.transpose(0, 2, 1)[..., None] + pv
-        # rotate the K/V block (and its metadata) to the next device; XLA
-        # overlaps this collective-permute with the next block's compute
+        acc_new = acc * corr.transpose(0, 3, 1, 2)[..., None] + pv
+        return m_new, l_new, acc_new
+
+    def block(carry, _):
+        m, l, acc, k_c, v_c, kv_pos_c, kv_ok_c = carry
+        # rotate first (P-1 hops total: the local block was folded before the
+        # scan), then fold the arriving block; XLA overlaps the
+        # collective-permute with the previous block's einsums
         k_c, v_c, kv_pos_c, kv_ok_c = (
-            lax.ppermute(x, axis_name, perm) for x in (k_c, v_c, kv_pos_c, kv_ok_c)
+            lax.ppermute(x, axis_name, perm)
+            for x in (k_c, v_c, kv_pos_c, kv_ok_c)
         )
-        return (m_new, l_new, acc_new, k_c, v_c, kv_pos_c, kv_ok_c), None
+        m, l, acc = block_update(m, l, acc, k_c, v_c, kv_pos_c, kv_ok_c)
+        return (m, l, acc, k_c, v_c, kv_pos_c, kv_ok_c), None
 
     # derive the accumulators from qf so they carry q's varying-axes (vma)
     # annotation — plain constants would mismatch the ppermute'd carries
     # under shard_map's type check
-    m0 = qf[..., 0].transpose(0, 2, 1) * 0.0 + _NEG  # (B, N, Sq)
+    m0 = qf[..., 0].transpose(0, 2, 3, 1) * 0.0 + _NEG  # (B, Nkv, G, Sq)
     l0 = m0 * 0.0
-    acc0 = qf * 0.0  # (B, Sq, N, H) fp32
+    acc0 = qf * 0.0  # (B, Sq, Nkv, G, H) fp32
+    kv_ok = kv_valid.astype(bool)
+    m0, l0, acc0 = block_update(m0, l0, acc0, k, v, kv_positions, kv_ok)
     (m, l, acc, *_), _ = lax.scan(
-        block, (m0, l0, acc0, k, v, kv_positions, kv_valid.astype(bool)),
-        None, length=n_dev,
+        block, (m0, l0, acc0, k, v, kv_positions, kv_ok),
+        None, length=n_dev - 1,
     )
     l = jnp.maximum(l, 1e-30)  # fully-masked queries (padding) emit zeros
-    out = acc / l.transpose(0, 2, 1)[..., None]
-    return out.astype(q.dtype)
+    out = acc / l.transpose(0, 3, 1, 2)[..., None]
+    return out.reshape(B, Sq, N, H).astype(q.dtype)
 
 
 def ring_attention_sharded(
