@@ -267,7 +267,7 @@ def main():
         raise RuntimeError("benchmark failed at all KV budgets")
     tok_s, ttft_ms, n, tok_s_b8 = result
 
-    print(json.dumps({
+    out = {
         "metric": "decode_tokens_per_s_per_chip_7b"
                   + ("_int8" if quant == "int8" else ""),
         "value": round(tok_s, 2),
@@ -279,7 +279,26 @@ def main():
             round(tok_s_b8, 2) if tok_s_b8 else None
         ),
         "device": str(jax.devices()[0]),
-    }))
+    }
+    if quant == "bf16" and "--no-int8" not in sys.argv:
+        # int8 weights = the reference's --load_in_8bit config; report it on
+        # the same line (best-effort — skipped on tunnel trouble)
+        import gc
+
+        result = None
+        gc.collect()
+        try:
+            result = run(768, "int8")
+        except Exception as e:  # noqa: BLE001
+            print(f"# int8 extras skipped: {str(e)[:120]}", file=sys.stderr)
+        if result is not None:
+            i_tok_s, i_ttft, _, i_b8 = result
+            out["int8_tokens_per_s_per_chip"] = round(i_tok_s, 2)
+            out["int8_ttft_ms_p50"] = round(i_ttft, 1)
+            out["int8_batch8_tokens_per_s_per_chip"] = (
+                round(i_b8, 2) if i_b8 else None
+            )
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

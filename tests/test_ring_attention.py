@@ -64,6 +64,26 @@ def test_ring_composes_with_dp_tp(rng):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
 
 
+def test_ring_gqa_with_tp(rng):
+    """GQA heads sharded on 'model' while the sequence rings on 'seq' —
+    K/V stay at Nkv heads per shard (ICI bytes scale with Nkv, not N)."""
+    devs = np.asarray(jax.devices()[:8]).reshape(2, 4)
+    mesh = Mesh(devs, ("seq", "model"))
+    q, k, v = _rand_qkv(rng, 1, 32, 8, 4, 16)  # G=2, Nkv=4 divisible by model=4
+    out = ring_attention_sharded(q, k, v, mesh)
+    ref = _dense_ref(q, k, v, jnp.ones((1, 32), bool), True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_ring_single_shard_degenerates_to_dense(rng):
+    """seq axis of size 1: zero hops, plain attention."""
+    mesh = Mesh(np.asarray(jax.devices()[:1]), ("seq",))
+    q, k, v = _rand_qkv(rng, 2, 16, 4, 4, 8)
+    out = ring_attention_sharded(q, k, v, mesh)
+    ref = _dense_ref(q, k, v, jnp.ones((2, 16), bool), True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
 def test_ring_long_context_scales_past_single_shard(rng):
     """8k tokens over 8 shards — the long-context case the reference cannot
     reach (2048 cap, settings-visualcla.yaml:21)."""
