@@ -186,3 +186,29 @@ class TestBeamSample:
         gc = SamplingConfig(num_beams=3, do_sample=True, max_new_tokens=6)
         resp, _ = v.chat(model, None, "ab", [], gc, verbose=False)
         assert isinstance(resp, str)
+
+
+def test_beam_cache_cap_finalize_matches_hf(models):
+    """Regression: when the loop exits via the cache-full (slot >= Smax) break,
+    finalize must pair each candidate's score with ITS OWN continuation ids
+    (old beam's gen + its token), not with the stale gen[] at the same rank.
+    A cache capped at S + k - 1 slots emits exactly k tokens, so it must match
+    HF with max_new_tokens=k."""
+    hf, params, cfg = models
+    eos = hf.config.eos_token_id
+    for seed, nb, k in [(7, 3, 4), (8, 2, 5), (9, 4, 3)]:
+        rng = np.random.default_rng(seed)
+        ids = rng.integers(3, 60, size=(1, 9)).astype(np.int32)
+        ours = beam_generate(
+            params, cfg, ids, None, None,
+            num_beams=nb, max_new_tokens=16, eos_token_id=eos,
+            pad_token_id=0, max_seq_len=ids.shape[1] + k - 1,
+        )
+        theirs = hf_beam(hf, ids, nb, k, eos)
+        t = list(theirs)
+        if eos in t:
+            t = t[: t.index(eos) + 1]
+        o = list(np.asarray(ours))
+        if eos in o:
+            o = o[: o.index(eos) + 1]
+        assert o == t, (seed, o, t)

@@ -151,9 +151,11 @@ def beam_generate(
     next_beams: List[Tuple[float, int, int]] = []
     slot, pos = S, S
 
+    gen_synced = False
     for step_i in range(max_new_tokens):
         # host bookkeeping: pick nb continuations, route EOS into hypotheses
         next_beams: List[Tuple[float, int, int]] = []
+        gen_synced = False
         for score, b, tok in cand:
             if tok == eos_token_id:
                 hyp.add(np.append(gen[b], eos_token_id), score)
@@ -170,6 +172,7 @@ def beam_generate(
         beam_idx = np.asarray([b for _, b, _ in next_beams], np.int32)
         tokens = np.asarray([t for _, _, t in next_beams], np.int32)
         gen = [np.append(gen[b], t) for b, t in zip(beam_idx, tokens)]
+        gen_synced = True  # gen[j] now matches next_beams[j] (incl. its token)
         cache = reorder(cache, jnp.asarray(beam_idx))
         if step_i == max_new_tokens - 1:
             break
@@ -186,8 +189,12 @@ def beam_generate(
     if len(hyp.hyps) < nb and next_beams:
         order = np.argsort(-np.asarray([s for s, _, _ in next_beams]))
         for j in order:
-            s, _, _ = next_beams[int(j)]
-            hyp.add(gen[int(j)], s)
+            s, b, t = next_beams[int(j)]
+            # when the loop broke before the gen update (is_done / cache-full
+            # break), next_beams[j] continues OLD beam b with token t — pair
+            # the score with those ids, not with gen[j]
+            ids = gen[int(j)] if gen_synced else np.append(gen[b], t)
+            hyp.add(ids, s)
             if len(hyp.hyps) >= nb:
                 break
     return hyp.best()
@@ -236,13 +243,15 @@ def beam_sample_generate(
             logprobs = apply_no_repeat_ngram(
                 logprobs, gen_ids, gen_len, sampling.no_repeat_ngram_size)
         scores = logprobs + beam_scores[:, None]
-        # HF beam_sample applies the warpers AFTER adding beam scores
+        # HF beam_sample applies the warpers AFTER adding beam scores, with
+        # min_tokens_to_keep=2 when num_beams > 1 (transformers
+        # _get_logits_warper) so the 2*nb draw always has real candidates
         if sampling.temperature != 1.0:
             scores = warp_temperature(scores, sampling.temperature)
         if sampling.top_k > 0:
-            scores = warp_top_k(scores, sampling.top_k)
+            scores = warp_top_k(scores, max(sampling.top_k, 2))
         if sampling.top_p < 1.0:
-            scores = warp_top_p(scores, sampling.top_p)
+            scores = warp_top_p(scores, sampling.top_p, min_tokens_to_keep=2)
         flat = scores.reshape(1, -1)
         # multinomial without replacement == top-k of logits + Gumbel noise
         g = jax.random.gumbel(key, flat.shape, jnp.float32)
@@ -313,8 +322,10 @@ def beam_sample_generate(
     next_beams: List[Tuple[float, int, int]] = []
     slot, pos = S, S
 
+    gen_synced = False
     for step_i in range(max_new_tokens):
         next_beams = []
+        gen_synced = False
         for score, b, tok in cand:
             if tok == eos_token_id:
                 hyp.add(np.append(gen[b], eos_token_id), score)
@@ -331,6 +342,7 @@ def beam_sample_generate(
         beam_idx = np.asarray([b for _, b, _ in next_beams], np.int32)
         tokens = np.asarray([t for _, _, t in next_beams], np.int32)
         gen = [np.append(gen[b], t) for b, t in zip(beam_idx, tokens)]
+        gen_synced = True  # gen[j] now matches next_beams[j] (incl. its token)
         cache = reorder(cache, jnp.asarray(beam_idx))
         if step_i == max_new_tokens - 1:
             break
@@ -351,8 +363,12 @@ def beam_sample_generate(
     if len(hyp.hyps) < nb and next_beams:
         order = np.argsort(-np.asarray([s for s, _, _ in next_beams]))
         for j in order:
-            s, _, _ = next_beams[int(j)]
-            hyp.add(gen[int(j)], s)
+            s, b, t = next_beams[int(j)]
+            # when the loop broke before the gen update (is_done / cache-full
+            # break), next_beams[j] continues OLD beam b with token t — pair
+            # the score with those ids, not with gen[j]
+            ids = gen[int(j)] if gen_synced else np.append(gen[b], t)
+            hyp.add(ids, s)
             if len(hyp.hyps) >= nb:
                 break
     return hyp.best()

@@ -160,18 +160,25 @@ def warp_top_p(logits: jnp.ndarray, p: float, min_tokens_to_keep: int = 1) -> jn
 def warp_top_k_top_p_fused(
     logits: jnp.ndarray, k: int, p: float
 ) -> jnp.ndarray:
-    """Exact fusion of ``warp_top_p(warp_top_k(logits, k), p)`` without
-    full-vocab sorts.
+    """Fusion of ``warp_top_p(warp_top_k(logits, k), p)`` without full-vocab
+    sorts.
 
     The sequential warpers cost three ~50k-element sorts per decode step
     (top-k's sort, top-p's sort + argsort).  After top-k only ~k logits are
     finite, so top-p's cumulative only needs the top slice: take the top
     M >= k values with ``lax.top_k`` (O(V·log M)), do all masking on that
     (B, M) slice, and scatter the keep-mask back.  Values are never modified —
-    both warpers only mask — so the output is bit-identical to the sequential
-    path.  The one hazard is a value *tie* spanning the M boundary (HF's top-k
-    keeps every token equal to the k-th value); if detected, fall back to the
-    sequential warpers inside ``lax.cond``.
+    both warpers only mask — so the kept set matches the sequential path.
+
+    Degenerate-case handling: a value tie spanning the M boundary (HF's top-k
+    keeps every token equal to the k-th value) or a value tie straddling the
+    nucleus cutoff (where keep/remove among equal values depends on sort
+    order) falls back to the sequential warpers inside ``lax.cond``.  The one
+    remaining (sub-ulp) divergence: the cumulative mass here is computed as
+    total-minus-exclusive-prefix over the descending slice, whose fp rounding
+    can differ from the sequential ascending cumsum exactly at the 1-p
+    boundary — never observed in the bit-identity fuzz tests, but not
+    mathematically excluded.
     """
     B, V = logits.shape
     if k <= 0 or k >= V:  # top-k inactive; semantics differ — caller guards
@@ -184,13 +191,21 @@ def warp_top_k_top_p_fused(
     # tie across the M boundary: tokens beyond M might equal kth → fallback
     tie_risk = (M < V) & jnp.any(vals[:, -1:] >= kth)
 
+    probs = jax.nn.softmax(jnp.where(keep_k, vals, NEG_INF), axis=-1)
+    # HF removes ascending-cum <= 1-p ⇔ keep iff inclusive descending
+    # suffix mass > 1-p; suffix_inc = total - exclusive prefix
+    prefix_exc = jnp.cumsum(probs, axis=-1) - probs
+    suffix_inc = jnp.sum(probs, axis=-1, keepdims=True) - prefix_exc
+    keep_p = suffix_inc > (1.0 - p)
+    # equal values straddling the nucleus cutoff: the sequential path's
+    # ascending stable sort may keep a DIFFERENT member of the tied set →
+    # fall back (distribution-identical either way, but we promise identity)
+    cutoff_tie = jnp.any(
+        (vals[:, :-1] == vals[:, 1:]) & (keep_p[:, :-1] != keep_p[:, 1:])
+    )
+    tie_risk = tie_risk | cutoff_tie
+
     def fused(_):
-        probs = jax.nn.softmax(jnp.where(keep_k, vals, NEG_INF), axis=-1)
-        # HF removes ascending-cum <= 1-p ⇔ keep iff inclusive descending
-        # suffix mass > 1-p; suffix_inc = total - exclusive prefix
-        prefix_exc = jnp.cumsum(probs, axis=-1) - probs
-        suffix_inc = jnp.sum(probs, axis=-1, keepdims=True) - prefix_exc
-        keep_p = suffix_inc > (1.0 - p)
         keep = keep_k & keep_p
         keep = keep.at[:, 0].set(True)  # min_tokens_to_keep=1
         out = jnp.full_like(logits, NEG_INF)

@@ -54,6 +54,8 @@ class SpecState:
     key: jax.Array  # PRNG state (speculative SAMPLING accept/resample draws)
     chunks: jnp.ndarray  # () int32 — number of verify chunks run
     emitted: jnp.ndarray  # () int32 — total tokens emitted (all rows)
+    row_chunks: jnp.ndarray  # () int32 — sum over chunks of ACTIVE rows (rows
+    # that emitted >=1 token that chunk) — denominator for acceptance stats
 
 
 jax.tree_util.register_dataclass(
@@ -61,6 +63,7 @@ jax.tree_util.register_dataclass(
     data_fields=[
         "cache", "kv_valid", "cur_slot", "positions", "gen_ids", "gen_len",
         "last_token", "finished", "mu", "key", "chunks", "emitted",
+        "row_chunks",
     ],
     meta_fields=[],
 )
@@ -324,6 +327,7 @@ def spec_chunk(
         key=key,
         chunks=(state.chunks + 1).astype(jnp.int32),
         emitted=(state.emitted + jnp.sum(n_emit)).astype(jnp.int32),
+        row_chunks=(state.row_chunks + jnp.sum(n_emit > 0)).astype(jnp.int32),
     )
 
 
@@ -404,6 +408,7 @@ class SpeculativeDecoder:
             key=st.key,
             chunks=jnp.int32(0),
             emitted=jnp.int32(B),
+            row_chunks=jnp.int32(0),
         )
 
     def generate(
@@ -446,11 +451,16 @@ class SpeculativeDecoder:
             gen_len = np.asarray(spec.gen_len)
         chunks = int(spec.chunks)
         emitted = int(spec.emitted)
+        row_chunks = int(spec.row_chunks)  # active row-chunks only — rows
+        # that finish early stop contributing to the denominator
         self.last_stats = {
             "chunks": chunks,
             "emitted": emitted,
-            "tokens_per_chunk": emitted / max(chunks, 1),
-            "acceptance": (emitted - B - chunks * B) / max(chunks * self.spec_k * B, 1),
+            # prefill emitted B tokens outside any chunk; each active
+            # row-chunk emits 1 bonus + 0..K accepted draft tokens
+            "tokens_per_chunk": (emitted - B) / max(chunks, 1),
+            "acceptance": (emitted - B - row_chunks)
+                          / max(row_chunks * self.spec_k, 1),
         }
         from ..utils.profiling import GLOBAL_COUNTERS
 

@@ -117,6 +117,7 @@ def pipeline_forward(
     write_slot: jnp.ndarray,  # () or (B,) int32
     mesh: Mesh,
     n_micro: int = 1,
+    remat: bool = False,  # rematerialize each layer (training memory trade)
 ) -> Tuple[jnp.ndarray, dict]:
     """PP forward of the decoder stack (embed/final-norm outside, replicated).
 
@@ -128,7 +129,9 @@ def pipeline_forward(
     n_data = mesh.shape.get(DATA, 1)
     M = n_micro
     if B % (M * n_data):
-        raise ValueError(f"batch {B} must divide n_micro*data={M * n_data}")
+        raise ValueError(
+            f"batch {B} must be divisible by n_micro*data={M * n_data}"
+        )
     mb = B // M  # rows per microbatch (sharded over 'data' inside)
 
     cos, sin = rope_table(rope_positions, cfg.head_dim, cfg.rope_theta)
@@ -183,6 +186,7 @@ def pipeline_forward(
                 cache_m,
                 jax.lax.dynamic_index_in_dim(kvok_, m_c, 0, keepdims=False),
                 mb_slot,
+                remat=remat,
             )
 
             def put_rows(full, part):

@@ -88,7 +88,7 @@ def train_forward_logits(
         hidden, _ = pp.pipeline_forward(
             params["text"], cfg.text_config, embeds, positions, cache,
             attention_mask.astype(bool), jnp.int32(0), pipeline_mesh,
-            n_micro=n_micro,
+            n_micro=n_micro, remat=remat,
         )
     else:
         hidden, _ = llama.forward(
