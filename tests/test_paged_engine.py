@@ -191,3 +191,32 @@ class TestPagedTensorParallel:
         tp = self._run(make_mesh(n_data=1, n_model=2,
                                  devices=jax.devices()[:2]), kv_quant="int8")
         assert base == tp
+
+
+def test_can_admit_accounts_for_bucket_padding():
+    """Regression: admission must mirror prefill's allocation (which pads the
+    prompt to a bucket), or an admitted request can exhaust the pool and be
+    errored instead of deferred."""
+    import jax.numpy as jnp
+
+    from visualcla_tpu.core.config import tiny_visualcla_config
+    from visualcla_tpu.engine.paged import PagedServingEngine
+    from visualcla_tpu.engine.sampling import SamplingConfig
+    from visualcla_tpu.models import visualcla as vmod
+
+    cfg = tiny_visualcla_config(vocab_size=96)
+    params = vmod.init_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+    eng = PagedServingEngine(
+        params, cfg, eos_token_id=2, pad_token_id=0,
+        pool_size=2, block_size=8, num_blocks=8, max_seq_len=64,
+        max_new_tokens_cap=8, prompt_buckets=(16, 48),
+        sampling=SamplingConfig.greedy(max_new_tokens=8), dtype=jnp.float32,
+    )
+    # prompt of 17 buckets to 48 -> 6 blocks of 8; pool has 7 free (block 0
+    # is the dummy).  naive need = ceil((17+8+1)/8) = 4 would admit, then a
+    # second such request would blow the pool; bucket-aware need is 6.
+    assert eng.can_admit(17)
+    import numpy as np
+
+    eng.prefill_row(0, np.arange(4, 21, dtype=np.int32), None, None, 8)
+    assert not eng.can_admit(17)  # 1 free block left — must defer, not error

@@ -156,3 +156,47 @@ def test_pool_interleaves_requests(setup):
         sched.stop()
     assert len(outs) == 5
     assert all(1 <= len(o) <= 6 for o in outs)
+
+
+def test_scheduler_streams_every_token_including_first(setup):
+    """Regression: the prefill-sampled first token must arrive as a ('token',
+    id) event; the token stream must equal the final ids exactly."""
+    cfg, params, single, pool = setup
+    sched = Scheduler(pool, poll_interval=0.001)
+    try:
+        q: queue.Queue = queue.Queue()
+        ids = prompts(cfg, 1)[0]
+        sched.submit(Request(
+            input_ids=ids, pixel_values=None, img_start_pos=None,
+            max_new_tokens=8, out=q,
+        ))
+        streamed, done = [], None
+        while done is None:
+            kind, payload = q.get(timeout=120)
+            if kind == "token":
+                streamed.append(int(payload))
+            elif kind == "done":
+                done = list(payload)
+            else:
+                raise AssertionError(payload)
+        assert streamed == done, (streamed, done)
+    finally:
+        sched.stop()
+
+
+def test_batched_uneven_prompts_match_single_rows(setup):
+    """Regression: caller left-pads in a batched prompt are masked out, so
+    each row decodes exactly like its own B=1 run."""
+    cfg, params, single, _ = setup
+    ps = prompts(cfg, 2)
+    smp = SamplingConfig.greedy(max_new_tokens=8)
+    solo = [single.generate(p[None, :], sampling=smp)[0] for p in ps]
+    L = max(len(p) for p in ps)
+    batch = np.full((2, L), PAD, np.int32)
+    for i, p in enumerate(ps):
+        batch[i, L - len(p):] = p
+    both = single.generate(batch, sampling=smp)
+    for i in range(2):
+        a = list(solo[i])
+        b = list(both[i])[: len(solo[i])]
+        assert a == b, (i, a, b)

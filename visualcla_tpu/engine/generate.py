@@ -28,6 +28,14 @@ from ..models import llama, visualcla
 from .sampling import SamplingConfig, sample_step
 
 
+def pick_bucket(buckets: Tuple[int, ...], n: int) -> int:
+    """Smallest bucket >= n (shared by all engines so policies can't drift)."""
+    for b in buckets:
+        if n <= b:
+            return b
+    raise ValueError(f"prompt length {n} exceeds max bucket {buckets[-1]}")
+
+
 @dataclasses.dataclass
 class DecodeState:
     """Pytree carried through the decode loop."""
@@ -113,22 +121,24 @@ class Engine:
     # -- bucket / padding ---------------------------------------------------
 
     def bucket_len(self, prompt_len: int) -> int:
-        for b in self.prompt_buckets:
-            if prompt_len <= b:
-                return b
-        raise ValueError(
-            f"prompt length {prompt_len} exceeds max bucket {self.prompt_buckets[-1]}"
-        )
+        return pick_bucket(self.prompt_buckets, prompt_len)
 
     def pad_prompt(self, input_ids: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
-        """Left-pad (B, S) prompt ids to a bucket.  Returns (padded_ids, mask)."""
+        """Left-pad (B, S) prompt ids to a bucket.  Returns (padded_ids, mask).
+
+        Caller-provided LEADING pads (id == pad_token_id) are honored: their
+        mask is 0, so positions (cumsum of mask - 1) and kv validity treat the
+        row as starting at its first real token — batched uneven-length
+        prompts decode like their single-row equivalents."""
         B, S = input_ids.shape
         L = self.bucket_len(S)
         ids = np.full((B, L), self.pad_token_id, np.int32)
         mask = np.zeros((B, L), np.int32)
         ids[:, L - S :] = input_ids
         mask[:, L - S :] = 1
-        # honor caller-provided pads inside input_ids (id == pad_token_id at head)
+        real = input_ids != self.pad_token_id
+        lead = np.where(real.any(axis=1), real.argmax(axis=1), S)  # (B,)
+        mask[np.arange(L)[None, :] < (L - S + lead)[:, None]] = 0
         return ids, mask
 
     # -- jitted impls ---------------------------------------------------------
@@ -249,6 +259,16 @@ class Engine:
             img_pos = np.where(
                 np.asarray(img_start_pos) < 0, -1, np.asarray(img_start_pos) + offset
             ).astype(np.int32)
+            # the splice writes num_image_tokens embeds at pos+1; an
+            # out-of-range marker would silently clamp inside jit and
+            # overwrite tail TEXT embeddings — fail fast on the host instead
+            n_img = self.cfg.num_image_tokens
+            if np.any((img_pos >= 0)
+                      & (img_pos + 1 + n_img > padded.shape[1])):
+                raise ValueError(
+                    f"image marker at {img_start_pos} leaves no room for "
+                    f"{n_img} image tokens in a {padded.shape[1]}-slot prompt"
+                )
         if pixel_values is not None:
             pixel_values = jnp.asarray(pixel_values, self.dtype)
         need = padded.shape[1] + sampling.max_new_tokens + extra_slots

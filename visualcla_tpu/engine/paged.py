@@ -233,7 +233,15 @@ class PagedServingEngine:
         self.T = max_new_tokens_cap
         self.max_blocks = (max_seq_len + block_size - 1) // block_size
         self.prompt_buckets = tuple(b for b in prompt_buckets if b <= max_seq_len)
-        self.sampling = sampling or SamplingConfig()
+        bad = [b for b in self.prompt_buckets if b % block_size]
+        if bad:
+            raise ValueError(
+                f"prompt buckets {bad} are not multiples of "
+                f"block_size={block_size} (prefill scatters whole blocks)"
+            )
+        from .server import _check_serving_sampling
+
+        self.sampling = _check_serving_sampling(sampling or SamplingConfig())
         self.dtype = dtype
 
         # host allocator: block 0 is the dummy target for unused table slots
@@ -289,7 +297,16 @@ class PagedServingEngine:
     # -- allocator -------------------------------------------------------------
 
     def can_admit(self, prompt_len: int) -> bool:
-        need = (prompt_len + self.T + self.BS - 1) // self.BS + 1
+        """Worst-case block need for this prompt (mirrors prefill_row's
+        allocation exactly, incl. bucket padding) vs the free pool."""
+        try:
+            L = self.bucket_len(prompt_len)
+        except ValueError:
+            return False  # longer than the largest bucket — never admissible
+        nb_prompt = (L + self.BS - 1) // self.BS
+        nb_total = (prompt_len + self.T + 1 + self.BS - 1) // self.BS
+        # decode stops at Smax (hit_cap), so no row ever uses more blocks
+        need = min(max(nb_total, nb_prompt), self.max_blocks)
         return len(self._free) >= need
 
     def _alloc_blocks(self, row: int, n: int) -> List[int]:
@@ -429,10 +446,17 @@ class PagedServingEngine:
     # -- host-side pool management (Scheduler-compatible) -----------------------
 
     def bucket_len(self, n: int) -> int:
-        for b in self.prompt_buckets:
-            if n <= b:
-                return b
-        raise ValueError(f"prompt length {n} exceeds {self.prompt_buckets[-1]}")
+        from .generate import pick_bucket
+
+        try:
+            return pick_bucket(self.prompt_buckets, n)
+        except ValueError:
+            # overflow path: block-size-quantized synthetic bucket (right-pad
+            # design tolerates L == Smax; decode stops at Smax via hit_cap)
+            L = -(-n // self.BS) * self.BS
+            if L <= self.Smax:
+                return L
+            raise
 
     def prefill_row(self, row: int, input_ids: np.ndarray,
                     pixel_values, img_start_pos, max_new_tokens: int,
@@ -456,24 +480,31 @@ class PagedServingEngine:
         nb_prompt = L // self.BS if L % self.BS == 0 else L // self.BS + 1
         total_tokens = S + min(max_new_tokens, self.T) + 1
         nb_total = (total_tokens + self.BS - 1) // self.BS
-        nb_total = max(nb_total, nb_prompt)
+        # decode stops at Smax (hit_cap), and the row's table holds at most
+        # max_blocks entries — never allocate past either
+        nb_total = min(max(nb_total, nb_prompt), self.max_blocks)
         blocks = self._alloc_blocks(row, nb_total)
         self.ctx_len[row] = S
         self._host_active[row] = True
         self._host_finished[row] = False
-        o = overrides or {}
-        knobs = jnp.asarray([
-            float(o.get("temperature", self.sampling.temperature)),
-            float(o.get("top_p", self.sampling.top_p)),
-            float(o.get("repetition_penalty", self.sampling.repetition_penalty)),
-            1.0 if o.get("do_sample", self.sampling.do_sample) else 0.0,
-        ], jnp.float32)
-        self._state = self._prefill(
-            self.params, self._state, jnp.int32(row), jnp.asarray(ids),
-            jnp.asarray(mask), jnp.asarray(img_pos), pixel_values,
-            jnp.asarray(blocks[:nb_prompt], jnp.int32),
-            jnp.int32(min(max_new_tokens, self.T)), knobs, self.sampling,
-        )
+        from .server import sampling_knobs
+
+        knobs = sampling_knobs(self.sampling, overrides)
+        try:
+            self._state = self._prefill(
+                self.params, self._state, jnp.int32(row), jnp.asarray(ids),
+                jnp.asarray(mask), jnp.asarray(img_pos), pixel_values,
+                jnp.asarray(blocks[:nb_prompt], jnp.int32),
+                jnp.int32(min(max_new_tokens, self.T)), knobs, self.sampling,
+            )
+        except Exception:
+            # roll back the host allocator so a failed prefill (bad input,
+            # compile error on a new bucket) doesn't leak pool blocks or
+            # leave a dead row marked active
+            self._free_row(row)
+            self.ctx_len[row] = 0
+            self._host_active[row] = False
+            raise
 
     def step(self) -> None:
         run = self._host_active & ~self._host_finished
@@ -487,7 +518,7 @@ class PagedServingEngine:
         s = self._state
         snap = jax.device_get(
             {"last_token": s.last_token, "gen_len": s.gen_len,
-             "active": s.active, "finished": s.finished}
+             "active": s.active, "finished": s.finished, "gen_ids": s.gen_ids}
         )
         self._host_finished = np.asarray(snap["finished"]).copy()
         return snap

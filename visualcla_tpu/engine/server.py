@@ -34,6 +34,38 @@ from .sampling import SamplingConfig, sample_step, sample_step_rowwise
 logger = logging.getLogger(__name__)
 
 
+def _check_serving_sampling(s: SamplingConfig) -> SamplingConfig:
+    """The serving engines sample via ``sample_step_rowwise`` (temperature /
+    top-k / top-p / repetition-penalty / no-repeat-ngram with per-row knobs).
+    Mirostat/TFS/top-a are Engine-only — reject them loudly rather than
+    silently sampling from a different distribution."""
+    unsupported = []
+    if s.mirostat_mode:
+        unsupported.append("mirostat")
+    if s.tfs < 1.0:
+        unsupported.append("tfs")
+    if s.top_a > 0.0:
+        unsupported.append("top_a")
+    if unsupported:
+        raise ValueError(
+            f"serving engines do not support {'/'.join(unsupported)} "
+            "sampling; use Engine.generate for those configs"
+        )
+    return s
+
+
+def sampling_knobs(sampling: SamplingConfig, overrides: Optional[dict]) -> jnp.ndarray:
+    """Per-request knob vector [temperature, top_p, repetition_penalty,
+    do_sample] with engine-wide defaults (shared by both serving engines)."""
+    o = overrides or {}
+    return jnp.asarray([
+        float(o.get("temperature", sampling.temperature)),
+        float(o.get("top_p", sampling.top_p)),
+        float(o.get("repetition_penalty", sampling.repetition_penalty)),
+        1.0 if o.get("do_sample", sampling.do_sample) else 0.0,
+    ], jnp.float32)
+
+
 @dataclasses.dataclass
 class PoolState:
     """Device-resident state of the serving pool (pytree)."""
@@ -91,8 +123,13 @@ class ServingEngine:
         self.B = pool_size
         self.Smax = max_seq_len
         self.T = max_new_tokens_cap
-        self.prompt_buckets = tuple(b for b in prompt_buckets if b <= max_seq_len)
-        self.sampling = sampling or SamplingConfig()
+        # every bucket must leave decode room: a prompt bucketed to Smax would
+        # set cur_slot == Smax and the first decode write would clamp onto
+        # slot Smax-1, corrupting the prompt KV.  Buckets >= Smax are dropped;
+        # prompts they covered go through bucket_len's overflow path instead
+        # (32-quantized synthetic lengths < Smax).
+        self.prompt_buckets = tuple(b for b in prompt_buckets if b < max_seq_len)
+        self.sampling = _check_serving_sampling(sampling or SamplingConfig())
         self.dtype = dtype
 
         self._prefill = jax.jit(
@@ -250,10 +287,18 @@ class ServingEngine:
     # -- host-side pool management --------------------------------------------
 
     def bucket_len(self, n: int) -> int:
-        for b in self.prompt_buckets:
-            if n <= b:
-                return b
-        raise ValueError(f"prompt length {n} exceeds {self.prompt_buckets[-1]}")
+        from .generate import pick_bucket
+
+        try:
+            return pick_bucket(self.prompt_buckets, n)
+        except ValueError:
+            # overflow path: the prompt fits no configured bucket but does fit
+            # the cache — pad to a 32-quantized synthetic length, leaving at
+            # least one decode slot.  Quantization bounds compile variants.
+            L = min(-(-n // 32) * 32, self.Smax - 1)
+            if n <= L:
+                return L
+            raise
 
     def prefill_row(self, row: int, input_ids: np.ndarray,
                     pixel_values, img_start_pos, max_new_tokens: int,
@@ -270,13 +315,7 @@ class ServingEngine:
         )
         if pixel_values is not None:
             pixel_values = jnp.asarray(pixel_values, self.dtype)
-        o = overrides or {}
-        knobs = jnp.asarray([
-            float(o.get("temperature", self.sampling.temperature)),
-            float(o.get("top_p", self.sampling.top_p)),
-            float(o.get("repetition_penalty", self.sampling.repetition_penalty)),
-            1.0 if o.get("do_sample", self.sampling.do_sample) else 0.0,
-        ], jnp.float32)
+        knobs = sampling_knobs(self.sampling, overrides)
         self._state = self._prefill(
             self.params, self._state, jnp.int32(row),
             jnp.asarray(ids), jnp.asarray(mask), jnp.asarray(img_pos),
@@ -288,11 +327,13 @@ class ServingEngine:
         self._state = self._step(self.params, self._state, self.sampling)
 
     def snapshot(self):
-        """Host copies of the per-row control fields (one device round trip)."""
+        """Host copies of the per-row control fields (one device round trip).
+        ``gen_ids`` is included so the scheduler can stream every token a row
+        gained since the last snapshot (incl. the prefill-sampled first one)."""
         s = self._state
         return jax.device_get(
             {"last_token": s.last_token, "gen_len": s.gen_len,
-             "active": s.active, "finished": s.finished}
+             "active": s.active, "finished": s.finished, "gen_ids": s.gen_ids}
         )
 
     def collect_row(self, row: int) -> np.ndarray:
@@ -345,6 +386,22 @@ class Scheduler:
         return [r for r in range(self.engine.B) if r not in self._rows]
 
     def _run(self):
+        try:
+            self._run_inner()
+        except Exception as e:  # noqa: BLE001 — a dead scheduler must not
+            # leave callers blocked on queues that will never fill
+            logger.exception("scheduler loop died; failing all requests")
+            msg = f"scheduler loop died: {e}"
+            for req, _ in self._rows.values():
+                req.out.put(("error", msg))
+            self._rows.clear()
+            while True:
+                try:
+                    self.requests.get_nowait().out.put(("error", msg))
+                except queue.Empty:
+                    break
+
+    def _run_inner(self):
         eng = self.engine
         deferred = None  # request waiting for KV blocks (paged pool full)
         while not self._stop.is_set():
@@ -386,9 +443,11 @@ class Scheduler:
                     req, emitted = self._rows[row]
                     gl = int(snap["gen_len"][row])
                     if gl > emitted:
-                        # stream newly generated tokens (one per step)
-                        tok = int(snap["last_token"][row])
-                        req.out.put(("token", tok))
+                        # stream every token gained since the last snapshot —
+                        # emitted starts at 0 so the prefill-sampled first
+                        # token is delivered too
+                        for tok in snap["gen_ids"][row][emitted:gl]:
+                            req.out.put(("token", int(tok)))
                         self._rows[row][1] = gl
                     if bool(snap["finished"][row]):
                         ids = eng.collect_row(row)
@@ -412,7 +471,12 @@ def generate_sync(scheduler: Scheduler, input_ids, pixel_values=None,
     ))
     deadline = time.time() + timeout
     while True:
-        kind, payload = q.get(timeout=max(0.0, deadline - time.time()))
+        try:
+            kind, payload = q.get(timeout=max(0.0, deadline - time.time()))
+        except queue.Empty:
+            raise RuntimeError(
+                f"serving request timed out after {timeout}s"
+            ) from None
         if kind == "done":
             return payload
         if kind == "error":
