@@ -309,3 +309,56 @@ def test_convert_unmerged_with_fabricated_adapter(tmp_path):
         np.asarray(params["projection"]["weight"]), proj.weight.data.numpy().T
     )
     assert np.asarray(params["resampler"]["query_embedding"]).shape == (4, 8)
+
+
+def test_from_vision_text_without_lora(tmp_path):
+    """Regression: vision+text base checkpoints with NO LoRA must load — the
+    tokenizer falls back to the text dir, the vocab resizes to the tokenizer,
+    and the resampler/projector are fresh-initialized (reference
+    from_vision_text_pretrained semantics, modeling_visualcla.py:183-261)."""
+    import shutil
+
+    import jax.numpy as jnp
+
+    import visualcla_tpu as v
+
+    text, text_cfg = hf_ref.tiny_hf_llama(seed=3)
+    vision, vision_cfg = hf_ref.tiny_hf_clip_vision(seed=3)
+    base_t = os.path.join(str(tmp_path), "text")
+    base_v = os.path.join(str(tmp_path), "vision")
+    text.save_pretrained(base_t)
+    vision.save_pretrained(base_v)
+    # the text dir needs tokenizer files: borrow the tiny checkpoint's
+    tiny = os.path.join(str(tmp_path), "tiny")
+    import subprocess, sys
+    subprocess.run(
+        [sys.executable, os.path.join(os.path.dirname(__file__), "..",
+                                      "tools", "make_tiny_checkpoint.py"),
+         "--output", tiny],
+        check=True, capture_output=True,
+    )
+    for f in ("tokenizer.model", "added_tokens.json",
+              "special_tokens_map.json"):
+        src = os.path.join(tiny, f)
+        if os.path.exists(src):
+            shutil.copy(src, base_t)
+
+    model, tok, proc = v.get_model_and_tokenizer_and_processor(
+        text_model=base_t, vision_model=base_v, max_seq_len=256,
+        dtype=jnp.float32,
+    )
+    # vocab covers the tokenizer incl. added specials
+    assert model.params["text"]["embed_tokens"].shape[0] >= len(tok)
+    # fresh resampler + projector exist and the composite runs end-to-end
+    assert "projection" in model.params
+    if model.config.use_visual_resampler:
+        assert "resampler" in model.params
+    from visualcla_tpu.engine.sampling import SamplingConfig
+
+    img = np.zeros((model.image_processor.image_size,
+                    model.image_processor.image_size, 3), np.uint8)
+    from PIL import Image
+
+    resp, _ = v.chat(model, Image.fromarray(img), "测试", [],
+                     SamplingConfig.greedy(max_new_tokens=3), verbose=False)
+    assert isinstance(resp, str)

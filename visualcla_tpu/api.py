@@ -56,12 +56,10 @@ class VisualCLA:
         self.image_processor = image_processor
         self.image_at_head = False
         self.mesh = mesh
-        if config.visual_resampler_config.num_query_tokens != -1:
-            self.num_patch = config.visual_resampler_config.num_query_tokens
-        else:
-            self.num_patch = (
-                image_processor.image_size // image_processor.patch_size
-            ) ** 2 + 1
+        # cfg.num_image_tokens already encodes the reference rule (resampler
+        # queries when enabled, else (img/patch)^2+1 ViT tokens) — prompts and
+        # encode_image must agree on this count or the splice corrupts text
+        self.num_patch = config.num_image_tokens
         self.engine = Engine(
             params,
             config,
@@ -186,8 +184,7 @@ class VisualCLA:
         self.engine.cfg = self.config
         self.image_processor.image_size = after
         self.image_processor.crop_size = after
-        if self.config.visual_resampler_config.num_query_tokens == -1:
-            self.num_patch = (after // vcfg.patch_size) ** 2 + 1
+        self.num_patch = self.config.num_image_tokens
 
     # -- reference constructor surface (modeling_visualcla.py:120/183) --------
 
@@ -279,7 +276,7 @@ def get_model_and_tokenizer_and_processor(
     if dtype is None:
         dtype = jnp.bfloat16
 
-    tok_dir = visualcla_model or lora_model
+    tok_dir = visualcla_model or lora_model or text_model
     tokenizer = VisualCLATokenizer.from_pretrained(tok_dir)
 
     if visualcla_model is not None:
@@ -346,7 +343,11 @@ def get_model_and_tokenizer_and_processor(
     if proc_src and os.path.exists(os.path.join(proc_src, "preprocessor_config.json")):
         image_processor = ImageProcessor.from_pretrained(proc_src)
     else:
-        image_processor = ImageProcessor()
+        # no preprocessor config shipped: size to the vision tower so the
+        # patch count matches its position table
+        image_processor = ImageProcessor(
+            image_size=cfg.vision_config.image_size
+        )
     image_processor.patch_size = cfg.vision_config.patch_size
 
     model = VisualCLA(

@@ -108,7 +108,27 @@ def convert_unmerged(
         if os.path.exists(cfg_path):
             cfg = VisualCLAConfig.from_pretrained(cfg_path)
     if cfg is None:
+        # no LoRA config.json: compose the config from the base towers' own
+        # HF configs (heads/eps/etc. are not derivable from weight shapes)
+        import dataclasses as _dc
+        import json as _json
+
+        from ..core.config import LlamaConfig, ViTConfig
+
         cfg = VisualCLAConfig()
+        for d, field, klass in ((text_model, "text_config", LlamaConfig),
+                                (vision_model, "vision_config", ViTConfig)):
+            p = os.path.join(d, "config.json")
+            if os.path.exists(p):
+                with open(p) as f:
+                    hf = _json.load(f)
+                if field == "vision_config":
+                    hf = hf.get("vision_config", hf)  # CLIPModel nests it
+                cfg = _dc.replace(cfg, **{field: klass.from_hf_dict(hf)})
+    if not lora_models and vocab_size:
+        # the resize normally happens per-LoRA; still honor an explicit
+        # vocab_size (len(tokenizer) incl. added specials) with no LoRA
+        text_sd = lora_lib.resize_embeddings(text_sd, vocab_size)
     params = {
         "text": llama_tree_from_sd(text_sd),
         "vision": vit_tree_from_sd(vision_sd),
@@ -118,10 +138,61 @@ def convert_unmerged(
     if resampler_sd and cfg.use_visual_resampler:
         params["resampler"] = resampler_tree_from_sd(resampler_sd)
     cfg = _sync_config(cfg, params)
+    params, cfg = _init_missing_heads(params, cfg)
     save_checkpoint(out_dir, params, cfg, dtype)
     _copy_side_files(lora_models + [text_model, vision_model], out_dir)
     logger.info("converted unmerged %s + %s + %s -> %s",
                 text_model, vision_model, lora_models, out_dir)
+
+
+def _init_missing_heads(params: dict, cfg: VisualCLAConfig):
+    """Without a LoRA, the resampler + projector have no trained weights —
+    the reference builds them as freshly-initialized modules
+    (modeling_visualcla.py:46-67 _init_weights; normal(0, initializer_range),
+    zero-init resampler queries) so the composite is structurally runnable
+    before an adapter is applied.  Mirror that here.  Returns (params, cfg)
+    with the resampler config synced to the actual vision width."""
+    import dataclasses
+
+    import numpy as np
+
+    vh = cfg.vision_config.hidden_size
+    th = cfg.text_config.hidden_size
+    if "projection" not in params:
+        import jax
+        import jax.numpy as jnp
+
+        k = jax.random.PRNGKey(0)
+        params["projection"] = {
+            "weight": np.asarray(
+                jax.random.normal(k, (vh, th), jnp.float32)
+                * cfg.initializer_range
+            ),
+            "bias": np.zeros((th,), np.float32),
+        }
+    if cfg.use_visual_resampler and "resampler" not in params:
+        import jax
+        import jax.numpy as jnp
+
+        from ..models import resampler as resampler_mod
+
+        # a fresh resampler must consume the ACTUAL vision width, not the
+        # default config's (reference ties resampler hidden to the ViT)
+        res = cfg.visual_resampler_config
+        if res.hidden_size != vh:
+            heads = res.num_attention_heads
+            if vh % heads:
+                heads = max(1, vh // 64)
+            res = dataclasses.replace(
+                res, hidden_size=vh, intermediate_size=4 * vh,
+                num_attention_heads=heads,
+            )
+            cfg = dataclasses.replace(cfg, visual_resampler_config=res)
+        params["resampler"] = jax.tree.map(
+            np.asarray,
+            resampler_mod.init_params(jax.random.PRNGKey(1), res, jnp.float32),
+        )
+    return params, cfg
 
 
 def _sync_config(cfg: VisualCLAConfig, params: dict) -> VisualCLAConfig:
@@ -135,11 +206,18 @@ def _sync_config(cfg: VisualCLAConfig, params: dict) -> VisualCLAConfig:
         num_hidden_layers=int(params["text"]["layers"]["q_proj"].shape[0]),
         intermediate_size=int(params["text"]["layers"]["gate_proj"].shape[2]),
     )
+    # patch/image size come from the weights too: patch_embedding is the
+    # flattened (3*P*P, H) conv kernel and position_embedding has
+    # (image/P)^2 + 1 rows
+    patch = int(round((params["vision"]["patch_embedding"].shape[0] // 3) ** 0.5))
+    grid = int(round((params["vision"]["position_embedding"].shape[0] - 1) ** 0.5))
     vision = dataclasses.replace(
         cfg.vision_config,
         hidden_size=int(params["vision"]["class_embedding"].shape[0]),
         num_hidden_layers=int(params["vision"]["layers"]["q_proj"].shape[0]),
         intermediate_size=int(params["vision"]["layers"]["fc1"].shape[2]),
+        patch_size=patch,
+        image_size=grid * patch,
     )
     res = cfg.visual_resampler_config
     if "resampler" in params:

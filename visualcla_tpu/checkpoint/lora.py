@@ -54,7 +54,7 @@ def split_adapter(sd: SD):
         elif norm.endswith(".lora_B"):
             pairs_b[norm[: -len(".lora_B")] + ".weight"] = v
         else:
-            full[norm if norm.endswith("weight") or norm.endswith("bias") else norm] = v
+            full[norm] = v
     pairs = {}
     for k, a in pairs_a.items():
         if k in pairs_b:

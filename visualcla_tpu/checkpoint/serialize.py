@@ -111,7 +111,10 @@ def load_checkpoint(
 
     def place(arr, flat_key):
         target = None
-        if dtype is not None and jnp.issubdtype(arr.dtype, jnp.floating):
+        if (dtype is not None and jnp.issubdtype(arr.dtype, jnp.floating)
+                and not flat_key.endswith("/scale")):
+            # int8 quantization scales stay fp32 (the dequant precision
+            # contract — save_checkpoint preserves them fp32 too)
             target = dtype
         if mesh is None:
             out = jnp.asarray(arr, target)

@@ -39,11 +39,9 @@ def _to_numpy(t) -> np.ndarray:
 def load_state_dict(model_dir: str) -> Dict[str, np.ndarray]:
     """Load the full state dict from an HF-style model directory (any container)."""
     d = model_dir
-    # sharded index (bin or safetensors)
-    for index_name, loader in (
-        ("pytorch_model.bin.index.json", _torch_load),
-        ("model.safetensors.index.json", None),
-    ):
+    # sharded index (bin or safetensors; load_file dispatches per shard)
+    for index_name in ("pytorch_model.bin.index.json",
+                       "model.safetensors.index.json"):
         idx = os.path.join(d, index_name)
         if os.path.exists(idx):
             with open(idx) as f:

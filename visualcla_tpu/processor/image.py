@@ -130,6 +130,10 @@ class ImageProcessor:
         crop = d.get("crop_size", size)
         if isinstance(crop, dict):
             crop = crop.get("height", 224)
+        # PIL resampling filter codes (Image.Resampling): 2=bilinear,
+        # 3=bicubic — CLIP checkpoints ship 3, but honor bilinear configs
+        resample = {2: "bilinear", 3: "bicubic"}.get(d.get("resample", 3),
+                                                     "bicubic")
         return cls(
             image_size=size,
             crop_size=crop,
@@ -140,6 +144,7 @@ class ImageProcessor:
             do_rescale=d.get("do_rescale", True),
             do_normalize=d.get("do_normalize", True),
             rescale_factor=d.get("rescale_factor", 1.0 / 255.0),
+            resample=resample,
         )
 
     def save_pretrained(self, path: str) -> None:

@@ -39,9 +39,12 @@ class VisualCLAProcessor:
             pad_id = self.tokenizer.pad_token_id
             ids = np.full((len(encs), max_len), pad_id, np.int32)
             mask = np.zeros((len(encs), max_len), np.int32)
+            # LEFT-pad (decoder-only convention): the Engine honors leading
+            # pads (pad_prompt masks them), so batched uneven prompts decode
+            # like their single-row equivalents
             for i, e in enumerate(encs):
-                ids[i, : len(e)] = e
-                mask[i, : len(e)] = 1
+                ids[i, max_len - len(e):] = e
+                mask[i, max_len - len(e):] = 1
             out["input_ids"] = ids
             out["attention_mask"] = mask
         if images is not None:

@@ -66,11 +66,20 @@ class VisualCLATokenizer:
             self._split_re = None
 
     def add_special_tokens(self, tokens: Sequence[str]) -> int:
-        """Append tokens after the SP vocab (HF ``add_tokens`` numbering)."""
+        """Append tokens after the SP vocab (HF ``add_tokens`` numbering).
+
+        New ids skip any id already taken by a pre-loaded added token
+        (added_tokens.json may hold a subset or have id gaps) — a collision
+        would alias two specials onto one id and corrupt prompts."""
         added = 0
+        taken = set(self.added_tokens.values())
         for t in tokens:
             if t not in self.added_tokens and t not in self.sp.piece_to_id:
-                self.added_tokens[t] = self.sp.vocab_size + len(self.added_tokens)
+                nid = self.sp.vocab_size + len(self.added_tokens)
+                while nid in taken:
+                    nid += 1
+                self.added_tokens[t] = nid
+                taken.add(nid)
                 added += 1
         self._id_to_added = {i: t for t, i in self.added_tokens.items()}
         self._rebuild_split_re()
