@@ -259,16 +259,9 @@ class Engine:
             img_pos = np.where(
                 np.asarray(img_start_pos) < 0, -1, np.asarray(img_start_pos) + offset
             ).astype(np.int32)
-            # the splice writes num_image_tokens embeds at pos+1; an
-            # out-of-range marker would silently clamp inside jit and
-            # overwrite tail TEXT embeddings — fail fast on the host instead
-            n_img = self.cfg.num_image_tokens
-            if np.any((img_pos >= 0)
-                      & (img_pos + 1 + n_img > padded.shape[1])):
-                raise ValueError(
-                    f"image marker at {img_start_pos} leaves no room for "
-                    f"{n_img} image tokens in a {padded.shape[1]}-slot prompt"
-                )
+            visualcla.check_img_start_pos(
+                img_pos, self.cfg.num_image_tokens, padded.shape[1]
+            )
         if pixel_values is not None:
             pixel_values = jnp.asarray(pixel_values, self.dtype)
         need = padded.shape[1] + sampling.max_new_tokens + extra_slots

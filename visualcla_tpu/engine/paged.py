@@ -113,6 +113,13 @@ def paged_decode_forward(
     N, Nkv, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
     cos, sin = rope_table(positions[:, None], hd, cfg.rope_theta)
     quant = k_scales is not None
+    act_name = getattr(cfg, "hidden_act", "silu")
+    if act_name == "silu":
+        act = jax.nn.silu
+    else:
+        from ..ops.activations import ACT2FN
+
+        act = ACT2FN[act_name]
 
     def layer(carry, xs):
         h, kp, vp, ks, vs = carry
@@ -148,7 +155,7 @@ def paged_decode_forward(
         vp = jax.lax.dynamic_update_index_in_dim(vp, vp_l, l, axis=0)
         h = h + linear(attn.reshape(B, 1, N * hd), p["o_proj"])
         x2 = rms_norm(h, p["post_norm"], cfg.rms_norm_eps)
-        gate = jax.nn.silu(linear(x2, p["gate_proj"])) * linear(x2, p["up_proj"])
+        gate = act(linear(x2, p["gate_proj"])) * linear(x2, p["up_proj"])
         h = h + linear(gate, p["down_proj"])
         return (h, kp, vp, ks, vs), None
 
@@ -473,6 +480,7 @@ class PagedServingEngine:
             [-1 if img_start_pos is None or img_start_pos < 0 else img_start_pos],
             np.int32,
         )
+        visualcla.check_img_start_pos(img_pos, self.cfg.num_image_tokens, L)
         if pixel_values is not None:
             pixel_values = jnp.asarray(pixel_values, self.dtype)
         self._free_row(row)

@@ -313,6 +313,7 @@ class ServingEngine:
             [-1 if img_start_pos is None or img_start_pos < 0
              else img_start_pos + (L - S)], np.int32,
         )
+        visualcla.check_img_start_pos(img_pos, self.cfg.num_image_tokens, L)
         if pixel_values is not None:
             pixel_values = jnp.asarray(pixel_values, self.dtype)
         knobs = sampling_knobs(self.sampling, overrides)

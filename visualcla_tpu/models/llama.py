@@ -37,7 +37,7 @@ def init_params(rng: jax.Array, cfg: LlamaConfig, dtype=jnp.float32) -> Params:
     """Random init (tests/bench); real weights come from checkpoint/."""
     L, H, I = cfg.num_hidden_layers, cfg.hidden_size, cfg.intermediate_size
     N, Nkv, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
-    keys = jax.random.split(rng, 8)
+    keys = jax.random.split(rng, 9)
 
     def norm(key, shape, scale=0.02):
         return (jax.random.normal(key, shape, jnp.float32) * scale).astype(dtype)
@@ -56,7 +56,9 @@ def init_params(rng: jax.Array, cfg: LlamaConfig, dtype=jnp.float32) -> Params:
             "down_proj": norm(keys[7], (L, I, H)),
         },
         "final_norm": jnp.ones((H,), dtype),
-        "lm_head": norm(keys[0], (H, cfg.vocab_size)),
+        # distinct key: reusing keys[0] would make lm_head an exact reshape
+        # of embed_tokens (same element count -> same flat random stream)
+        "lm_head": norm(keys[8], (H, cfg.vocab_size)),
     }
 
 
@@ -137,6 +139,18 @@ def decoder_stack(
     B, Sq, H = inputs_embeds.shape
     N, Nkv, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
     quant = "k_scale" in kv_cache  # int8 KV cache (per-token-per-head scales)
+    if getattr(cfg, "attention_bias", False):
+        raise NotImplementedError(
+            "attention_bias=true checkpoints (bias terms on q/k/v/o) are not "
+            "supported — the parameter tree has no bias leaves"
+        )
+    act_name = getattr(cfg, "hidden_act", "silu")
+    if act_name == "silu":
+        act = jax.nn.silu
+    else:
+        from ..ops.activations import ACT2FN
+
+        act = ACT2FN[act_name]
 
     def put_chunk(buf, chunk, l, slot):
         """Write a (B, Sq, ...) chunk into buffer (L, B, Smax, ...) at layer l,
@@ -188,7 +202,7 @@ def decoder_stack(
             attn = cached_attention(q, take("k"), take("v"), kv_valid, write_slot)
         h = h + linear(attn.reshape(B, Sq, N * hd), p["o_proj"])
         x2 = rms_norm(h, p["post_norm"], cfg.rms_norm_eps)
-        gate = jax.nn.silu(linear(x2, p["gate_proj"])) * linear(x2, p["up_proj"])
+        gate = act(linear(x2, p["gate_proj"])) * linear(x2, p["up_proj"])
         h = h + linear(gate, p["down_proj"])
         return (h, cache), None
 

@@ -58,6 +58,20 @@ def encode_image(params: Params, cfg: VisualCLAConfig, pixel_values: jnp.ndarray
     return image_embeds @ params["projection"]["weight"] + params["projection"]["bias"]
 
 
+def check_img_start_pos(img_start_pos, num_image_tokens: int, seq_len: int) -> None:
+    """HOST-side guard for the splice: inside jit, an out-of-range marker
+    would silently clamp ``dynamic_update_slice`` and overwrite unrelated
+    prompt embeddings.  Call before tracing with the final (padded) length."""
+    import numpy as np
+
+    ip = np.asarray(img_start_pos)
+    if np.any((ip >= 0) & (ip + 1 + num_image_tokens > seq_len)):
+        raise ValueError(
+            f"image marker at {ip.tolist()} leaves no room for "
+            f"{num_image_tokens} image tokens in a {seq_len}-slot prompt"
+        )
+
+
 def splice_image_embeds(
     inputs_embeds: jnp.ndarray,  # (B, S, H)
     image_embeds: jnp.ndarray,  # (B, T, H)

@@ -185,7 +185,10 @@ def full_attention(
     attention beats the Pallas kernel's padding+launch overheads (measured:
     TTFT 86ms vs 117ms).  Set VISUALCLA_VIT_ATTN=flash to force the kernel
     (longer-sequence vision inputs).  The flash path accumulates softmax in
-    fp32 — a numerical superset of the resampler's "native"-dtype softmax."""
+    fp32 — a numerical superset of the resampler's "native"-dtype softmax.
+    NB: under a registered attention mesh (multi-chip) the forced-flash knob
+    is ignored and dense XLA runs — the bidirectional kernel has no
+    shard_map wrapper; GSPMD partitions the dense path itself."""
     import os
 
     if impl is None:

@@ -97,7 +97,12 @@ def _flash_kernel(
         return m_new, l, acc
 
     m, l, acc = jax.lax.fori_loop(0, Skv // block_kv, body, (m, l, acc))
-    # rows with no visible kv (query padding) have l==0 -> emit zeros
+    # NB: a FULLY-masked query row does NOT hit l==0 — with every s at
+    # NEG_INF, exp(s - m_new) = exp(0) = 1, so such rows emit mean(V).
+    # That's fine for every in-tree consumer (padded-row outputs are never
+    # read), but it is not the zeros a future consumer might expect; masking
+    # p with `ok` would fix it at the cost of recompiling every flash
+    # program (deferred to a round boundary — see DEVNOTES roadmap).
     safe_l = jnp.where(l == 0.0, 1.0, l)
     o_ref[0, 0] = (acc / safe_l).astype(o_ref.dtype)
 

@@ -152,8 +152,11 @@ def paged_decode_attention(
         scale = 1.0 / math.sqrt(H)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    # Mosaic tiling: the per-head KV block slices the trailing Nkv*hd dim
-    kernel_safe = BS % 8 == 0 and (hd % 128 == 0 or Nkv == 1)
+    # Mosaic tiling: the per-head KV block slices the trailing Nkv*hd dim;
+    # the (1, BS, hd) KV tile also needs BS to be a sublane multiple for the
+    # POOL dtype (16 for bf16, 32 for int8) — small block sizes fall back
+    bs_min = 32 if kv_int8 else _min_sublane(k_pool.dtype)
+    kernel_safe = BS % bs_min == 0 and (hd % 128 == 0 or Nkv == 1)
     if not interpret and not kernel_safe:
         return _dense_reference(q, k_pool, v_pool, block_tables, context_lens,
                                 k_scales, v_scales, scale)
