@@ -34,8 +34,13 @@ def test_flash_prefill_matches_dense(dtype):
     )
     ref = dense_ref(q, k, v, jnp.asarray(kv_valid), jnp.int32(0))
     tol = 2e-6 if dtype == jnp.float32 else 2e-2
+    # queries at slots 0..7 of row 0 see no valid kv slot: flash's contract is
+    # ZEROS there (dense softmaxes all-NEG_INF to mean(V) — undefined output)
+    np.testing.assert_array_equal(np.asarray(out, np.float32)[0, :8], 0.0)
+    visible = np.asarray(out, np.float32).copy()
+    visible[0, :8] = np.asarray(ref, np.float32)[0, :8]
     np.testing.assert_allclose(
-        np.asarray(out, np.float32), np.asarray(ref, np.float32), atol=tol, rtol=tol
+        visible, np.asarray(ref, np.float32), atol=tol, rtol=tol
     )
 
 
@@ -151,3 +156,59 @@ def test_llama_forward_flash_vs_xla():
     np.testing.assert_allclose(
         np.asarray(flash_logits), np.asarray(ref_logits), atol=1e-4, rtol=1e-4
     )
+
+
+def test_flash_gqa_batched_decode_left_pad():
+    """GQA decode with B>1 and uneven left padding (per-row write slots)."""
+    rng = np.random.default_rng(7)
+    B, N, Nkv, H, Smax = 3, 8, 2, 32, 64
+    q = rand(rng, (B, 1, N, H))
+    k = rand(rng, (B, Smax, Nkv, H))
+    v = rand(rng, (B, Smax, Nkv, H))
+    kv_valid = np.zeros((B, Smax), bool)
+    kv_valid[0, 5:31] = True
+    kv_valid[1, 0:31] = True
+    kv_valid[2, 12:31] = True
+    slot = jnp.asarray([30, 30, 30], jnp.int32)
+    out = flash_attention(q, k, v, jnp.asarray(kv_valid), slot,
+                          block_q=8, block_kv=32, interpret=True)
+    ref = dense_ref(q, k, v, jnp.asarray(kv_valid), slot)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-6)
+
+
+def test_flash_gqa_no_hbm_head_repeat():
+    """The GQA path must NOT materialize K/V expanded to N query heads in HBM
+    (it would cost N/Nkv x decode bandwidth); kv heads are indexed per-program
+    via the BlockSpec index map.  Checked on the traced jaxpr: no intermediate
+    carries an (B, *, N, H)- or (B, N, *, H)-shaped kv-sized array."""
+    B, Sq, N, Nkv, H, Smax = 2, 1, 8, 2, 32, 128
+    q = jnp.zeros((B, Sq, N, H))
+    k = jnp.zeros((B, Smax, Nkv, H))
+    v = jnp.zeros((B, Smax, Nkv, H))
+    kv_valid = jnp.ones((B, Smax), bool)
+    jaxpr = jax.make_jaxpr(
+        lambda *a: flash_attention(*a, causal=True, interpret=True)
+    )(q, k, v, kv_valid, jnp.int32(0))
+    bad = {(B, Smax, N, H), (B, N, Smax, H)}
+    for eqn in jaxpr.jaxpr.eqns:
+        for var in eqn.outvars:
+            shape = tuple(getattr(var.aval, "shape", ()))
+            assert shape not in bad, (
+                f"{eqn.primitive.name} materializes kv at {shape} (N-head expand)"
+            )
+
+
+def test_flash_decode_fully_masked_row_emits_zeros():
+    """A batch row with zero visible kv slots yields exactly zero output."""
+    rng = np.random.default_rng(8)
+    B, N, H, Smax = 2, 4, 32, 64
+    q = rand(rng, (B, 1, N, H))
+    k = rand(rng, (B, Smax, N, H))
+    v = rand(rng, (B, Smax, N, H))
+    kv_valid = np.zeros((B, Smax), bool)
+    kv_valid[0, :33] = True  # row 1 sees nothing
+    out = flash_attention(q, k, v, jnp.asarray(kv_valid), jnp.int32(32),
+                          block_q=8, block_kv=32, interpret=True)
+    np.testing.assert_array_equal(np.asarray(out)[1], 0.0)
+    ref = dense_ref(q, k, v, jnp.asarray(kv_valid), jnp.int32(32))
+    np.testing.assert_allclose(np.asarray(out)[0], np.asarray(ref)[0], atol=2e-6)

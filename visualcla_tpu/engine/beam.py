@@ -82,6 +82,11 @@ def beam_generate(
 ) -> np.ndarray:
     """HF-equivalent beam search over the composite model.  Returns the best
     hypothesis' generated-only ids (EOS included when it terminated one)."""
+    if input_ids.shape[0] != 1:
+        raise ValueError(
+            f"beam search supports batch size 1, got {input_ids.shape[0]} "
+            "(prefill builds a single-row cache that fans out to num_beams)"
+        )
     nb = num_beams
     S = input_ids.shape[1]
     Smax = max_seq_len or (S + max_new_tokens)
@@ -225,6 +230,11 @@ def beam_sample_generate(
         warp_top_k, warp_top_p,
     )
 
+    if input_ids.shape[0] != 1:
+        raise ValueError(
+            f"beam sampling supports batch size 1, got {input_ids.shape[0]} "
+            "(prefill builds a single-row cache that fans out to num_beams)"
+        )
     nb = sampling.num_beams
     max_new_tokens = sampling.max_new_tokens
     S = input_ids.shape[1]

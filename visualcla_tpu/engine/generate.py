@@ -30,6 +30,10 @@ from .sampling import SamplingConfig, sample_step
 
 def pick_bucket(buckets: Tuple[int, ...], n: int) -> int:
     """Smallest bucket >= n (shared by all engines so policies can't drift)."""
+    if not buckets:
+        raise ValueError(
+            "no prompt buckets configured (every bucket exceeded max_seq_len?)"
+        )
     for b in buckets:
         if n <= b:
             return b
@@ -89,34 +93,49 @@ class Engine:
         self.pad_token_id = pad_token_id
         self.max_seq_len = max_seq_len
         self.prompt_buckets = tuple(b for b in prompt_buckets if b <= max_seq_len)
+        if not self.prompt_buckets:
+            raise ValueError(
+                f"no prompt bucket <= max_seq_len={max_seq_len} "
+                f"(buckets={prompt_buckets})"
+            )
         self.dtype = dtype
         if kv_quant not in ("none", "int8"):
             raise ValueError(f"kv_quant must be 'none' or 'int8', got {kv_quant!r}")
         self.kv_quant = kv_quant
         self.mesh = mesh  # when set, KV cache is sharded (batch on 'data',
         # kv heads on 'model') and GSPMD propagates TP from the param shardings
-        if mesh is not None:
-            # register the mesh so the flash kernel runs shard_map'ed
-            # (heads on 'model', batch on 'data'); indivisible shapes fall
-            # back to dense-XLA attention which GSPMD partitions itself
-            from ..ops import attention as attn_mod
-
-            attn_mod.set_attention_mesh(mesh)
         from ..utils.profiling import PhaseTimer
 
         self.timer = PhaseTimer()  # per-phase prefill/decode timings
 
-        self._prefill = jax.jit(
+        # Jitted programs run under an attention-mesh SCOPE (not a process
+        # global set at construction): the flash kernel shard_maps over this
+        # engine's mesh — or runs single-device when mesh is None — even when
+        # meshed and unmeshed engines coexist in one process.  Indivisible
+        # head/batch counts fall back to dense-XLA attention, which GSPMD
+        # partitions itself.
+        self._prefill = self._scoped(jax.jit(
             self._prefill_impl, static_argnames=("sampling",), donate_argnames=("cache",)
-        )
-        self._decode_step = jax.jit(
+        ))
+        self._decode_step = self._scoped(jax.jit(
             self._decode_step_impl, static_argnames=("sampling",), donate_argnames=("state",)
-        )
-        self._decode_loop = jax.jit(
+        ))
+        self._decode_loop = self._scoped(jax.jit(
             self._decode_loop_impl,
             static_argnames=("sampling",),
             donate_argnames=("state",),
-        )
+        ))
+
+    def _scoped(self, fn):
+        """Wrap a jitted program so tracing sees this engine's mesh."""
+        from ..ops.attention import attention_mesh_scope
+
+        @functools.wraps(fn)
+        def wrapped(*a, **kw):
+            with attention_mesh_scope(self.mesh):
+                return fn(*a, **kw)
+
+        return wrapped
 
     # -- bucket / padding ---------------------------------------------------
 

@@ -16,6 +16,7 @@ conversation together cost 1 + 32 blocks instead of 2×max_seq stripes.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import logging
 from typing import List, Optional
 
@@ -225,11 +226,7 @@ class PagedServingEngine:
     ):
         self.params = params
         self.cfg = cfg
-        self.mesh = mesh
-        if mesh is not None:
-            from ..ops import attention as attn_mod
-
-            attn_mod.set_attention_mesh(mesh)  # shard_map'd paged kernel
+        self.mesh = mesh  # applied as a trace-time scope around jitted calls
         self.kv_quant = kv_quant
         self.eos = eos_token_id
         self.pad = pad_token_id
@@ -296,10 +293,24 @@ class PagedServingEngine:
             do_sample=jnp.full((B,), self.sampling.do_sample, bool),
             key=jax.random.PRNGKey(seed),
         )
-        self._prefill = jax.jit(self._prefill_impl, static_argnames=("sampling",),
-                                donate_argnames=("state",))
-        self._step = jax.jit(self._step_impl, static_argnames=("sampling",),
-                             donate_argnames=("state",))
+        # mesh is applied as a trace-time SCOPE around each jitted call (see
+        # Engine._scoped) so engines with different meshes can coexist
+        from ..ops.attention import attention_mesh_scope
+
+        def scoped(fn):
+            @functools.wraps(fn)
+            def wrapped(*a, **kw):
+                with attention_mesh_scope(self.mesh):
+                    return fn(*a, **kw)
+
+            return wrapped
+
+        self._prefill = scoped(jax.jit(
+            self._prefill_impl, static_argnames=("sampling",),
+            donate_argnames=("state",)))
+        self._step = scoped(jax.jit(
+            self._step_impl, static_argnames=("sampling",),
+            donate_argnames=("state",)))
 
     # -- allocator -------------------------------------------------------------
 

@@ -373,11 +373,24 @@ class Scheduler:
         self.poll_interval = poll_interval
         self._rows: dict = {}  # row -> (Request, emitted_count)
         self._stop = threading.Event()
+        self._crash: Optional[str] = None  # set when the loop dies
         self.thread = threading.Thread(target=self._run, daemon=True)
         self.thread.start()
 
     def submit(self, req: Request) -> None:
+        if self._crash is not None:
+            # fail fast: nothing will ever drain the queue after a crash
+            req.out.put(("error", self._crash))
+            return
         self.requests.put(req)
+        if self._crash is not None:
+            # the crash handler's drain may have raced this put — drain again
+            # so no request is left on a queue nobody services
+            while True:
+                try:
+                    self.requests.get_nowait().out.put(("error", self._crash))
+                except queue.Empty:
+                    break
 
     def stop(self) -> None:
         self._stop.set()
@@ -393,6 +406,8 @@ class Scheduler:
             # leave callers blocked on queues that will never fill
             logger.exception("scheduler loop died; failing all requests")
             msg = f"scheduler loop died: {e}"
+            self._crash = msg  # submit() fails fast from now on
+            self._stop.set()
             for req, _ in self._rows.values():
                 req.out.put(("error", msg))
             self._rows.clear()

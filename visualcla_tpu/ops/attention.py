@@ -76,6 +76,25 @@ def set_attention_mesh(mesh) -> None:
     _ATTN_MESH = mesh
 
 
+import contextlib  # noqa: E402
+
+
+@contextlib.contextmanager
+def attention_mesh_scope(mesh):
+    """Temporarily register ``mesh`` (which may be None) around a jitted
+    program invocation.  Engines use this instead of setting the global at
+    construction, so a meshed and an unmeshed engine in one process can't
+    inherit each other's mesh at trace time (the global is only read while
+    tracing; cached executables are unaffected)."""
+    global _ATTN_MESH
+    prev = _ATTN_MESH
+    _ATTN_MESH = mesh
+    try:
+        yield
+    finally:
+        _ATTN_MESH = prev
+
+
 def _flash_sharded(q, k, v, kv_valid, write_slot, mesh, *,
                    k_scale=None, v_scale=None):
     """Pallas flash under a TP×DP mesh: heads are embarrassingly parallel, so

@@ -30,13 +30,14 @@ def _flash_kernel(
     slot_ref,  # (B, 1) int32 in SMEM — per-row cache slot of the first query
     kvok_ref,  # (B, Skv) int32 in VMEM — kv slot validity (full array)
     q_ref,  # (1, 1, BQ, H)
-    k_ref,  # (1, 1, Skv, H) — fp, or int8 when kv_int8
-    v_ref,  # (1, 1, Skv, H)
-    *refs,  # [ks_ref (B, N, Skv), vs_ref (B, N, Skv) f32 when kv_int8], o_ref
+    k_ref,  # (1, 1, Skv, H) — this program's kv head (GQA: blockspec maps
+    v_ref,  # (1, 1, Skv, H)    q head n -> kv head n // qk_rep; no HBM repeat)
+    *refs,  # [ks_ref (1, Nkv, Skv), vs_ref (1, Nkv, Skv) f32 if kv_int8], o_ref
     scale: float,
     block_kv: int,
     causal: bool,
     kv_int8: bool = False,
+    qk_rep: int = 1,  # query heads per kv head (scale-row selector)
 ):
     if kv_int8:
         ks_ref, vs_ref, o_ref = refs
@@ -68,12 +69,16 @@ def _flash_kernel(
         )  # (BQ, block_kv)
         if kv_int8:
             # per-kv-row scales fold in AFTER the matmuls (lane-aligned (1, bkv)
-            # slices; k dequant: s_j *= ks_j, v dequant: weight p_j by vs_j)
+            # slices; k dequant: s_j *= ks_j, v dequant: weight p_j by vs_j).
+            # Scale blocks are (1, Nkv, Skv) — one batch row, all kv heads —
+            # so VMEM cost is Nkv*Skv*4B regardless of batch/query-head count;
+            # this program's row is kv head n // qk_rep.
+            kvh = n // qk_rep
             ks = ks_ref[
-                pl.ds(b, 1), pl.ds(n, 1), pl.ds(i * block_kv, block_kv)
+                pl.ds(0, 1), pl.ds(kvh, 1), pl.ds(i * block_kv, block_kv)
             ].reshape(1, block_kv)
             vs = vs_ref[
-                pl.ds(b, 1), pl.ds(n, 1), pl.ds(i * block_kv, block_kv)
+                pl.ds(0, 1), pl.ds(kvh, 1), pl.ds(i * block_kv, block_kv)
             ].reshape(1, block_kv)
             s = s * ks
         ok = jnp.broadcast_to(
@@ -87,7 +92,10 @@ def _flash_kernel(
             ok = ok & (kv_idx <= qpos)
         s = jnp.where(ok, s, NEG_INF)
         m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
-        p = jnp.exp(s - m_new)
+        # mask p with ok so a FULLY-masked query row (all s at NEG_INF, so
+        # m_new = NEG_INF and exp(s - m_new) = 1) contributes nothing and
+        # emits zeros via safe_l below — the contract a consumer expects
+        p = jnp.where(ok, jnp.exp(s - m_new), 0.0)
         alpha = jnp.exp(m - m_new)
         l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
         pv = p * vs if kv_int8 else p
@@ -97,12 +105,7 @@ def _flash_kernel(
         return m_new, l, acc
 
     m, l, acc = jax.lax.fori_loop(0, Skv // block_kv, body, (m, l, acc))
-    # NB: a FULLY-masked query row does NOT hit l==0 — with every s at
-    # NEG_INF, exp(s - m_new) = exp(0) = 1, so such rows emit mean(V).
-    # That's fine for every in-tree consumer (padded-row outputs are never
-    # read), but it is not the zeros a future consumer might expect; masking
-    # p with `ok` would fix it at the cost of recompiling every flash
-    # program (deferred to a round boundary — see DEVNOTES roadmap).
+    # fully-masked query rows have l == 0 (p is ok-masked) -> emit zeros
     safe_l = jnp.where(l == 0.0, 1.0, l)
     o_ref[0, 0] = (acc / safe_l).astype(o_ref.dtype)
 
@@ -147,13 +150,11 @@ def _flash_attention_jit(
     B, Sq, N, H = q.shape
     Skv, Nkv = k.shape[1], k.shape[2]
     kv_int8 = k_scale is not None
-    if N != Nkv:
-        rep = N // Nkv
-        k = jnp.repeat(k, rep, axis=2)
-        v = jnp.repeat(v, rep, axis=2)
-        if kv_int8:
-            k_scale = jnp.repeat(k_scale, rep, axis=2)
-            v_scale = jnp.repeat(v_scale, rep, axis=2)
+    if N % Nkv:
+        raise ValueError(f"query heads {N} not a multiple of kv heads {Nkv}")
+    rep = N // Nkv  # GQA: kv stays at Nkv heads in HBM; the k/v BlockSpec
+    # index maps route query-head program n to kv head n // rep, so grouped
+    # configs read each kv head once per group — no N/Nkv× bandwidth blowup
     if scale is None:
         scale = 1.0 / math.sqrt(H)
 
@@ -180,27 +181,29 @@ def _flash_attention_jit(
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 1, bq, H), lambda b, n, i: (b, n, i, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, Skv_p, H), lambda b, n, i: (b, n, 0, 0),
+        # GQA: query-head program n reads kv head n // rep (rep == 1 for MHA)
+        pl.BlockSpec((1, 1, Skv_p, H), lambda b, n, i: (b, n // rep, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, Skv_p, H), lambda b, n, i: (b, n, 0, 0),
+        pl.BlockSpec((1, 1, Skv_p, H), lambda b, n, i: (b, n // rep, 0, 0),
                      memory_space=pltpu.VMEM),
     ]
     operands = [slot, kvok, qt, kt, vt]
     if kv_int8:
-        # scales travel as (B, N, Skv_p): the kernel slices a lane-aligned
-        # (1, bkv) row per block — no in-kernel relayout
+        # scales travel as (1, Nkv, Skv_p) blocks — one batch row, all kv
+        # heads (full trailing dims keep the (8,128) tiling rule happy);
+        # VMEM cost is Nkv*Skv*4B per operand, independent of B and N
         kst = _pad_to(k_scale.transpose(0, 2, 1), Skv_p, 2)
         vst = _pad_to(v_scale.transpose(0, 2, 1), Skv_p, 2)
         in_specs += [
-            pl.BlockSpec((B, N, Skv_p), lambda b, n, i: (0, 0, 0),
+            pl.BlockSpec((1, Nkv, Skv_p), lambda b, n, i: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, N, Skv_p), lambda b, n, i: (0, 0, 0),
+            pl.BlockSpec((1, Nkv, Skv_p), lambda b, n, i: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ]
         operands += [kst, vst]
     out = pl.pallas_call(
         functools.partial(_flash_kernel, scale=scale, block_kv=bkv,
-                          causal=causal, kv_int8=kv_int8),
+                          causal=causal, kv_int8=kv_int8, qk_rep=rep),
         grid=grid,
         in_specs=in_specs,
         out_specs=pl.BlockSpec((1, 1, bq, H), lambda b, n, i: (b, n, i, 0),
