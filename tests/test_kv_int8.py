@@ -54,8 +54,10 @@ def test_flash_int8_matches_xla_dense_dequant():
     kq, ks = quantize_kv(jnp.asarray(k))
     vq, vs = quantize_kv(jnp.asarray(v))
     dense = cached_attention(
-        jnp.asarray(q), kq, vq, jnp.asarray(kv_valid), slot,
-        k_scale=ks, v_scale=vs, impl="xla",
+        jnp.asarray(q), jnp.transpose(kq, (0, 2, 1, 3)),
+        jnp.transpose(vq, (0, 2, 1, 3)), jnp.asarray(kv_valid), slot,
+        k_scale=jnp.transpose(ks, (0, 2, 1)),
+        v_scale=jnp.transpose(vs, (0, 2, 1)), impl="xla",
     )
     flash = flash_attention(
         jnp.asarray(q), kq, vq, jnp.asarray(kv_valid), slot,
@@ -75,8 +77,11 @@ def test_flash_int8_gqa_head_repeat():
     kq, ks = quantize_kv(jnp.asarray(k))
     vq, vs = quantize_kv(jnp.asarray(v))
     dense = cached_attention(
-        jnp.asarray(q), kq, vq, jnp.asarray(kv_valid), np.int32(Skv - Sq),
-        k_scale=ks, v_scale=vs, impl="xla",
+        jnp.asarray(q), jnp.transpose(kq, (0, 2, 1, 3)),
+        jnp.transpose(vq, (0, 2, 1, 3)), jnp.asarray(kv_valid),
+        np.int32(Skv - Sq),
+        k_scale=jnp.transpose(ks, (0, 2, 1)),
+        v_scale=jnp.transpose(vs, (0, 2, 1)), impl="xla",
     )
     flash = flash_attention(
         jnp.asarray(q), kq, vq, jnp.asarray(kv_valid), np.int32(Skv - Sq),

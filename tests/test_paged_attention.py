@@ -44,7 +44,8 @@ def test_paged_matches_dense(lens):
     kv_valid = np.arange(Smax)[None, :] < np.asarray(lens)[:, None]
     ref = cached_attention(
         jnp.asarray(q[:, None].reshape(B, 1, N, H)),
-        jnp.asarray(k_dense), jnp.asarray(v_dense),
+        jnp.transpose(jnp.asarray(k_dense), (0, 2, 1, 3)),
+        jnp.transpose(jnp.asarray(v_dense), (0, 2, 1, 3)),
         jnp.asarray(kv_valid),
         jnp.asarray(np.asarray(lens, np.int32) - 1),
         impl="xla",
@@ -121,7 +122,8 @@ def test_paged_gqa():
     kv_valid = np.arange(Smax)[None, :] < np.asarray(lens)[:, None]
     ref = cached_attention(
         jnp.asarray(q.reshape(B, 1, N, H)),
-        jnp.asarray(k_dense), jnp.asarray(v_dense),
+        jnp.transpose(jnp.asarray(k_dense), (0, 2, 1, 3)),
+        jnp.transpose(jnp.asarray(v_dense), (0, 2, 1, 3)),
         jnp.asarray(kv_valid), jnp.asarray([lens[0] - 1], jnp.int32),
         impl="xla",
     )[:, 0]

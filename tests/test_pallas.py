@@ -9,7 +9,11 @@ from visualcla_tpu.ops.pallas.flash_attention import flash_attention
 
 
 def dense_ref(q, k, v, kv_valid, write_slot):
-    return cached_attention(q, k, v, kv_valid, write_slot, impl="xla")
+    # cached_attention takes K/V in cache order (B, Nkv, S, H)
+    return cached_attention(
+        q, jnp.transpose(k, (0, 2, 1, 3)), jnp.transpose(v, (0, 2, 1, 3)),
+        kv_valid, write_slot, impl="xla",
+    )
 
 
 def rand(rng, shape, dtype=jnp.float32):

@@ -25,12 +25,15 @@ def test_sharded_flash_matches_dense(mesh):
     kv_valid = jnp.asarray(kv_valid)
     slot = jnp.int32(4)
 
-    dense = attn_mod.cached_attention(q, k, v, kv_valid, slot, impl="xla")
+    kt = jnp.transpose(k, (0, 2, 1, 3))  # cache order (B, Nkv, S, H)
+    vt = jnp.transpose(v, (0, 2, 1, 3))
+    dense = attn_mod.cached_attention(q, kt, vt, kv_valid, slot, impl="xla")
 
     spec = NamedSharding(mesh, P("data", None, "model", None))
+    kv_spec = NamedSharding(mesh, P("data", "model", None, None))
     qd = jax.device_put(q, spec)
-    kd = jax.device_put(k, spec)
-    vd = jax.device_put(v, spec)
+    kd = jax.device_put(kt, kv_spec)
+    vd = jax.device_put(vt, kv_spec)
     okd = jax.device_put(kv_valid, NamedSharding(mesh, P("data", None)))
     out = attn_mod._flash_sharded(qd, kd, vd, okd, slot, mesh)
     assert out is not None
@@ -39,8 +42,8 @@ def test_sharded_flash_matches_dense(mesh):
 
 def test_sharded_flash_refuses_indivisible(mesh):
     q = jnp.zeros((1, 4, 6, 64))  # 6 heads not divisible by model=4
-    k = jnp.zeros((1, 8, 6, 64))
-    v = jnp.zeros((1, 8, 6, 64))
+    k = jnp.zeros((1, 6, 8, 64))  # cache order (B, Nkv, S, H)
+    v = jnp.zeros((1, 6, 8, 64))
     out = attn_mod._flash_sharded(q, k, v, jnp.ones((1, 8), bool), jnp.int32(0), mesh)
     assert out is None
 
@@ -80,8 +83,8 @@ def test_cached_attention_uses_mesh_when_registered(mesh):
     rng = np.random.default_rng(1)
     B, Sq, N, H, Smax = 2, 8, 4, 64, 32
     q = jnp.asarray(rng.standard_normal((B, Sq, N, H)), jnp.float32)
-    k = jnp.asarray(rng.standard_normal((B, Smax, N, H)), jnp.float32)
-    v = jnp.asarray(rng.standard_normal((B, Smax, N, H)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, N, Smax, H)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, N, Smax, H)), jnp.float32)
     kv_valid = jnp.ones((B, Smax), bool)
     dense = attn_mod.cached_attention(q, k, v, kv_valid, jnp.int32(8), impl="xla")
     attn_mod.set_attention_mesh(mesh)

@@ -168,7 +168,7 @@ class Engine:
     ):
         cfg = self.cfg
         B, S = input_ids.shape
-        Smax = cache["k"].shape[2]
+        Smax = cache["k"].shape[3]
         embeds = visualcla.multimodal_embeds(params, cfg, input_ids, img_start_pos, pixel_values)
         positions = jnp.maximum(jnp.cumsum(attention_mask, axis=-1) - 1, 0).astype(jnp.int32)
         kv_valid = jnp.concatenate(
@@ -201,19 +201,15 @@ class Engine:
         )
         return state
 
-    def _decode_step_impl(self, params, state: DecodeState, sampling: SamplingConfig):
-        cfg = self.cfg
+    def _sample_tail(self, state: DecodeState, cache, kv_valid, step_logits,
+                     sampling: SamplingConfig) -> DecodeState:
+        """Shared post-forward step finalization: sample the next token and
+        advance slot/position/eos bookkeeping."""
         B = state.last_token.shape[0]
-        embeds = llama.embed(params["text"], state.last_token[:, None])
-        kv_valid = state.kv_valid.at[:, state.cur_slot].set(True)
-        hidden, cache = llama.forward(
-            params["text"], cfg.text_config, embeds,
-            state.positions[:, None], state.cache, kv_valid, state.cur_slot,
-        )
-        step_logits = llama.logits(params["text"], hidden)[:, 0]
         key, sub = jax.random.split(state.key)
         gen_len_b = jnp.full((B,), state.gen_len, jnp.int32)
-        token, mu = sample_step(step_logits, state.gen_ids, gen_len_b, sub, state.mu, sampling)
+        token, mu = sample_step(step_logits, state.gen_ids, gen_len_b, sub,
+                                state.mu, sampling)
         # finished rows keep emitting pad (HF pads finished rows)
         token = jnp.where(state.finished, jnp.int32(self.pad_token_id), token)
         gen_ids = state.gen_ids.at[:, state.gen_len].set(token)
@@ -231,24 +227,95 @@ class Engine:
             mu=mu,
         )
 
+    def _decode_step_impl(self, params, state: DecodeState,
+                          sampling: SamplingConfig):
+        cfg = self.cfg
+        embeds = llama.embed(params["text"], state.last_token[:, None])
+        kv_valid = state.kv_valid.at[:, state.cur_slot].set(True)
+        hidden, cache = llama.forward(
+            params["text"], cfg.text_config, embeds,
+            state.positions[:, None], state.cache, kv_valid, state.cur_slot,
+        )
+        step_logits = llama.logits(params["text"], hidden)[:, 0]
+        return self._sample_tail(state, cache, kv_valid, step_logits, sampling)
+
     def _decode_loop_impl(self, params, state: DecodeState,
                           sampling: SamplingConfig, max_steps):
         """Fused decode until ``max_steps`` TOTAL generated tokens (dynamic
-        bound: one compile serves full generates and chunked streaming)."""
+        bound: one compile serves full generates and chunked streaming).
+
+        FLATTENED iteration space: ONE while_loop over (step x layer), layer
+        index ``li`` in the carry, with embed/rope at li == 0 and
+        norm+logits+sampling at li == L-1 under lax.cond.  A nested layer
+        scan inside the decode while_loop makes XLA hold ~3 extra whole-cache
+        carry buffers (measured via tools/probe_fused_loop.py) — at 7B bf16
+        batch 8 that pushed the program past the 16GB chip.  Flat, the cache
+        lives in exactly one loop carry and is updated in place (same
+        structure as the single-step program, whose temp is ~0)."""
+        text = params["text"]
+        tcfg = self.cfg.text_config
+        L = jax.tree.leaves(text["layers"])[0].shape[0]
         Smax = state.kv_valid.shape[1]
         max_steps = jnp.asarray(max_steps, jnp.int32)
+        B = state.last_token.shape[0]
+        H = tcfg.hidden_size
+        if getattr(tcfg, "hidden_act", "silu") == "silu":
+            act = jax.nn.silu
+        else:
+            from ..ops.activations import ACT2FN
 
-        def cond(s: DecodeState):
-            return (
+            act = ACT2FN[tcfg.hidden_act]
+
+        def cond(carry):
+            s, h, li = carry
+            step_ok = (
                 (s.gen_len < max_steps)
                 & ~jnp.all(s.finished)
                 & (s.cur_slot < Smax)
             )
+            return (li != 0) | step_ok  # stop only at step boundaries
 
-        def body(s: DecodeState):
-            return self._decode_step_impl(params, s, sampling)
+        def body(carry):
+            s, h, li = carry
+            # step start: embed the last token, open its kv slot
+            def start(s, h):
+                return (
+                    dataclasses.replace(
+                        s, kv_valid=s.kv_valid.at[:, s.cur_slot].set(True)),
+                    llama.embed(text, s.last_token[:, None]).astype(h.dtype),
+                )
 
-        return jax.lax.while_loop(cond, body, state)
+            s, h = jax.lax.cond(li == 0, start, lambda s, h: (s, h), s, h)
+            from ..ops.rope import rope_table
+
+            cos, sin = rope_table(s.positions[:, None], tcfg.head_dim,
+                                  tcfg.rope_theta)
+            p_l = jax.tree.map(
+                lambda a: jax.lax.dynamic_index_in_dim(a, li, 0, keepdims=False),
+                text["layers"],
+            )
+            h, cache = llama.layer_forward(
+                p_l, tcfg, h, cos, sin, s.cache, s.kv_valid, s.cur_slot, li,
+                act=act,
+            )
+            s = dataclasses.replace(s, cache=cache)
+
+            # step end: final norm + logits + sample
+            def finish(s):
+                from ..ops.norms import rms_norm
+
+                hidden = rms_norm(h, text["final_norm"], tcfg.rms_norm_eps)
+                step_logits = llama.logits(text, hidden)[:, 0]
+                return self._sample_tail(s, s.cache, s.kv_valid, step_logits,
+                                         sampling)
+
+            s = jax.lax.cond(li == L - 1, finish, lambda s: s, s)
+            return s, h, (li + 1) % L
+
+        h0 = jnp.zeros((B, 1, H), self.dtype)
+        state, _, _ = jax.lax.while_loop(
+            cond, body, (state, h0, jnp.int32(0)))
+        return state
 
     # -- public API -----------------------------------------------------------
 

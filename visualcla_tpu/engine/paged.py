@@ -363,12 +363,14 @@ class PagedServingEngine:
             params["text"], cfg.text_config, embeds, positions, scratch,
             kv_valid, jnp.int32(0),
         )
-        # scatter the prompt KV into the pool: (L, 1, S, ...) -> (L, nb, BS, ...)
+        # scatter the prompt KV into the pool.  The scratch cache is stored
+        # heads-major (L, 1, Nkv, S, hd) — see llama.init_kv_cache — so bring
+        # slots back before blocking: -> (L, S, Nkv, hd) -> (L, nb, BS, ...)
         L = cfg.text_config.num_hidden_layers
-        k_blocks = scratch["k"].reshape(
-            L, nb, self.BS, *scratch["k"].shape[-2:])
-        v_blocks = scratch["v"].reshape(
-            L, nb, self.BS, *scratch["v"].shape[-2:])
+        k_blocks = scratch["k"][:, 0].transpose(0, 2, 1, 3).reshape(
+            L, nb, self.BS, *scratch["k"].shape[-3::2])
+        v_blocks = scratch["v"][:, 0].transpose(0, 2, 1, 3).reshape(
+            L, nb, self.BS, *scratch["v"].shape[-3::2])
         if state.k_scales is not None:  # int8 KV: quantize the prompt blocks
             kq, ksc = quantize_kv(k_blocks)
             vq, vsc = quantize_kv(v_blocks)

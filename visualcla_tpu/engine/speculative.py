@@ -241,7 +241,7 @@ def spec_chunk(
     """One draft→verify→accept step.  Emits 1..K+1 tokens per active row."""
     B, L = prompt_ids.shape
     K = spec_k
-    Smax = state.cache["k"].shape[2]
+    Smax = state.cache["k"].shape[3]
     Tbuf = state.gen_ids.shape[1]
 
     # ---- draft ----
@@ -336,7 +336,7 @@ def _spec_loop(
     sampling: SamplingConfig, *, eos_token_id: int, pad_token_id: int,
     spec_k: int, max_ngram: int,
 ):
-    Smax = state.cache["k"].shape[2]
+    Smax = state.cache["k"].shape[3]
 
     def cond(s: SpecState):
         room = jnp.min(

@@ -12,7 +12,7 @@ Design (TPU-first, not a port):
 - Weight layout is (in_features, out_features) so every projection is ``x @ W``
   — the MXU-native orientation; the checkpoint converter transposes torch weights.
 - One unified ``forward`` covers prefill and decode: the KV cache is a fixed-shape
-  (L, B, S_max, N_kv, H) buffer, the current chunk is written at ``write_slot`` and
+  (L, B, N_kv, S_max, H) buffer, the current chunk is written at ``write_slot`` and
   attention runs over the whole buffer under an additive validity/causality bias.
   Static shapes throughout — XLA never sees a dynamic sequence length.
 """
@@ -68,11 +68,17 @@ def init_kv_cache(
 ) -> dict:
     """KV cache buffers.  ``kv_quant='int8'`` stores int8 values with
     per-token-per-head fp32 scales — half the cache bytes, dequant fused into
-    the attention read (Pallas kernel / XLA)."""
+    the attention read (Pallas kernel / XLA).
+
+    Layout is (L, B, Nkv, S, hd) — kv heads MAJOR over slots — which is the
+    flash kernel's operand order.  Storing the cache in any other order makes
+    XLA relayout it at the decode-loop boundary: whole-cache copy ops worth
+    4x the cache bytes in transient HBM (measured via
+    tools/probe_fused_loop.py; it blocked the 7B bf16 batch-8 fused loop)."""
     L, Nkv, hd = cfg.num_hidden_layers, cfg.num_key_value_heads, cfg.head_dim
-    shape = (L, batch, max_len, Nkv, hd)
+    shape = (L, batch, Nkv, max_len, hd)
     if kv_quant == "int8":
-        sshape = (L, batch, max_len, Nkv)
+        sshape = (L, batch, Nkv, max_len)
         return {
             "k": jnp.zeros(shape, jnp.int8),
             "v": jnp.zeros(shape, jnp.int8),
@@ -97,10 +103,11 @@ def forward(
     cfg: LlamaConfig,
     inputs_embeds: jnp.ndarray,  # (B, Sq, H)
     rope_positions: jnp.ndarray,  # (B, Sq) int32 — RoPE position ids
-    kv_cache: dict,  # {'k','v': (L, B, Smax, Nkv, hd)}
+    kv_cache: dict,  # {'k','v': (L, B, Nkv, Smax, hd)} — see init_kv_cache
     kv_valid: jnp.ndarray,  # (B, Smax) bool — valid AFTER this chunk is written
     write_slot: jnp.ndarray,  # () or (B,) int32 — cache slot of the chunk's first token
     remat: bool = False,  # rematerialize each layer (training memory/FLOPs trade)
+    unroll: bool = False,  # unroll the layer scan (decode-step programs)
 ) -> Tuple[jnp.ndarray, dict]:
     """Run the decoder stack.  Returns (final_norm hidden (B, Sq, H), new kv_cache).
 
@@ -115,7 +122,7 @@ def forward(
     )  # (B, Sq, hd) fp32
     h, kv_cache = decoder_stack(
         params["layers"], cfg, inputs_embeds, cos, sin,
-        kv_cache, kv_valid, write_slot, remat=remat,
+        kv_cache, kv_valid, write_slot, remat=remat, unroll=unroll,
     )
     h = rms_norm(h, params["final_norm"], cfg.rms_norm_eps)
     return h, kv_cache
@@ -131,6 +138,7 @@ def decoder_stack(
     kv_valid: jnp.ndarray,
     write_slot: jnp.ndarray,
     remat: bool = False,
+    unroll: bool = False,
 ) -> Tuple[jnp.ndarray, dict]:
     """Scan a stack of decoder layers (no embedding / final norm).
 
@@ -152,58 +160,12 @@ def decoder_stack(
 
         act = ACT2FN[act_name]
 
-    def put_chunk(buf, chunk, l, slot):
-        """Write a (B, Sq, ...) chunk into buffer (L, B, Smax, ...) at layer l,
-        slot(s) ``slot`` (scalar = contiguous update, (B,) = per-row vmap)."""
-        zero = jnp.int32(0)
-        if slot.ndim == 0:
-            idx = (l, zero, slot) + (zero,) * (buf.ndim - 3)
-            return jax.lax.dynamic_update_slice(buf, chunk[None], idx)
-
-        def put(row_buf, row_chunk, s):
-            return jax.lax.dynamic_update_slice(
-                row_buf, row_chunk, (s,) + (zero,) * (row_buf.ndim - 1)
-            )
-
-        bl = jax.lax.dynamic_index_in_dim(buf, l, axis=0, keepdims=False)
-        bl = jax.vmap(put)(bl, chunk, slot)
-        return jax.lax.dynamic_update_index_in_dim(buf, bl, l, axis=0)
-
     def layer(carry, xs):
         h, cache = carry
         p, l = xs
-        x = rms_norm(h, p["input_norm"], cfg.rms_norm_eps)
-        q = linear(x, p["q_proj"]).reshape(B, Sq, N, hd)
-        k = linear(x, p["k_proj"]).reshape(B, Sq, Nkv, hd)
-        v = linear(x, p["v_proj"]).reshape(B, Sq, Nkv, hd)
-        q, k = apply_rope(q, k, cos, sin)
-        slot = jnp.asarray(write_slot, jnp.int32)
-        if quant:
-            from ..ops.quantization import quantize_kv
-
-            kq, ksc = quantize_kv(k)
-            vq, vsc = quantize_kv(v)
-            writes = {"k": kq, "v": vq, "k_scale": ksc, "v_scale": vsc}
-        else:
-            writes = {"k": k.astype(cache["k"].dtype),
-                      "v": v.astype(cache["v"].dtype)}
-        cache = dict(cache)
-        for name, chunk in writes.items():
-            cache[name] = put_chunk(cache[name], chunk, l, slot)
-        take = lambda name: jax.lax.dynamic_index_in_dim(  # noqa: E731
-            cache[name], l, axis=0, keepdims=False
+        h, cache = layer_forward(
+            p, cfg, h, cos, sin, cache, kv_valid, write_slot, l, act=act
         )
-        if quant:
-            attn = cached_attention(
-                q, take("k"), take("v"), kv_valid, write_slot,
-                k_scale=take("k_scale"), v_scale=take("v_scale"),
-            )
-        else:
-            attn = cached_attention(q, take("k"), take("v"), kv_valid, write_slot)
-        h = h + linear(attn.reshape(B, Sq, N * hd), p["o_proj"])
-        x2 = rms_norm(h, p["post_norm"], cfg.rms_norm_eps)
-        gate = act(linear(x2, p["gate_proj"])) * linear(x2, p["up_proj"])
-        h = h + linear(gate, p["down_proj"])
         return (h, cache), None
 
     L = jax.tree.leaves(layers)[0].shape[0]  # local layer count (PP: L/P)
@@ -212,8 +174,90 @@ def decoder_stack(
         body,
         (inputs_embeds, kv_cache),
         (layers, jnp.arange(L, dtype=jnp.int32)),
+        unroll=L if unroll else 1,
     )
     return h, kv_cache
+
+
+def put_chunk(buf, chunk, l, slot):
+    """Write a chunk into the FULL stacked cache buffer at layer ``l``,
+    slot(s) ``slot`` (scalar = contiguous update, (B,) = per-row vmap).
+    Slots live on dim 3: buffers are (L, B, Nkv, Smax, hd) for k/v and
+    (L, B, Nkv, Smax) for int8 scales, chunks (B, Nkv, Sq[, hd]).
+
+    One dynamic-update-slice on the stacked buffer: with the buffer stored in
+    the attention kernel's operand order (see init_kv_cache) XLA updates it
+    in place."""
+    zero = jnp.int32(0)
+    if slot.ndim == 0:
+        idx = (l, zero, zero, slot) + (zero,) * (buf.ndim - 4)
+        return jax.lax.dynamic_update_slice(buf, chunk[None], idx)
+
+    def put(row_buf, row_chunk, s):
+        return jax.lax.dynamic_update_slice(
+            row_buf, row_chunk, (zero, s) + (zero,) * (row_buf.ndim - 2)
+        )
+
+    bl = jax.lax.dynamic_index_in_dim(buf, l, axis=0, keepdims=False)
+    bl = jax.vmap(put)(bl, chunk, slot)
+    return jax.lax.dynamic_update_index_in_dim(buf, bl, l, axis=0)
+
+
+def layer_forward(
+    p: Params,  # ONE layer's params (no leading layer axis)
+    cfg: LlamaConfig,
+    h: jnp.ndarray,  # (B, Sq, H)
+    cos: jnp.ndarray,  # (B, Sq, hd)
+    sin: jnp.ndarray,
+    cache: dict,  # STACKED buffers (L, B, Nkv, Smax, ...) — written at layer l
+    kv_valid: jnp.ndarray,
+    write_slot: jnp.ndarray,
+    l: jnp.ndarray,  # () int32 layer index into the stacked cache
+    act=jax.nn.silu,
+) -> Tuple[jnp.ndarray, dict]:
+    """One decoder layer: qkv -> rope -> cache write at (l, slot) -> attention
+    over the cache -> mlp.  Shared by the layer scan (decoder_stack) and the
+    engine's flattened decode loop (engine/generate.py), which iterates
+    step x layer in a SINGLE while_loop so the cache sits in exactly one
+    loop carry."""
+    B, Sq, H = h.shape
+    N, Nkv, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+    quant = "k_scale" in cache
+    x = rms_norm(h, p["input_norm"], cfg.rms_norm_eps)
+    q = linear(x, p["q_proj"]).reshape(B, Sq, N, hd)
+    k = linear(x, p["k_proj"]).reshape(B, Sq, Nkv, hd)
+    v = linear(x, p["v_proj"]).reshape(B, Sq, Nkv, hd)
+    q, k = apply_rope(q, k, cos, sin)
+    slot = jnp.asarray(write_slot, jnp.int32)
+    # to cache order (B, Nkv, Sq, hd); free for decode (Sq == 1 bitcast)
+    k = k.transpose(0, 2, 1, 3)
+    v = v.transpose(0, 2, 1, 3)
+    if quant:
+        from ..ops.quantization import quantize_kv
+
+        kq, ksc = quantize_kv(k)
+        vq, vsc = quantize_kv(v)
+        writes = {"k": kq, "v": vq, "k_scale": ksc, "v_scale": vsc}
+    else:
+        kv_dtype = cache["k"].dtype
+        writes = {"k": k.astype(kv_dtype), "v": v.astype(kv_dtype)}
+    cache = {name: put_chunk(cache[name], chunk, l, slot)
+             for name, chunk in writes.items()}
+    take = lambda name: jax.lax.dynamic_index_in_dim(  # noqa: E731
+        cache[name], l, axis=0, keepdims=False
+    )
+    if quant:
+        attn = cached_attention(
+            q, take("k"), take("v"), kv_valid, write_slot,
+            k_scale=take("k_scale"), v_scale=take("v_scale"),
+        )
+    else:
+        attn = cached_attention(q, take("k"), take("v"), kv_valid, write_slot)
+    h = h + linear(attn.reshape(B, Sq, N * hd), p["o_proj"])
+    x2 = rms_norm(h, p["post_norm"], cfg.rms_norm_eps)
+    gate = act(linear(x2, p["gate_proj"])) * linear(x2, p["up_proj"])
+    h = h + linear(gate, p["down_proj"])
+    return h, cache
 
 
 def logits(params: Params, hidden: jnp.ndarray) -> jnp.ndarray:

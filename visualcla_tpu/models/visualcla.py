@@ -180,7 +180,7 @@ def prefill_forward(
     embeds = multimodal_embeds(params, cfg, input_ids, img_start_pos, pixel_values)
     B, S = input_ids.shape
     positions = jnp.maximum(jnp.cumsum(attention_mask, axis=-1) - 1, 0).astype(jnp.int32)
-    Smax = kv_cache["k"].shape[2]
+    Smax = kv_cache["k"].shape[3]
     kv_valid = jnp.concatenate(
         [attention_mask.astype(bool), jnp.zeros((B, Smax - S), bool)], axis=-1
     )

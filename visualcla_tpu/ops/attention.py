@@ -99,7 +99,8 @@ def _flash_sharded(q, k, v, kv_valid, write_slot, mesh, *,
                    k_scale=None, v_scale=None):
     """Pallas flash under a TP×DP mesh: heads are embarrassingly parallel, so
     shard_map over ('data', 'model') runs the kernel per-shard with no
-    collectives (the surrounding matmuls' all-reduces are GSPMD's job)."""
+    collectives (the surrounding matmuls' all-reduces are GSPMD's job).
+    K/V arrive in cache order (B, Nkv, Skv, H) — kv heads on 'model'."""
     from jax.sharding import PartitionSpec as P
     from jax import shard_map
 
@@ -109,29 +110,32 @@ def _flash_sharded(q, k, v, kv_valid, write_slot, mesh, *,
     n_model = mesh.shape[MODEL]
     n_data = mesh.shape[DATA]
     B, _, N, _ = q.shape
-    Nkv = k.shape[2]
+    Nkv = k.shape[1]
     if N % n_model or Nkv % n_model or B % n_data:
         # indivisible head/batch counts: dense fallback partitions fine
         return None
     qs = P(DATA, None, MODEL, None)
+    kvs = P(DATA, MODEL, None, None)
     slot_spec = P() if jnp.asarray(write_slot).ndim == 0 else P(DATA)
 
     if k_scale is None:
         fn = shard_map(
             lambda q_, k_, v_, ok_, s_: flash_attention(
-                q_, k_, v_, ok_, s_, causal=True),
+                q_, k_, v_, ok_, s_, causal=True, kv_layout="bnsh"),
             mesh=mesh,
-            in_specs=(qs, qs, qs, P(DATA, None), slot_spec),
+            in_specs=(qs, kvs, kvs, P(DATA, None), slot_spec),
             out_specs=qs,
             check_vma=False,  # pallas_call outputs carry no vma annotation
         )
         return fn(q, k, v, kv_valid, write_slot)
-    scale_spec = P(DATA, None, MODEL)  # (B, Skv, Nkv): kv heads on 'model'
+    scale_spec = P(DATA, MODEL, None)  # (B, Nkv, Skv): kv heads on 'model'
     fn = shard_map(
         lambda q_, k_, v_, ok_, s_, ks_, vs_: flash_attention(
-            q_, k_, v_, ok_, s_, causal=True, k_scale=ks_, v_scale=vs_),
+            q_, k_, v_, ok_, s_, causal=True, k_scale=ks_, v_scale=vs_,
+            kv_layout="bnsh"),
         mesh=mesh,
-        in_specs=(qs, qs, qs, P(DATA, None), slot_spec, scale_spec, scale_spec),
+        in_specs=(qs, kvs, kvs, P(DATA, None), slot_spec, scale_spec,
+                  scale_spec),
         out_specs=qs,
         check_vma=False,
     )
@@ -151,12 +155,12 @@ def attention_impl() -> str:
 
 def cached_attention(
     q: jnp.ndarray,  # (B, Sq, N, H)
-    k: jnp.ndarray,  # (B, Skv, Nkv, H) — full cache buffer (fp or int8)
-    v: jnp.ndarray,
+    k: jnp.ndarray,  # (B, Nkv, Skv, H) — full cache buffer (fp or int8),
+    v: jnp.ndarray,  # CACHE ORDER: heads major over slots (llama.init_kv_cache)
     kv_valid: jnp.ndarray,  # (B, Skv) bool
     write_slot: jnp.ndarray,  # () or (B,) int32
     *,
-    k_scale: jnp.ndarray | None = None,  # (B, Skv, Nkv) f32 when k/v are int8
+    k_scale: jnp.ndarray | None = None,  # (B, Nkv, Skv) f32 when k/v are int8
     v_scale: jnp.ndarray | None = None,
     impl: str | None = None,
 ) -> jnp.ndarray:
@@ -164,7 +168,14 @@ def cached_attention(
     fallback elsewhere.  Query i occupies slot write_slot+i (per-row when
     write_slot is (B,)) and sees kv slots <= its own among the valid ones.
     int8 caches pass per-token-per-head scales; dequant happens inside the
-    kernel (the HBM read stays int8 — half the decode bandwidth)."""
+    kernel (the HBM read stays int8 — half the decode bandwidth).
+
+    K/V come in the (B, Nkv, Skv, H) order the cache is stored in — the flash
+    kernel's native operand order — so the decode loop streams the cache with
+    ZERO relayout: with the old (B, Skv, Nkv, H) contract XLA chose the kernel
+    layout inside the loop and inserted whole-cache copy ops at the loop
+    boundary (4x cache bytes of transient — the round-1 bf16 B>=2 fused-loop
+    compile rejection, bisected in tools/probe_fused_loop.py)."""
     impl = impl or attention_impl()
     if impl == "flash":
         if _ATTN_MESH is not None:
@@ -176,10 +187,16 @@ def cached_attention(
             from .pallas.flash_attention import flash_attention
 
             return flash_attention(q, k, v, kv_valid, write_slot, causal=True,
-                                   k_scale=k_scale, v_scale=v_scale)
-    if k_scale is not None:  # dense fallback: dequantize (XLA fuses the mul)
-        k = (k.astype(jnp.float32) * k_scale[..., None]).astype(q.dtype)
-        v = (v.astype(jnp.float32) * v_scale[..., None]).astype(q.dtype)
+                                   k_scale=k_scale, v_scale=v_scale,
+                                   kv_layout="bnsh")
+    # dense fallback: back to (B, Skv, Nkv, H) for the shared numerics path
+    k = k.transpose(0, 2, 1, 3)
+    v = v.transpose(0, 2, 1, 3)
+    if k_scale is not None:  # dequantize (XLA fuses the mul)
+        k = (k.astype(jnp.float32)
+             * k_scale.transpose(0, 2, 1)[..., None]).astype(q.dtype)
+        v = (v.astype(jnp.float32)
+             * v_scale.transpose(0, 2, 1)[..., None]).astype(q.dtype)
     B, Sq = q.shape[:2]
     Smax = k.shape[1]
     slot = jnp.asarray(write_slot, jnp.int32).reshape(-1, 1)  # (1|B, 1)

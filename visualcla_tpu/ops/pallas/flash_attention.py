@@ -125,30 +125,40 @@ def _ceil_mult(x: int, m: int) -> int:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("scale", "causal", "block_q", "block_kv", "interpret"),
+    static_argnames=("scale", "causal", "block_q", "block_kv", "interpret",
+                     "kv_layout"),
 )
 def _flash_attention_jit(
     q: jnp.ndarray,  # (B, Sq, N, H)
-    k: jnp.ndarray,  # (B, Skv, Nkv, H) — fp, or int8 with k_scale/v_scale
-    v: jnp.ndarray,  # (B, Skv, Nkv, H)
+    k: jnp.ndarray,  # (B, Skv, Nkv, H), or (B, Nkv, Skv, H) with kv_layout=bnsh
+    v: jnp.ndarray,
     kv_valid: jnp.ndarray,  # (B, Skv) bool/int — slot validity
     write_slot: jnp.ndarray,  # () or (B,) int32 — cache slot of the first query
-    k_scale: Optional[jnp.ndarray] = None,  # (B, Skv, Nkv) f32 (int8 KV cache)
-    v_scale: Optional[jnp.ndarray] = None,
+    k_scale: Optional[jnp.ndarray] = None,  # (B, Skv, Nkv) f32 (int8 KV cache),
+    v_scale: Optional[jnp.ndarray] = None,  # or (B, Nkv, Skv) with bnsh
     *,
     scale: Optional[float] = None,
     causal: bool = True,
     block_q: int = 256,
     block_kv: int = 256,
     interpret: bool = False,
+    kv_layout: str = "bsnh",
 ) -> jnp.ndarray:
     """Returns (B, Sq, N, H) in q.dtype.  kv slot j is visible to query i iff
     kv_valid[b, j] and (not causal or j <= write_slot + i).  int8 K/V stream
     from HBM as int8 (half bandwidth); per-token-per-head scales fold into the
     score/probability rows after the matmuls.
+
+    ``kv_layout='bnsh'`` takes K/V (and scales) already in the kernel's operand
+    order — the layout the KV cache is STORED in (models/llama.init_kv_cache),
+    so decode streams the cache with zero relayout copies.  The 'bsnh' form
+    transposes on entry (ViT/one-shot callers).
     (Implementation body; call ``flash_attention`` which resolves interpret.)"""
     B, Sq, N, H = q.shape
-    Skv, Nkv = k.shape[1], k.shape[2]
+    if kv_layout == "bnsh":
+        Nkv, Skv = k.shape[1], k.shape[2]
+    else:
+        Skv, Nkv = k.shape[1], k.shape[2]
     kv_int8 = k_scale is not None
     if N % Nkv:
         raise ValueError(f"query heads {N} not a multiple of kv heads {Nkv}")
@@ -165,8 +175,12 @@ def _flash_attention_jit(
     Skv_p = _ceil_mult(Skv, bkv)
 
     qt = _pad_to(q.transpose(0, 2, 1, 3), Sq_p, 2)  # (B, N, Sq_p, H)
-    kt = _pad_to(k.transpose(0, 2, 1, 3), Skv_p, 2)
-    vt = _pad_to(v.transpose(0, 2, 1, 3), Skv_p, 2)
+    if kv_layout == "bnsh":  # already kernel-order: pad only, no copies
+        kt = _pad_to(k, Skv_p, 2)
+        vt = _pad_to(v, Skv_p, 2)
+    else:
+        kt = _pad_to(k.transpose(0, 2, 1, 3), Skv_p, 2)
+        vt = _pad_to(v.transpose(0, 2, 1, 3), Skv_p, 2)
     kvok = _pad_to(kv_valid.astype(jnp.int32), Skv_p, 1)
     slot = jnp.broadcast_to(
         jnp.asarray(write_slot, jnp.int32).reshape(-1, 1), (B, 1)
@@ -192,8 +206,12 @@ def _flash_attention_jit(
         # scales travel as (1, Nkv, Skv_p) blocks — one batch row, all kv
         # heads (full trailing dims keep the (8,128) tiling rule happy);
         # VMEM cost is Nkv*Skv*4B per operand, independent of B and N
-        kst = _pad_to(k_scale.transpose(0, 2, 1), Skv_p, 2)
-        vst = _pad_to(v_scale.transpose(0, 2, 1), Skv_p, 2)
+        if kv_layout == "bnsh":
+            kst = _pad_to(k_scale, Skv_p, 2)
+            vst = _pad_to(v_scale, Skv_p, 2)
+        else:
+            kst = _pad_to(k_scale.transpose(0, 2, 1), Skv_p, 2)
+            vst = _pad_to(v_scale.transpose(0, 2, 1), Skv_p, 2)
         in_specs += [
             pl.BlockSpec((1, Nkv, Skv_p), lambda b, n, i: (b, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -216,14 +234,15 @@ def _flash_attention_jit(
 
 def flash_attention(q, k, v, kv_valid, write_slot, *, scale=None, causal=True,
                     block_q=256, block_kv=256, interpret=None,
-                    k_scale=None, v_scale=None):
+                    k_scale=None, v_scale=None, kv_layout="bsnh"):
     """Public entry: ``interpret=None`` auto-selects the Pallas interpreter on
     non-TPU backends (CPU tests / virtual meshes run the same kernel code).
-    Pass ``k_scale``/``v_scale`` (B, Skv, Nkv) with int8 k/v buffers."""
+    Pass ``k_scale``/``v_scale`` (B, Skv, Nkv) with int8 k/v buffers;
+    ``kv_layout='bnsh'`` for K/V + scales already in kernel operand order."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     return _flash_attention_jit(
         q, k, v, kv_valid, write_slot, k_scale, v_scale,
         scale=scale, causal=causal, block_q=block_q, block_kv=block_kv,
-        interpret=interpret,
+        interpret=interpret, kv_layout=kv_layout,
     )

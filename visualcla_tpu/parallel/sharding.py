@@ -208,10 +208,10 @@ def shard_params(params: dict, mesh: Mesh, fsdp: bool = False) -> dict:
 
 
 def kv_cache_specs() -> dict:
-    """KV cache (L, B, S, N_kv, hd): batch on data, heads on model.
-    int8 caches add per-token-per-head scales (L, B, S, N_kv)."""
-    kv = P(None, DATA, None, MODEL, None)
-    sc = P(None, DATA, None, MODEL)
+    """KV cache (L, B, N_kv, S, hd): batch on data, heads on model.
+    int8 caches add per-token-per-head scales (L, B, N_kv, S)."""
+    kv = P(None, DATA, MODEL, None, None)
+    sc = P(None, DATA, MODEL, None)
     return {"k": kv, "v": kv, "k_scale": sc, "v_scale": sc}
 
 

@@ -76,6 +76,55 @@ class VisionPipeline:
         return cls(vision_params, cfg, ip, dtype=dtype)
 
     @classmethod
+    def from_reference_merged(cls, path: str, dtype=None) -> "VisionPipeline":
+        """Load the vision side straight from a reference merged dir
+        (vision_encoder/ + pytorch_model.bin with visual_resampler.* and
+        image_projection_layer.* keys — the layout the reference webui plugin
+        reads, visualcla.py:38-60), without converting the 13GB text tower."""
+        from .checkpoint.mapping import (
+            projection_tree_from_sd, resampler_tree_from_sd, vit_tree_from_sd,
+        )
+        from .checkpoint.torch_io import load_state_dict
+
+        vision_sd = load_state_dict(os.path.join(path, "vision_encoder"))
+        root_sd = load_state_dict(path)
+        params = {
+            "vision": vit_tree_from_sd(vision_sd),
+            "resampler": resampler_tree_from_sd(root_sd),
+            "projection": projection_tree_from_sd(root_sd),
+        }
+        cfg = VisualCLAConfig.from_pretrained(path)
+        ip = (ImageProcessor.from_pretrained(path)
+              if os.path.exists(os.path.join(path, "preprocessor_config.json"))
+              else None)
+        import jax.numpy as jnp
+
+        params = _cast_floats(params, dtype or jnp.bfloat16)
+        return cls(params, cfg, ip, dtype=dtype)
+
+    @classmethod
+    def from_any(cls, path: str, dtype=None, **kwargs) -> "VisionPipeline":
+        """Sniff the checkpoint layout and dispatch: native (params.safetensors),
+        reference merged (vision_encoder/), or webui split
+        (visual_resampler_model.bin — pass ``clip_model=`` for this one)."""
+        if os.path.exists(os.path.join(path, "params.safetensors")):
+            return cls.from_pretrained(path, dtype=dtype)
+        if os.path.isdir(os.path.join(path, "vision_encoder")):
+            return cls.from_reference_merged(path, dtype=dtype)
+        if os.path.exists(os.path.join(path, "visual_resampler_model.bin")):
+            clip_model = kwargs.pop("clip_model", None)
+            if clip_model is None:
+                raise ValueError(
+                    f"{path} is a webui-split vision dir; pass clip_model="
+                    "<CLIP checkpoint dir> to load it"
+                )
+            return cls.from_webui_split(path, clip_model, dtype=dtype, **kwargs)
+        raise FileNotFoundError(
+            f"{path}: no params.safetensors, vision_encoder/, or "
+            "visual_resampler_model.bin — not a recognizable checkpoint layout"
+        )
+
+    @classmethod
     def from_webui_split(
         cls,
         vision_dir: str,
