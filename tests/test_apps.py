@@ -224,3 +224,66 @@ def test_parse_text_code_blocks():
     assert '<pre><code class="language-python">' in out
     assert "</code></pre>" in out
     assert out.endswith("<br>done")
+
+
+def test_http_pool_chat_stream_concurrent(model_bundle):
+    """/chat_stream streams per-token FROM the continuous-batching pool:
+    concurrent clients each receive incremental ndjson partials and a final
+    response identical to the blocking /chat result."""
+    import http.client
+
+    from http.server import ThreadingHTTPServer
+
+    from visualcla_tpu.apps.serve import PoolWorker, make_handler
+
+    model, tokenizer, cfg, tmp = model_bundle
+    model.image_processor.image_size = cfg.vision_config.image_size
+    model.image_processor.crop_size = cfg.vision_config.image_size
+    worker = PoolWorker(model, pool_size=2)
+    server = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(worker))
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        def stream(text):
+            conn = http.client.HTTPConnection("127.0.0.1", port, timeout=300)
+            conn.request("POST", "/chat_stream", body=json.dumps({
+                "text": text,
+                "generation_config": {"max_new_tokens": 6,
+                                      "do_sample": False},
+            }), headers={"Content-Type": "application/json"})
+            resp = conn.getresponse()
+            assert resp.status == 200
+            lines = [json.loads(ln) for ln in resp.read().splitlines() if ln]
+            return lines
+
+        results = {}
+        threads = [
+            threading.Thread(
+                target=lambda i=i, s=s: results.update({i: stream(s)}))
+            for i, s in enumerate(["ab", "cd"])
+        ]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join(timeout=300)
+        assert set(results) == {0, 1}
+        for i, lines in results.items():
+            partials = [ln["partial"] for ln in lines if "partial" in ln]
+            finals = [ln for ln in lines if "response" in ln]
+            assert len(partials) >= 2, lines  # token-by-token, not one blob
+            assert len(finals) == 1
+            # partials grow monotonically into the final response
+            assert finals[0]["history"][-1]["value"] == finals[0]["response"]
+
+        # final text matches the blocking path (same pool engine, greedy)
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=300)
+        conn.request("POST", "/chat", body=json.dumps({
+            "text": "ab", "generation_config": {"max_new_tokens": 6,
+                                                "do_sample": False},
+        }), headers={"Content-Type": "application/json"})
+        blocking = json.loads(conn.getresponse().read())
+        assert blocking["response"] == results[0][-1]["response"]
+    finally:
+        server.shutdown()
+        worker.scheduler.stop()

@@ -212,3 +212,49 @@ def test_beam_cache_cap_finalize_matches_hf(models):
         if eos in o:
             o = o[: o.index(eos) + 1]
         assert o == t, (seed, o, t)
+
+
+def _fused_vs_host(cfg, params, ids, **kw):
+    from visualcla_tpu.engine.beam import beam_generate, beam_generate_fused
+
+    want = beam_generate(params, cfg, ids, None, None, **kw)
+    got = beam_generate_fused(params, cfg, ids, None, None, **kw)
+    np.testing.assert_array_equal(np.asarray(want), np.asarray(got))
+    return want
+
+
+def test_fused_beam_matches_host(models):
+    """Device-side fused beam loop == host-driven scorer, token for token."""
+    _, params, cfg = models
+    rng = np.random.default_rng(0)
+    ids = rng.integers(4, 60, size=(1, 7)).astype(np.int32)
+    for nb in (2, 4):
+        for lp, es in ((1.0, False), (2.0, False), (1.0, True)):
+            _fused_vs_host(
+                cfg, params, ids,
+                num_beams=nb, max_new_tokens=8, eos_token_id=2,
+                pad_token_id=0, length_penalty=lp, early_stopping=es,
+            )
+
+
+def test_fused_beam_eos_heavy(models):
+    """A vocab-tilted model that emits EOS often exercises the hypothesis
+    buffer + eviction + finalize paths."""
+    _, params, cfg = models
+    import jax
+
+    # tilt every logit toward EOS=2 by bumping the lm_head column
+    import jax.numpy as jnp
+
+    params = dict(params)
+    params["text"] = dict(params["text"])
+    lm = params["text"]["lm_head"]
+    params["text"]["lm_head"] = lm.at[:, 2].add(jnp.float32(0.35))
+    rng = np.random.default_rng(1)
+    ids = rng.integers(4, 60, size=(1, 5)).astype(np.int32)
+    out = _fused_vs_host(
+        cfg, params, ids,
+        num_beams=3, max_new_tokens=10, eos_token_id=2, pad_token_id=0,
+        length_penalty=1.0, early_stopping=False,
+    )
+    assert out.shape[0] >= 1

@@ -92,3 +92,34 @@ def test_ring_long_context_scales_past_single_shard(rng):
     out = ring_attention_sharded(q, k, v, mesh)
     ref = _dense_ref(q, k, v, jnp.ones((1, 8192), bool), True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_engine_generate_long_context_cp():
+    """End-to-end generate() with a 4096-token prompt on a ('data','seq')
+    mesh: prefill attention rides the ring (CP path), decode runs normally,
+    and greedy tokens match the unmeshed single-device engine."""
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from visualcla_tpu.core.config import tiny_visualcla_config
+    from visualcla_tpu.engine.generate import Engine
+    from visualcla_tpu.engine.sampling import SamplingConfig
+    from visualcla_tpu.models import visualcla as vmod
+
+    cfg = tiny_visualcla_config(vocab_size=96, hidden_size=16)
+    params = vmod.init_params(jax.random.PRNGKey(5), cfg, jnp.float32)
+    rng = np.random.default_rng(7)
+    S = 4096
+    ids = rng.integers(4, 90, size=(2, S)).astype(np.int32)
+    s = SamplingConfig.greedy(max_new_tokens=4)
+
+    plain = Engine(params, cfg, eos_token_id=2, pad_token_id=0,
+                   max_seq_len=S + 64, prompt_buckets=(S,), dtype=jnp.float32)
+    want = plain.generate(ids, sampling=s)
+
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(2, 4), ("data", "seq"))
+    meshed = Engine(params, cfg, eos_token_id=2, pad_token_id=0,
+                    max_seq_len=S + 64, prompt_buckets=(S,),
+                    dtype=jnp.float32, mesh=mesh)
+    got = meshed.generate(ids, sampling=s)
+    np.testing.assert_array_equal(np.asarray(want), np.asarray(got))

@@ -112,9 +112,16 @@ class VisualCLA:
         sampling = as_sampling_config(generation_config)
         img_pos = img_marker_positions(input_ids, self.tokenizer.img_start_token_id)
         if sampling.num_beams > 1 and not sampling.do_sample:
-            from .engine.beam import beam_generate
+            # fused device-side scorer by default: zero per-step host round
+            # trips (host-driven fallback via VISUALCLA_BEAM=host)
+            import os
 
-            out = beam_generate(
+            from .engine.beam import beam_generate, beam_generate_fused
+
+            beam_fn = (beam_generate
+                       if os.environ.get("VISUALCLA_BEAM") == "host"
+                       else beam_generate_fused)
+            out = beam_fn(
                 self.params, self.config, np.asarray(input_ids),
                 pixel_values, img_pos,
                 num_beams=sampling.num_beams,

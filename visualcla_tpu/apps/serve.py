@@ -10,8 +10,9 @@ pipeline as JSON over HTTP with no extra dependencies:
             -> {"response": str, "history": [...]}
   POST /chat_stream  (same body) -> newline-delimited JSON partials
             {"partial": str} ... {"response": str, "history": [...]}
-            (serial worker backend; the pool backend streams per-token via the
-             scheduler queues — HTTP exposure planned)
+            (both backends stream: the pool backend yields per-token from the
+             continuous-batching scheduler, so concurrent streams share every
+             decode step; the serial worker streams via chat_in_stream)
   GET  /health -> {"status": "ok"}
 
 Requests are serialized through a worker queue (the engine is single-stream;
@@ -104,6 +105,52 @@ class PoolWorker:
         response = model.tokenizer.decode(out, skip_special_tokens=True)
         history.append({"type": "response", "value": response})
         return {"response": response, "history": history}
+
+    def submit_stream(self, req: dict, timeout: float = 600.0):
+        """Per-token HTTP streaming FROM THE POOL: tokens surface through the
+        scheduler's per-request queue as the continuous-batching engine emits
+        them, so concurrent /chat_stream clients share every decode step
+        (reference UX: text_generation_webui/script.py:102-114)."""
+        from visualcla_tpu.engine.server import generate_stream
+        from visualcla_tpu.text import encoding_text
+        from visualcla_tpu.text.prompt import img_marker_positions
+
+        model = self.model
+        history = req.get("history") or []
+        text = req["text"]
+        pixel_values = None
+        if req.get("image_b64"):
+            from PIL import Image
+
+            img = Image.open(io.BytesIO(base64.b64decode(req["image_b64"])))
+            pixel_values = model.image_processor(img)["pixel_values"]
+        enc = encoding_text(history, text, model.num_patch, model.tokenizer)
+        ids = enc["input_ids"]
+        img_pos = img_marker_positions(ids, model.tokenizer.img_start_token_id)
+        history.append({"type": "instruction", "value": text,
+                        **({"first_instruction": True} if not history else {})})
+        gc = req.get("generation_config") or {}
+        overrides = {k: gc[k] for k in
+                     ("temperature", "top_p", "repetition_penalty", "do_sample")
+                     if k in gc}
+        tokens: list = []
+        response = ""
+        for kind, payload in generate_stream(
+            self.scheduler, ids[0], pixel_values=pixel_values,
+            img_start_pos=int(img_pos[0]),
+            max_new_tokens=int(gc.get("max_new_tokens", 512)),
+            sampling_overrides=overrides or None, timeout=timeout,
+        ):
+            if kind == "token":
+                tokens.append(payload)
+                response = model.tokenizer.decode(
+                    tokens, skip_special_tokens=True)
+                yield {"partial": response}
+            else:  # done: decode the authoritative full sequence
+                response = model.tokenizer.decode(
+                    payload, skip_special_tokens=True)
+        history.append({"type": "response", "value": response})
+        yield {"response": response, "history": history}
 
 
 class ChatWorker:

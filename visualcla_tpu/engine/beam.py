@@ -16,6 +16,7 @@ also sidestep the tunnel's large-program compile limits — see DEVNOTES.md).
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import List, Optional, Tuple
 
 import jax
@@ -382,3 +383,216 @@ def beam_sample_generate(
             if len(hyp.hyps) >= nb:
                 break
     return hyp.best()
+
+
+def beam_generate_fused(
+    params,
+    cfg,
+    input_ids: np.ndarray,  # (1, S)
+    pixel_values: Optional[np.ndarray],
+    img_start_pos: Optional[np.ndarray],
+    *,
+    num_beams: int,
+    max_new_tokens: int,
+    eos_token_id: int,
+    pad_token_id: int = 0,
+    length_penalty: float = 1.0,
+    early_stopping: bool = False,
+    max_seq_len: Optional[int] = None,
+    dtype=jnp.float32,
+) -> np.ndarray:
+    """Device-side beam search: ONE fused jitted program runs the whole
+    candidate-selection / hypothesis / reorder / forward loop on device.
+
+    Exact same semantics as ``beam_generate`` (the host-driven HF
+    BeamSearchScorer re-implementation above, which is HF-parity tested) —
+    but with zero per-step host round trips, which matters under the axon
+    tunnel where every dispatch costs ~10ms.  The scorer state (hypothesis
+    ids/lengths/scores, worst-score eviction, is_done early stopping) lives
+    in fixed-shape arrays inside the ``lax.while_loop`` carry."""
+    if input_ids.shape[0] != 1:
+        raise ValueError(
+            f"beam search supports batch size 1, got {input_ids.shape[0]}"
+        )
+    nb = num_beams
+    T = max_new_tokens
+    S = input_ids.shape[1]
+    Smax = max_seq_len or (S + max_new_tokens)
+    text_cfg = cfg.text_config
+    lp = float(length_penalty)
+    NEG = jnp.float32(-1e9)
+
+    def hyp_add(hyp, ids_row, length, sum_logprob, enabled):
+        """HF BeamHypotheses.add, vectorized: insert while count < nb, else
+        evict the worst when the new score beats it."""
+        hyp_ids, hyp_len, hyp_score, count = hyp
+        score = sum_logprob / (jnp.asarray(length, jnp.float32) ** lp)
+        worst = jnp.where(
+            jnp.arange(nb) < count, hyp_score, jnp.inf
+        ).min()
+        can = enabled & ((count < nb) | (score > worst))
+        write = jnp.where(
+            count < nb, count,
+            jnp.argmin(jnp.where(jnp.arange(nb) < count, hyp_score, jnp.inf)),
+        )
+        hyp_ids = jnp.where(can, hyp_ids.at[write].set(ids_row), hyp_ids)
+        hyp_len = jnp.where(can, hyp_len.at[write].set(length), hyp_len)
+        hyp_score = jnp.where(can, hyp_score.at[write].set(score), hyp_score)
+        count = count + jnp.where(can & (count < nb), 1, 0)
+        return (hyp_ids, hyp_len, hyp_score, count)
+
+    def hyp_worst(hyp):
+        _, _, hyp_score, count = hyp
+        return jnp.where(jnp.arange(nb) < count, hyp_score, jnp.inf).min()
+
+    def process_candidates(cand_s, cand_b, cand_t, gen, i, hyp):
+        """The host loop 'route EOS into hypotheses, collect nb non-EOS
+        continuations, stop once full' as a fori over the 2nb candidates."""
+        next_s = jnp.full((nb,), NEG, jnp.float32)
+        next_b = jnp.zeros((nb,), jnp.int32)
+        next_t = jnp.full((nb,), jnp.int32(pad_token_id))
+        next_count = jnp.int32(0)
+
+        def one(c, carry):
+            next_s, next_b, next_t, next_count, hyp = carry
+            active = next_count < nb  # host breaks once nb continuations set
+            tok = cand_t[c]
+            is_eos = tok == eos_token_id
+            eos_ids = gen[cand_b[c]].at[i].set(eos_token_id)
+            hyp = hyp_add(hyp, eos_ids, i + 1, cand_s[c], active & is_eos)
+            take = active & ~is_eos
+            w = jnp.minimum(next_count, nb - 1)
+            next_s = jnp.where(take, next_s.at[w].set(cand_s[c]), next_s)
+            next_b = jnp.where(take, next_b.at[w].set(cand_b[c]), next_b)
+            next_t = jnp.where(take, next_t.at[w].set(tok), next_t)
+            next_count = next_count + jnp.where(take, 1, 0)
+            return next_s, next_b, next_t, next_count, hyp
+
+        next_s, next_b, next_t, _, hyp = jax.lax.fori_loop(
+            0, 2 * nb, one, (next_s, next_b, next_t, next_count, hyp)
+        )
+        return next_s, next_b, next_t, hyp
+
+    def forward_step(cache, kv_valid, tokens, beam_scores, slot, pos):
+        kv_valid = kv_valid.at[:, slot].set(True)
+        embeds = llama.embed(params["text"], tokens[:, None])
+        hidden, cache = llama.forward(
+            params["text"], text_cfg, embeds,
+            jnp.full((nb, 1), pos, jnp.int32), cache, kv_valid, slot,
+        )
+        lg = llama.logits(params["text"], hidden)[:, 0]
+        logprobs = jax.nn.log_softmax(lg.astype(jnp.float32), -1)
+        flat = (beam_scores[:, None] + logprobs).reshape(-1)
+        top_s, top_i = jax.lax.top_k(flat, 2 * nb)
+        V = logprobs.shape[-1]
+        return top_s, top_i // V, top_i % V, cache, kv_valid
+
+    @functools.partial(jax.jit, donate_argnames=("cache",))
+    def fused_loop(params_, cache, cand_s, cand_b, cand_t):
+        kv_valid = jnp.concatenate(
+            [jnp.ones((nb, S), bool), jnp.zeros((nb, Smax - S), bool)], -1
+        )
+        gen0 = jnp.zeros((nb, T), jnp.int32)
+        hyp0 = (jnp.zeros((nb, T), jnp.int32), jnp.zeros((nb,), jnp.int32),
+                jnp.full((nb,), NEG, jnp.float32), jnp.int32(0))
+        carry0 = dict(
+            cand=(cand_s, cand_b, cand_t), gen=gen0,
+            scores=jnp.zeros((nb,), jnp.float32), cache=cache,
+            kv_valid=kv_valid, slot=jnp.int32(S), pos=jnp.int32(S),
+            i=jnp.int32(0), hyp=hyp0, stop=jnp.bool_(False),
+            last_next=(jnp.full((nb,), NEG, jnp.float32), gen0,
+                       jnp.int32(0)),  # (scores, continuation ids, cur_len)
+        )
+
+        def cond(c):
+            return ~c["stop"] & (c["i"] < T)
+
+        def body(c):
+            cand_s, cand_b, cand_t = c["cand"]
+            i = c["i"]
+            next_s, next_b, next_t, hyp = process_candidates(
+                cand_s, cand_b, cand_t, c["gen"], i, c["hyp"])
+            # continuation rows: gen[next_b] + next_t (finalize reads these)
+            next_gen = c["gen"][next_b].at[:, i].set(next_t)
+            count = hyp[3]
+            done = (count >= nb) & (
+                jnp.bool_(early_stopping)
+                | (hyp_worst(hyp) >= cand_s.max()
+                   / (jnp.asarray(i + 1, jnp.float32) ** lp))
+            )
+            done = done | (c["slot"] >= Smax)
+            last_next = (next_s, next_gen, i + 1)
+
+            def halt(c):
+                return {**c, "hyp": hyp, "stop": jnp.bool_(True),
+                        "last_next": last_next}
+
+            def advance(c):
+                cache = {k: v[:, next_b] for k, v in c["cache"].items()}
+                last_step = i + 1 >= T
+
+                def fwd(cache, kv_valid):
+                    return forward_step(cache, kv_valid, next_t, next_s,
+                                        c["slot"], c["pos"])
+
+                def keep(cache, kv_valid):
+                    return (cand_s, cand_b, cand_t, cache, kv_valid)
+
+                ns, nbm, nt, cache, kv_valid = jax.lax.cond(
+                    last_step, keep, fwd, cache, c["kv_valid"])
+                return {**c, "cand": (ns, nbm, nt), "gen": next_gen,
+                        "scores": next_s, "cache": cache,
+                        "kv_valid": kv_valid, "slot": c["slot"] + 1,
+                        "pos": c["pos"] + 1, "i": i + 1, "hyp": hyp,
+                        "stop": jnp.bool_(last_step),
+                        "last_next": last_next}
+
+            return jax.lax.cond(done, halt, advance, c)
+
+        c = jax.lax.while_loop(cond, body, carry0)
+
+        # finalize: open beams become hypotheses in score order while room
+        hyp = c["hyp"]
+        last_s, last_gen, last_len = c["last_next"]
+        order = jnp.argsort(-last_s)
+
+        def fin(j, hyp):
+            k = order[j]
+            return hyp_add(hyp, last_gen[k], last_len, last_s[k],
+                           hyp[3] < nb)
+
+        hyp = jax.lax.fori_loop(0, nb, fin, hyp)
+        hyp_ids, hyp_len, hyp_score, count = hyp
+        best = jnp.argmax(
+            jnp.where(jnp.arange(nb) < count, hyp_score, -jnp.inf))
+        return hyp_ids[best], hyp_len[best]
+
+    @jax.jit
+    def prefill(params_, ids, img_pos, pix):
+        embeds = visualcla.multimodal_embeds(params_, cfg, ids, img_pos, pix)
+        cache = llama.init_kv_cache(text_cfg, 1, Smax, dtype)
+        kv_valid = jnp.concatenate(
+            [jnp.ones((1, S), bool), jnp.zeros((1, Smax - S), bool)], -1
+        )
+        positions = jnp.arange(S, dtype=jnp.int32)[None]
+        hidden, cache = llama.forward(
+            params_["text"], text_cfg, embeds, positions, cache, kv_valid,
+            jnp.int32(0),
+        )
+        lg = llama.logits(params_["text"], hidden[:, -1:, :])[:, 0]
+        logprobs = jax.nn.log_softmax(lg.astype(jnp.float32), -1)
+        beam_scores = jnp.full((nb,), -1e9, jnp.float32).at[0].set(0.0)
+        flat = (beam_scores[:, None] + logprobs[0][None, :]).reshape(-1)
+        top_s, top_i = jax.lax.top_k(flat, 2 * nb)
+        V = logprobs.shape[-1]
+        cache = {k: jnp.repeat(v, nb, axis=1) for k, v in cache.items()}
+        return top_s, top_i // V, top_i % V, cache
+
+    img_pos = (jnp.asarray(img_start_pos, jnp.int32)
+               if img_start_pos is not None else jnp.full((1,), -1, jnp.int32))
+    pix = jnp.asarray(pixel_values, dtype) if pixel_values is not None else None
+    ts, bi, tk, cache = prefill(
+        params, jnp.asarray(input_ids, jnp.int32), img_pos, pix
+    )
+    ids, n = fused_loop(params, cache, ts, bi, tk)
+    return np.asarray(ids)[: int(n)]

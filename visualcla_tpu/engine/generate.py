@@ -120,11 +120,20 @@ class Engine:
         self._decode_step = self._scoped(jax.jit(
             self._decode_step_impl, static_argnames=("sampling",), donate_argnames=("state",)
         ))
-        self._decode_loop = self._scoped(jax.jit(
+        self._decode_loop_flat = self._scoped(jax.jit(
             self._decode_loop_impl,
             static_argnames=("sampling",),
             donate_argnames=("state",),
         ))
+        self._decode_loop_nested = self._scoped(jax.jit(
+            self._decode_loop_nested_impl,
+            static_argnames=("sampling",),
+            donate_argnames=("state",),
+        ))
+        self._params_bytes = sum(
+            int(np.prod(x.shape)) * x.dtype.itemsize
+            for x in jax.tree.leaves(params)
+        )
 
     def _scoped(self, fn):
         """Wrap a jitted program so tracing sees this engine's mesh."""
@@ -136,6 +145,33 @@ class Engine:
                 return fn(*a, **kw)
 
         return wrapped
+
+    def _decode_loop(self, params, state: DecodeState, sampling, max_steps):
+        """Fused decode: pick the loop structure by HBM fit.
+
+        The NESTED loop (while over steps, layer scan inside) is ~15% faster
+        per step — XLA pipelines the scan's weight slices — but holds ~3
+        extra whole-cache carry buffers.  The FLAT loop (one while over
+        step x layer) holds none.  Measured on v5e (tools/probe_fused_loop.py):
+        L16/B8 bf16 nested 634 vs flat 556 tok/s; full-size bf16 B8 only
+        COMPILES flat.  So: nested whenever params + ~4.2x cache + margin fit
+        the device, flat otherwise; VISUALCLA_DECODE_LOOP=flat|nested pins."""
+        import os
+
+        impl = os.environ.get("VISUALCLA_DECODE_LOOP")
+        if impl not in ("flat", "nested"):
+            cache_bytes = sum(
+                int(np.prod(x.shape)) * x.dtype.itemsize
+                for x in jax.tree.leaves(state.cache)
+            )
+            limit = float(os.environ.get("VISUALCLA_HBM_BYTES", 0)) or (
+                16e9 if jax.default_backend() == "tpu" else float("inf")
+            )
+            need = self._params_bytes + 4.2 * cache_bytes + 0.5e9
+            impl = "nested" if need < limit else "flat"
+        fn = (self._decode_loop_nested if impl == "nested"
+              else self._decode_loop_flat)
+        return fn(params, state, sampling, max_steps)
 
     # -- bucket / padding ---------------------------------------------------
 
@@ -174,8 +210,17 @@ class Engine:
         kv_valid = jnp.concatenate(
             [attention_mask.astype(bool), jnp.zeros((B, Smax - S), bool)], axis=-1
         )
+        # CP: with a 'seq' mesh axis, prefill attention rides the ICI ring
+        # (parallel/ring.py) — long prompts shard over devices instead of
+        # hitting one chip's memory/attention ceiling
+        ring_axis = (
+            "seq" if (self.mesh is not None and "seq" in self.mesh.axis_names
+                      and S % self.mesh.shape["seq"] == 0)
+            else None
+        )
         hidden, cache = llama.forward(
-            params["text"], cfg.text_config, embeds, positions, cache, kv_valid, jnp.int32(0)
+            params["text"], cfg.text_config, embeds, positions, cache,
+            kv_valid, jnp.int32(0), ring_axis=ring_axis,
         )
         last_logits = llama.logits(params["text"], hidden[:, -1:, :])[:, 0]  # (B, V)
 
@@ -316,6 +361,27 @@ class Engine:
         state, _, _ = jax.lax.while_loop(
             cond, body, (state, h0, jnp.int32(0)))
         return state
+
+    def _decode_loop_nested_impl(self, params, state: DecodeState,
+                                 sampling: SamplingConfig, max_steps):
+        """Nested-loop variant (while over steps, layer scan inside via
+        _decode_step_impl).  Holds ~3 extra whole-cache carry buffers, so it
+        only fits when cache is small relative to HBM headroom; kept for A/B
+        perf measurement against the flat loop (tools/probe_fused_loop.py)."""
+        Smax = state.kv_valid.shape[1]
+        max_steps = jnp.asarray(max_steps, jnp.int32)
+
+        def cond(s: DecodeState):
+            return (
+                (s.gen_len < max_steps)
+                & ~jnp.all(s.finished)
+                & (s.cur_slot < Smax)
+            )
+
+        def body(s: DecodeState):
+            return self._decode_step_impl(params, s, sampling)
+
+        return jax.lax.while_loop(cond, body, state)
 
     # -- public API -----------------------------------------------------------
 

@@ -497,3 +497,36 @@ def generate_sync(scheduler: Scheduler, input_ids, pixel_values=None,
             return payload
         if kind == "error":
             raise RuntimeError(payload)
+
+
+def generate_stream(scheduler: Scheduler, input_ids, pixel_values=None,
+                    img_start_pos=None, max_new_tokens: int = 512,
+                    sampling_overrides: Optional[dict] = None,
+                    timeout: float = 600.0):
+    """Streaming helper: submit one request, yield each generated token id as
+    the pool produces it, finishing with the full (T,) id array.
+
+    Yields ('token', int) tuples then one final ('done', np.ndarray); raises
+    on scheduler error/timeout.  Safe under concurrent callers — each request
+    has its own queue, and the scheduler interleaves rows per decode step."""
+    q: queue.Queue = queue.Queue()
+    scheduler.submit(Request(
+        input_ids=np.asarray(input_ids), pixel_values=pixel_values,
+        img_start_pos=img_start_pos, max_new_tokens=max_new_tokens, out=q,
+        sampling_overrides=sampling_overrides,
+    ))
+    deadline = time.time() + timeout
+    while True:
+        try:
+            kind, payload = q.get(timeout=max(0.0, deadline - time.time()))
+        except queue.Empty:
+            raise RuntimeError(
+                f"serving request timed out after {timeout}s"
+            ) from None
+        if kind == "token":
+            yield "token", int(payload)
+        elif kind == "done":
+            yield "done", payload
+            return
+        elif kind == "error":
+            raise RuntimeError(payload)

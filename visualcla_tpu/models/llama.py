@@ -108,6 +108,7 @@ def forward(
     write_slot: jnp.ndarray,  # () or (B,) int32 — cache slot of the chunk's first token
     remat: bool = False,  # rematerialize each layer (training memory/FLOPs trade)
     unroll: bool = False,  # unroll the layer scan (decode-step programs)
+    ring_axis: str | None = None,  # CP: ring-attend the prefill over this mesh axis
 ) -> Tuple[jnp.ndarray, dict]:
     """Run the decoder stack.  Returns (final_norm hidden (B, Sq, H), new kv_cache).
 
@@ -123,6 +124,7 @@ def forward(
     h, kv_cache = decoder_stack(
         params["layers"], cfg, inputs_embeds, cos, sin,
         kv_cache, kv_valid, write_slot, remat=remat, unroll=unroll,
+        ring_axis=ring_axis,
     )
     h = rms_norm(h, params["final_norm"], cfg.rms_norm_eps)
     return h, kv_cache
@@ -139,6 +141,7 @@ def decoder_stack(
     write_slot: jnp.ndarray,
     remat: bool = False,
     unroll: bool = False,
+    ring_axis: str | None = None,
 ) -> Tuple[jnp.ndarray, dict]:
     """Scan a stack of decoder layers (no embedding / final norm).
 
@@ -164,7 +167,8 @@ def decoder_stack(
         h, cache = carry
         p, l = xs
         h, cache = layer_forward(
-            p, cfg, h, cos, sin, cache, kv_valid, write_slot, l, act=act
+            p, cfg, h, cos, sin, cache, kv_valid, write_slot, l, act=act,
+            ring_axis=ring_axis,
         )
         return (h, cache), None
 
@@ -214,6 +218,7 @@ def layer_forward(
     write_slot: jnp.ndarray,
     l: jnp.ndarray,  # () int32 layer index into the stacked cache
     act=jax.nn.silu,
+    ring_axis: str | None = None,
 ) -> Tuple[jnp.ndarray, dict]:
     """One decoder layer: qkv -> rope -> cache write at (l, slot) -> attention
     over the cache -> mlp.  Shared by the layer scan (decoder_stack) and the
@@ -246,7 +251,21 @@ def layer_forward(
     take = lambda name: jax.lax.dynamic_index_in_dim(  # noqa: E731
         cache[name], l, axis=0, keepdims=False
     )
-    if quant:
+    if ring_axis is not None and Sq > 1:
+        # Context-parallel prefill: attention over THIS chunk's fresh K/V via
+        # ring attention (sequence sharded over the ``ring_axis`` mesh axis,
+        # K/V rotating on the ICI ring) instead of reading back the cache.
+        # Valid because the Engine's prefill writes from slot 0 and only the
+        # chunk's slots are kv-valid, so chunk attention == cache attention;
+        # causality uses slot indices as positions (write_slot == 0).
+        from ..ops.attention import _ATTN_MESH
+        from ..parallel.ring import ring_attention_sharded
+
+        attn = ring_attention_sharded(
+            q, k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3), _ATTN_MESH,
+            seq_axis=ring_axis, kv_valid=kv_valid[:, :Sq], causal=True,
+        )
+    elif quant:
         attn = cached_attention(
             q, take("k"), take("v"), kv_valid, write_slot,
             k_scale=take("k_scale"), v_scale=take("v_scale"),

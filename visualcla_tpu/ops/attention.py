@@ -107,6 +107,9 @@ def _flash_sharded(q, k, v, kv_valid, write_slot, mesh, *,
     from .pallas.flash_attention import flash_attention
 
     DATA, MODEL = "data", "model"
+    if MODEL not in mesh.axis_names or DATA not in mesh.axis_names:
+        # e.g. a ('data','seq') CP mesh: dense fallback partitions fine
+        return None
     n_model = mesh.shape[MODEL]
     n_data = mesh.shape[DATA]
     B, _, N, _ = q.shape

@@ -186,7 +186,8 @@ def _valid_spec(spec: P, shape: tuple, mesh: Mesh) -> P:
         return P()
     fixed = []
     for dim, axis in zip(shape, tuple(spec) + (None,) * (len(shape) - len(spec))):
-        if axis is None:
+        if axis is None or axis not in mesh.axis_names:
+            # missing axes happen on partial meshes (e.g. ('data','seq') CP)
             fixed.append(None)
         else:
             size = mesh.shape[axis]
