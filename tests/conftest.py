@@ -22,6 +22,14 @@ jax.config.update("jax_enable_x64", True)
 # The env var alone is not honored when a TPU plugin (axon) is installed; the
 # config update forces the virtual 8-device CPU backend for the test session.
 jax.config.update("jax_platforms", "cpu")
+# Persistent compile cache for the CPU test programs: this single-core
+# environment is compile-dominated, so repeat suite runs drop from ~24 min
+# cold to a fraction warm.  Safe across sessions (keyed on program + config).
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.expanduser("~/.cache/visualcla_jax_cpu_tests"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -107,6 +107,7 @@ def test_chat_stream_matches_blocking(loaded):
     assert hist[-1]["value"] == final
 
 
+@pytest.mark.slow
 def test_load_reference_merged_dir_with_int8(tmp_path):
     """get_model... on a reference-layout merged dir (in-memory conversion)
     with load_in_8bit: quantized text tower, chat runs."""

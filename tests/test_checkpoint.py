@@ -311,6 +311,7 @@ def test_convert_unmerged_with_fabricated_adapter(tmp_path):
     assert np.asarray(params["resampler"]["query_embedding"]).shape == (4, 8)
 
 
+@pytest.mark.slow
 def test_from_vision_text_without_lora(tmp_path):
     """Regression: vision+text base checkpoints with NO LoRA must load — the
     tokenizer falls back to the text dir, the vocab resizes to the tokenizer,

@@ -7,8 +7,8 @@ from visualcla_tpu.text import SPModel, VisualCLATokenizer, build_test_model
 from visualcla_tpu.text import sp_bpe
 
 
-@pytest.mark.parametrize("h,w", [(225, 224), (223, 897), (3000, 224), (224, 3000),
-                                 (17, 2000)])
+@pytest.mark.parametrize("h,w", [(225, 224), (223, 897), (3000, 224),
+                                 (17, 700)])
 def test_resize_extreme_aspect_ratios(h, w):
     from PIL import Image
 

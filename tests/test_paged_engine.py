@@ -220,3 +220,74 @@ def test_can_admit_accounts_for_bucket_padding():
 
     eng.prefill_row(0, np.arange(4, 21, dtype=np.int32), None, None, 8)
     assert not eng.can_admit(17)  # 1 free block left — must defer, not error
+
+
+@pytest.mark.slow
+def test_paged_tp_int8kv_2048_context():
+    """Composition: paged pool + TP mesh + int8 KV at a REAL 2048-slot
+    budget.  A long prompt (1024 tokens) prefills into blocks, decodes, and
+    the tokens match the same paged engine without TP."""
+    from visualcla_tpu.ops import attention as attn_mod
+    from visualcla_tpu.parallel.sharding import make_mesh
+
+    cfg = tiny_visualcla_config(vocab_size=96)
+    params = vmod.init_params(jax.random.PRNGKey(3), cfg, jnp.float32)
+    rng = np.random.default_rng(11)
+    prompt = rng.integers(4, 90, size=(1024,)).astype(np.int32)
+
+    def run(mesh):
+        eng = PagedServingEngine(
+            params, cfg, eos_token_id=EOS, pad_token_id=PAD,
+            pool_size=2, block_size=64, num_blocks=40,
+            max_seq_len=2048, max_new_tokens_cap=8,
+            prompt_buckets=(1024,),
+            sampling=SamplingConfig.greedy(max_new_tokens=8),
+            dtype=jnp.float32, kv_quant="int8", mesh=mesh,
+        )
+        try:
+            assert eng.can_admit(len(prompt))
+            eng.prefill_row(0, prompt, None, None, 8)
+            for _ in range(7):
+                eng.step()
+            eng.snapshot()
+            return list(eng.collect_row(0))
+        finally:
+            attn_mod.set_attention_mesh(None)
+
+    base = run(None)
+    tp = run(make_mesh(n_data=1, n_model=2, devices=jax.devices()[:2]))
+    assert len(base) >= 1
+    assert base == tp
+
+
+def test_pool_exhaustion_defers_and_completes(setup):
+    """More requests than pool rows: the scheduler defers the overflow and
+    every request still completes with the right tokens (capacity test)."""
+    cfg, params, single, paged = setup
+    sched = Scheduler(paged)
+    try:
+        ps = prompts(6)  # pool_size is 3 -> at least 3 must wait
+        want = [
+            trim(single.generate(
+                p[None], sampling=SamplingConfig.greedy(max_new_tokens=16))[0])
+            for p in ps
+        ]
+        import queue
+
+        outs = []
+        for p in ps:
+            q: queue.Queue = queue.Queue()
+            sched.submit(Request(input_ids=p, pixel_values=None,
+                                 img_start_pos=None, max_new_tokens=16, out=q))
+            outs.append(q)
+        got = []
+        for q in outs:
+            while True:
+                kind, payload = q.get(timeout=300)
+                if kind == "done":
+                    got.append(trim(payload))
+                    break
+                assert kind == "token"
+        assert got == want
+    finally:
+        sched.stop()

@@ -62,6 +62,7 @@ def test_pipeline_prefill_matches_forward(n_pipe, n_data, n_micro):
                                    rtol=1e-12, atol=1e-12)
 
 
+@pytest.mark.slow
 def test_pipeline_decode_steps_match():
     """Prefill + 3 single-token decode steps through the pipeline equal the
     plain forward run step-by-step (cache handoff between calls included)."""
@@ -150,6 +151,7 @@ def test_bad_microbatch_count_raises():
                             jnp.int32(0), mesh, n_micro=3)
 
 
+@pytest.mark.slow
 def test_pipeline_grad_matches_plain():
     """Reverse-mode AD through the GPipe schedule (ppermute transposes to the
     reverse ring) gives the same gradients as the plain forward."""
@@ -181,6 +183,7 @@ def test_pipeline_grad_matches_plain():
                                    rtol=1e-10, atol=1e-10)
 
 
+@pytest.mark.slow
 def test_pipeline_train_step_matches_plain():
     """make_train_step(pipeline_mesh=...) produces the same loss/grad_norm as
     the plain step — full multimodal composite, 2-stage pipe."""

@@ -54,6 +54,7 @@ def test_ring_gqa_and_padding(rng):
     assert np.isfinite(np.asarray(out)).all()
 
 
+@pytest.mark.slow
 def test_ring_composes_with_dp_tp(rng):
     """CP x DP x TP on one mesh: seq=2, data=2, model=2."""
     devs = np.asarray(jax.devices()[:8]).reshape(2, 2, 2)
@@ -64,6 +65,7 @@ def test_ring_composes_with_dp_tp(rng):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
 
 
+@pytest.mark.slow
 def test_ring_gqa_with_tp(rng):
     """GQA heads sharded on 'model' while the sequence rings on 'seq' —
     K/V stay at Nkv heads per shard (ICI bytes scale with Nkv, not N)."""
@@ -75,6 +77,7 @@ def test_ring_gqa_with_tp(rng):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
 
 
+@pytest.mark.slow
 def test_ring_single_shard_degenerates_to_dense(rng):
     """seq axis of size 1: zero hops, plain attention."""
     mesh = Mesh(np.asarray(jax.devices()[:1]), ("seq",))
@@ -84,6 +87,7 @@ def test_ring_single_shard_degenerates_to_dense(rng):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
 
 
+@pytest.mark.slow
 def test_ring_long_context_scales_past_single_shard(rng):
     """8k tokens over 8 shards — the long-context case the reference cannot
     reach (2048 cap, settings-visualcla.yaml:21)."""
@@ -94,6 +98,7 @@ def test_ring_long_context_scales_past_single_shard(rng):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
 
 
+@pytest.mark.slow
 def test_engine_generate_long_context_cp():
     """End-to-end generate() with a 4096-token prompt on a ('data','seq')
     mesh: prefill attention rides the ring (CP path), decode runs normally,

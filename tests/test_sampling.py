@@ -222,7 +222,8 @@ class TestFusedTopKTopP:
     def test_random_logits_many_configs(self):
         rng = np.random.default_rng(0)
         for k, p in [(40, 0.9), (5, 0.5), (1, 0.9), (100, 0.99), (40, 0.1)]:
-            for _ in range(5):
+            for _ in range(2):  # 2 draws per config: the shape space is what
+                # matters; more draws only re-roll the same code paths
                 logits = rng.standard_normal((3, 512)).astype(np.float32) * 4
                 self._check(logits, k, p)
 

@@ -65,6 +65,7 @@ def test_sharded_forward_matches_single_device(mesh8):
     np.testing.assert_allclose(np.asarray(out), ref, atol=1e-6, rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_fsdp_train_step_matches_tp_only(mesh8):
     """ZeRO-style layer-axis param sharding: same loss, params stay sharded."""
     import jax.numpy as jnp

@@ -57,6 +57,7 @@ def test_loss_all_ignored_is_finite():
     assert np.isfinite(float(causal_lm_loss(logits, labels)))
 
 
+@pytest.mark.slow
 def test_train_step_reduces_loss(cfg, batch):
     params = visualcla.init_params(jax.random.PRNGKey(0), cfg, jnp.float32)
     opt = make_optimizer(learning_rate=3e-3, schedule="const")

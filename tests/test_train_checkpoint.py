@@ -4,6 +4,7 @@ import os
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from visualcla_tpu.core.config import tiny_visualcla_config
 from visualcla_tpu.models import visualcla as vmod
@@ -15,6 +16,7 @@ from visualcla_tpu.train.checkpointing import (
 )
 
 
+@pytest.mark.slow
 def test_train_state_roundtrip(tmp_path):
     cfg = tiny_visualcla_config()
     params = vmod.init_params(jax.random.PRNGKey(0), cfg, jnp.float32)

@@ -108,7 +108,14 @@ def warm(quant: str) -> bool:
 
 
 def main() -> int:
-    quants = ["bf16"] + (["int8"] if "--int8" in sys.argv else [])
+    # bench.py's headline is int8 now, with bf16 on the same line: warm both
+    # by default (--bf16-only / --int8-only to narrow)
+    if "--bf16-only" in sys.argv:
+        quants = ["bf16"]
+    elif "--int8-only" in sys.argv or "--int8" in sys.argv:
+        quants = ["int8"]
+    else:
+        quants = ["int8", "bf16"]
     all_ok = True
     for q in quants:
         all_ok = warm(q) and all_ok

@@ -49,6 +49,7 @@ def main():
     from visualcla_tpu.models import llama, visualcla
 
     int8 = "int8" in sys.argv[4:]
+    kvint8 = "kvint8" in sys.argv[4:]
     do_run = "run" in sys.argv[4:]
     cfg = _flagship_config()
     cfg = dataclasses.replace(
@@ -84,7 +85,7 @@ def main():
 
     def make_state():
         cache = llama.init_kv_cache(cfg.text_config, B, slots, dtype,
-                                    kv_quant="none")
+                                    kv_quant="int8" if kvint8 else "none")
         return DecodeState(
             cache=cache,
             kv_valid=jnp.concatenate(

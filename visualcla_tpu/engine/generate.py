@@ -167,7 +167,11 @@ class Engine:
             limit = float(os.environ.get("VISUALCLA_HBM_BYTES", 0)) or (
                 16e9 if jax.default_backend() == "tpu" else float("inf")
             )
-            need = self._params_bytes + 4.2 * cache_bytes + 0.5e9
+            # int8-KV caches carry 4 leaves + in-loop dequant transients;
+            # measured: 7B bf16 weights + int8 KV at B8 OOMs nested even
+            # though the 4.2x estimate said it fit — be conservative there
+            mult = 8.0 if "k_scale" in state.cache else 4.2
+            need = self._params_bytes + mult * cache_bytes + 0.5e9
             impl = "nested" if need < limit else "flat"
         fn = (self._decode_loop_nested if impl == "nested"
               else self._decode_loop_flat)
