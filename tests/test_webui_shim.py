@@ -97,3 +97,33 @@ def test_shim_embed_images_via_vision_pipeline(tmp_path, monkeypatch):
     if hidden:
         assert out.shape[1] == hidden
     assert out.dtype == torch.float32
+
+
+def test_chat_picture_splice():
+    """Image goes BEFORE the text (VisualCLA's trained order), or replaces an
+    explicit <image> placeholder; short edge resized into [224, 300]."""
+    from PIL import Image
+
+    _import_shim()
+    from visualcla_tpu_pipeline.chat_picture import add_chat_picture_visualcla
+
+    img = Image.fromarray(
+        np.random.default_rng(0).integers(0, 255, (100, 400, 3), np.uint8)
+    )
+    text, visible = add_chat_picture_visualcla(img, "describe it", "")
+    assert text.startswith('<img src="data:image/jpeg;base64,')
+    assert text.endswith("\ndescribe it")
+    assert visible == text
+
+    text2, _ = add_chat_picture_visualcla(img, "look: <image> here", "x")
+    assert "<image>" not in text2 and "look: <img" in text2
+
+    # aspect 4:1 -> short edge clamps to max(300/4, 224) = 224
+    import re
+
+    m = re.search(r'base64,([^"]+)', text)
+    import base64, io
+
+    resized = Image.open(io.BytesIO(base64.b64decode(m.group(1))))
+    assert min(resized.size) == 224
+    assert max(resized.size) == 224 * 4
