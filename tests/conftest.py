@@ -7,6 +7,11 @@ tests run against a virtual 8-device CPU mesh via
 import os
 
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Guard against jitted closures baking big arrays in as CONSTANTS (a fused
+# beam-search closure once captured the full 13.8GB weight tree — the compile
+# request then ships the weights!).  Warn at 64MB; pytest.ini escalates the
+# warning to an error.
+os.environ.setdefault("JAX_CAPTURED_CONSTANTS_WARN_BYTES", str(64 * 2**20))
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
     os.environ["XLA_FLAGS"] = (

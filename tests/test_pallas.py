@@ -216,3 +216,42 @@ def test_flash_decode_fully_masked_row_emits_zeros():
     np.testing.assert_array_equal(np.asarray(out)[1], 0.0)
     ref = dense_ref(q, k, v, jnp.asarray(kv_valid), jnp.int32(32))
     np.testing.assert_allclose(np.asarray(out)[0], np.asarray(ref)[0], atol=2e-6)
+
+
+def test_flash_stacked_cache_matches_sliced():
+    """layer_index mode (scalar-prefetched layer into the FULL stacked cache)
+    == slicing the layer first, fp and int8."""
+    from visualcla_tpu.ops.quantization import quantize_kv
+
+    rng = np.random.default_rng(9)
+    L, B, Nkv, N, H, Smax = 3, 2, 2, 4, 32, 64
+    q = rand(rng, (B, 1, N, H))
+    kc = rand(rng, (L, B, Nkv, Smax, H))
+    vc = rand(rng, (L, B, Nkv, Smax, H))
+    kv_valid = np.zeros((B, Smax), bool)
+    kv_valid[:, :41] = True
+    slot = jnp.int32(40)
+    for l in range(L):
+        sliced = flash_attention(
+            q, kc[l], vc[l], jnp.asarray(kv_valid), slot,
+            causal=True, kv_layout="bnsh", interpret=True)
+        stacked = flash_attention(
+            q, kc, vc, jnp.asarray(kv_valid), slot,
+            causal=True, layer_index=jnp.int32(l), interpret=True)
+        np.testing.assert_allclose(np.asarray(stacked), np.asarray(sliced),
+                                   atol=2e-6)
+
+    # int8 KV + scales, stacked
+    kq, ks = quantize_kv(kc)   # (L,B,Nkv,S,H) -> scales (L,B,Nkv,S)
+    vq, vs = quantize_kv(vc)
+    for l in range(L):
+        sliced = flash_attention(
+            q, kq[l], vq[l], jnp.asarray(kv_valid), slot,
+            causal=True, kv_layout="bnsh", k_scale=ks[l], v_scale=vs[l],
+            interpret=True)
+        stacked = flash_attention(
+            q, kq, vq, jnp.asarray(kv_valid), slot,
+            causal=True, layer_index=jnp.int32(l), k_scale=ks, v_scale=vs,
+            interpret=True)
+        np.testing.assert_allclose(np.asarray(stacked), np.asarray(sliced),
+                                   atol=2e-5)

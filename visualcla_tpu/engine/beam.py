@@ -473,14 +473,14 @@ def beam_generate_fused(
         )
         return next_s, next_b, next_t, hyp
 
-    def forward_step(cache, kv_valid, tokens, beam_scores, slot, pos):
+    def forward_step(params_, cache, kv_valid, tokens, beam_scores, slot, pos):
         kv_valid = kv_valid.at[:, slot].set(True)
-        embeds = llama.embed(params["text"], tokens[:, None])
+        embeds = llama.embed(params_["text"], tokens[:, None])
         hidden, cache = llama.forward(
-            params["text"], text_cfg, embeds,
+            params_["text"], text_cfg, embeds,
             jnp.full((nb, 1), pos, jnp.int32), cache, kv_valid, slot,
         )
-        lg = llama.logits(params["text"], hidden)[:, 0]
+        lg = llama.logits(params_["text"], hidden)[:, 0]
         logprobs = jax.nn.log_softmax(lg.astype(jnp.float32), -1)
         flat = (beam_scores[:, None] + logprobs).reshape(-1)
         top_s, top_i = jax.lax.top_k(flat, 2 * nb)
@@ -532,8 +532,8 @@ def beam_generate_fused(
                 last_step = i + 1 >= T
 
                 def fwd(cache, kv_valid):
-                    return forward_step(cache, kv_valid, next_t, next_s,
-                                        c["slot"], c["pos"])
+                    return forward_step(params_, cache, kv_valid, next_t,
+                                        next_s, c["slot"], c["pos"])
 
                 def keep(cache, kv_valid):
                     return (cand_s, cand_b, cand_t, cache, kv_valid)

@@ -248,9 +248,6 @@ def layer_forward(
         writes = {"k": k.astype(kv_dtype), "v": v.astype(kv_dtype)}
     cache = {name: put_chunk(cache[name], chunk, l, slot)
              for name, chunk in writes.items()}
-    take = lambda name: jax.lax.dynamic_index_in_dim(  # noqa: E731
-        cache[name], l, axis=0, keepdims=False
-    )
     if ring_axis is not None and Sq > 1:
         # Context-parallel prefill: attention over THIS chunk's fresh K/V via
         # ring attention (sequence sharded over the ``ring_axis`` mesh axis,
@@ -266,12 +263,17 @@ def layer_forward(
             seq_axis=ring_axis, kv_valid=kv_valid[:, :Sq], causal=True,
         )
     elif quant:
+        # the full stacked cache goes straight to the attention dispatch:
+        # single-device flash reads layer l in place (scalar prefetch) —
+        # no per-layer (B, Nkv, Smax, hd) slice copy in HBM
         attn = cached_attention(
-            q, take("k"), take("v"), kv_valid, write_slot,
-            k_scale=take("k_scale"), v_scale=take("v_scale"),
+            q, cache["k"], cache["v"], kv_valid, write_slot,
+            k_scale=cache["k_scale"], v_scale=cache["v_scale"],
+            layer_index=l,
         )
     else:
-        attn = cached_attention(q, take("k"), take("v"), kv_valid, write_slot)
+        attn = cached_attention(q, cache["k"], cache["v"], kv_valid,
+                                write_slot, layer_index=l)
     h = h + linear(attn.reshape(B, Sq, N * hd), p["o_proj"])
     x2 = rms_norm(h, p["post_norm"], cfg.rms_norm_eps)
     gate = act(linear(x2, p["gate_proj"])) * linear(x2, p["up_proj"])

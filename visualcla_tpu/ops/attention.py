@@ -166,6 +166,10 @@ def cached_attention(
     k_scale: jnp.ndarray | None = None,  # (B, Nkv, Skv) f32 when k/v are int8
     v_scale: jnp.ndarray | None = None,
     impl: str | None = None,
+    layer_index: jnp.ndarray | None = None,  # () int32: k/v are the FULL
+    # stacked cache (L, B, Nkv, Skv, H) — single-device flash reads layer
+    # ``layer_index`` in place (scalar prefetch, no slice copy); other
+    # backends slice here
 ) -> jnp.ndarray:
     """Causal attention over a KV cache: Pallas flash kernel on TPU, dense XLA
     fallback elsewhere.  Query i occupies slot write_slot+i (per-row when
@@ -180,6 +184,19 @@ def cached_attention(
     boundary (4x cache bytes of transient — the round-1 bf16 B>=2 fused-loop
     compile rejection, bisected in tools/probe_fused_loop.py)."""
     impl = impl or attention_impl()
+    if (impl == "flash" and _ATTN_MESH is None and layer_index is not None):
+        from .pallas.flash_attention import flash_attention
+
+        return flash_attention(q, k, v, kv_valid, write_slot, causal=True,
+                               k_scale=k_scale, v_scale=v_scale,
+                               layer_index=layer_index)
+    if layer_index is not None:  # sharded / dense backends: slice the layer
+        def _take(x):
+            return (None if x is None else
+                    jax.lax.dynamic_index_in_dim(x, layer_index, 0,
+                                                 keepdims=False))
+
+        k, v, k_scale, v_scale = _take(k), _take(v), _take(k_scale), _take(v_scale)
     if impl == "flash":
         if _ATTN_MESH is not None:
             out = _flash_sharded(q, k, v, kv_valid, write_slot, _ATTN_MESH,
