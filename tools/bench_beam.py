@@ -36,12 +36,31 @@ def main():
     shapes = jax.eval_shape(
         lambda k: visualcla.init_params(k, cfg, dtype), jax.random.PRNGKey(0)
     )
-    params = {"text": jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype),
-                                   shapes["text"])}
+    if "--int8" in sys.argv:
+        from visualcla_tpu.checkpoint.serialize import flatten_tree, unflatten_tree
+        from visualcla_tpu.ops.quantization import INT8_TEXT_LEAVES
+
+        flat = flatten_tree(shapes["text"])
+        out8 = {}
+        for kk, s in flat.items():
+            key = "text/" + kk
+            if key in INT8_TEXT_LEAVES:
+                ax = INT8_TEXT_LEAVES[key] % len(s.shape)
+                sshape = tuple(1 if i == ax else d for i, d in enumerate(s.shape))
+                out8[kk] = {"q": jnp.zeros(s.shape, jnp.int8),
+                            "scale": jnp.ones(sshape, jnp.float32)}
+            else:
+                out8[kk] = jnp.zeros(s.shape, s.dtype)
+        params = {"text": unflatten_tree(out8)}
+    else:
+        params = {"text": jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype),
+                                       shapes["text"])}
     rng = np.random.default_rng(0)
     ids = rng.integers(5, 30000, size=(1, 64)).astype(np.int32)
 
-    kw = dict(num_beams=nb, max_new_tokens=T, eos_token_id=2,
+    # eos_token_id=-7: unreachable, so zeros-weights runs measure a full
+    # T-step loop instead of instant EOS hypotheses
+    kw = dict(num_beams=nb, max_new_tokens=T, eos_token_id=-7,
               pad_token_id=49954, max_seq_len=64 + T + 8, dtype=dtype)
 
     out = beam_generate_fused(params, cfg, ids, None, None, **kw)  # compile

@@ -418,6 +418,11 @@ def beam_generate_fused(
     T = max_new_tokens
     S = input_ids.shape[1]
     Smax = max_seq_len or (S + max_new_tokens)
+    # align the cache's slot dim to the flash kernel's kv block so the
+    # stacked-cache read never pads (a pad would copy the whole cache in-loop)
+    Smax = -(-Smax // 128) * 128
+    if Smax > 256:
+        Smax = -(-Smax // 256) * 256
     text_cfg = cfg.text_config
     lp = float(length_penalty)
     NEG = jnp.float32(-1e9)
@@ -487,67 +492,62 @@ def beam_generate_fused(
         V = logprobs.shape[-1]
         return top_s, top_i // V, top_i % V, cache, kv_valid
 
+    def is_done(hyp, best_cand, cur_len):
+        count = hyp[3]
+        return (count >= nb) & (
+            jnp.bool_(early_stopping)
+            | (hyp_worst(hyp) >= best_cand
+               / (jnp.asarray(cur_len, jnp.float32) ** lp))
+        )
+
     @functools.partial(jax.jit, donate_argnames=("cache",))
     def fused_loop(params_, cache, cand_s, cand_b, cand_t):
+        # PURE-DATAFLOW loop: all stop conditions live in the while COND, and
+        # the body is straight-line (reorder -> forward -> process -> update).
+        # Wrapping the forward in lax.cond branches made XLA materialize
+        # whole-weight relayout copies (3x 1GB q/k/v_proj) + pre-update cache
+        # copies — an OOM'ing 4.5GB of transient at 7B (see the round-2 OOM
+        # dump in DEVNOTES).  Iteration i of this loop runs host-loop step
+        # i's forward at the TOP, so "stop before the next forward" becomes
+        # the loop condition instead of an in-body branch.
         kv_valid = jnp.concatenate(
             [jnp.ones((nb, S), bool), jnp.zeros((nb, Smax - S), bool)], -1
         )
         gen0 = jnp.zeros((nb, T), jnp.int32)
         hyp0 = (jnp.zeros((nb, T), jnp.int32), jnp.zeros((nb,), jnp.int32),
                 jnp.full((nb,), NEG, jnp.float32), jnp.int32(0))
+        # host-loop step 0: process the prefill candidates
+        next_s, next_b, next_t, hyp = process_candidates(
+            cand_s, cand_b, cand_t, gen0, 0, hyp0)
+        next_gen = gen0[next_b].at[:, 0].set(next_t)
+        stop0 = is_done(hyp, cand_s.max(), 1) | (S >= Smax) | (T <= 1)
         carry0 = dict(
-            cand=(cand_s, cand_b, cand_t), gen=gen0,
-            scores=jnp.zeros((nb,), jnp.float32), cache=cache,
-            kv_valid=kv_valid, slot=jnp.int32(S), pos=jnp.int32(S),
-            i=jnp.int32(0), hyp=hyp0, stop=jnp.bool_(False),
-            last_next=(jnp.full((nb,), NEG, jnp.float32), gen0,
-                       jnp.int32(0)),  # (scores, continuation ids, cur_len)
+            gen=next_gen, scores=next_s, beams=next_b, tokens=next_t,
+            cache=cache, kv_valid=kv_valid, slot=jnp.int32(S),
+            pos=jnp.int32(S), i=jnp.int32(1), hyp=hyp, stop=stop0,
+            last_next=(next_s, next_gen, jnp.int32(1)),
         )
 
         def cond(c):
-            return ~c["stop"] & (c["i"] < T)
+            return ~c["stop"]
 
         def body(c):
-            cand_s, cand_b, cand_t = c["cand"]
             i = c["i"]
+            cache = {k: v[:, c["beams"]] for k, v in c["cache"].items()}
+            cand_s, cand_b, cand_t, cache, kv_valid = forward_step(
+                params_, cache, c["kv_valid"], c["tokens"], c["scores"],
+                c["slot"], c["pos"])
             next_s, next_b, next_t, hyp = process_candidates(
                 cand_s, cand_b, cand_t, c["gen"], i, c["hyp"])
-            # continuation rows: gen[next_b] + next_t (finalize reads these)
             next_gen = c["gen"][next_b].at[:, i].set(next_t)
-            count = hyp[3]
-            done = (count >= nb) & (
-                jnp.bool_(early_stopping)
-                | (hyp_worst(hyp) >= cand_s.max()
-                   / (jnp.asarray(i + 1, jnp.float32) ** lp))
+            stop = (is_done(hyp, cand_s.max(), i + 1)
+                    | (c["slot"] + 1 >= Smax) | (i + 1 >= T))
+            return dict(
+                gen=next_gen, scores=next_s, beams=next_b, tokens=next_t,
+                cache=cache, kv_valid=kv_valid, slot=c["slot"] + 1,
+                pos=c["pos"] + 1, i=i + 1, hyp=hyp, stop=stop,
+                last_next=(next_s, next_gen, i + 1),
             )
-            done = done | (c["slot"] >= Smax)
-            last_next = (next_s, next_gen, i + 1)
-
-            def halt(c):
-                return {**c, "hyp": hyp, "stop": jnp.bool_(True),
-                        "last_next": last_next}
-
-            def advance(c):
-                cache = {k: v[:, next_b] for k, v in c["cache"].items()}
-                last_step = i + 1 >= T
-
-                def fwd(cache, kv_valid):
-                    return forward_step(params_, cache, kv_valid, next_t,
-                                        next_s, c["slot"], c["pos"])
-
-                def keep(cache, kv_valid):
-                    return (cand_s, cand_b, cand_t, cache, kv_valid)
-
-                ns, nbm, nt, cache, kv_valid = jax.lax.cond(
-                    last_step, keep, fwd, cache, c["kv_valid"])
-                return {**c, "cand": (ns, nbm, nt), "gen": next_gen,
-                        "scores": next_s, "cache": cache,
-                        "kv_valid": kv_valid, "slot": c["slot"] + 1,
-                        "pos": c["pos"] + 1, "i": i + 1, "hyp": hyp,
-                        "stop": jnp.bool_(last_step),
-                        "last_next": last_next}
-
-            return jax.lax.cond(done, halt, advance, c)
 
         c = jax.lax.while_loop(cond, body, carry0)
 
