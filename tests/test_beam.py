@@ -257,3 +257,19 @@ def test_fused_beam_eos_heavy(models):
         length_penalty=1.0, early_stopping=False,
     )
     assert out.shape[0] >= 1
+
+
+def test_fused_beam_flat_structure_matches_host(models):
+    """The flat (step x layer) fused-beam loop — the structure 7B bf16 needs
+    on a 16GB chip — is token-identical to the host scorer too."""
+    from visualcla_tpu.engine.beam import beam_generate, beam_generate_fused
+
+    _, params, cfg = models
+    rng = np.random.default_rng(4)
+    ids = rng.integers(4, 60, size=(1, 6)).astype(np.int32)
+    kw = dict(num_beams=3, max_new_tokens=7, eos_token_id=2, pad_token_id=0,
+              length_penalty=1.3, early_stopping=False)
+    want = beam_generate(params, cfg, ids, None, None, **kw)
+    got = beam_generate_fused(params, cfg, ids, None, None,
+                              structure="flat", **kw)
+    np.testing.assert_array_equal(np.asarray(want), np.asarray(got))

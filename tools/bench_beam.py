@@ -63,6 +63,8 @@ def main():
     kw = dict(num_beams=nb, max_new_tokens=T, eos_token_id=-7,
               pad_token_id=49954, max_seq_len=64 + T + 8, dtype=dtype)
 
+    if "--flat" in sys.argv:
+        kw["structure"] = "flat"
     out = beam_generate_fused(params, cfg, ids, None, None, **kw)  # compile
     t0 = time.perf_counter()
     out = beam_generate_fused(params, cfg, ids, None, None, **kw)

@@ -112,32 +112,17 @@ class VisualCLA:
         sampling = as_sampling_config(generation_config)
         img_pos = img_marker_positions(input_ids, self.tokenizer.img_start_token_id)
         if sampling.num_beams > 1 and not sampling.do_sample:
-            # fused device-side scorer when its program fits HBM (zero
-            # per-step host round trips); host-driven otherwise.  The fused
-            # loop's scan-over-layers at batch>=4 makes XLA hold relayouted
-            # copies of the stacked q/k/v projections (~3/16 of weight
-            # bytes, measured on v5e — DEVNOTES round 2), so 7B bf16 doesn't
-            # fit on a 16GB chip; int8 and smaller models do.
-            # VISUALCLA_BEAM=host|fused pins.
+            # fused device-side scorer by default (zero per-step host round
+            # trips; its loop structure self-selects by HBM fit — see
+            # beam_generate_fused).  VISUALCLA_BEAM=host keeps the
+            # host-driven scorer for cross-checking.
             import os
-
-            import jax as _jax
 
             from .engine.beam import beam_generate, beam_generate_fused
 
-            choice = os.environ.get("VISUALCLA_BEAM")
-            if choice not in ("host", "fused"):
-                params_b = sum(
-                    int(np.prod(x.shape)) * x.dtype.itemsize
-                    for x in _jax.tree.leaves(self.params)
-                )
-                limit = (16e9 if _jax.default_backend() == "tpu"
-                         else float("inf"))
-                # params + qkv relayout copies (~3/16) + beam cache + margin
-                choice = ("fused"
-                          if params_b * (1 + 3 / 16) + 1.5e9 < limit
-                          else "host")
-            beam_fn = beam_generate if choice == "host" else beam_generate_fused
+            beam_fn = (beam_generate
+                       if os.environ.get("VISUALCLA_BEAM") == "host"
+                       else beam_generate_fused)
             out = beam_fn(
                 self.params, self.config, np.asarray(input_ids),
                 pixel_values, img_pos,

@@ -400,6 +400,7 @@ def beam_generate_fused(
     early_stopping: bool = False,
     max_seq_len: Optional[int] = None,
     dtype=jnp.float32,
+    structure: str = "auto",  # "nested" | "flat" | "auto" (HBM-fit pick)
 ) -> np.ndarray:
     """Device-side beam search: ONE fused jitted program runs the whole
     candidate-selection / hypothesis / reorder / forward loop on device.
@@ -409,7 +410,13 @@ def beam_generate_fused(
     but with zero per-step host round trips, which matters under the axon
     tunnel where every dispatch costs ~10ms.  The scorer state (hypothesis
     ids/lengths/scores, worst-score eviction, is_done early stopping) lives
-    in fixed-shape arrays inside the ``lax.while_loop`` carry."""
+    in fixed-shape arrays inside the ``lax.while_loop`` carry.
+
+    ``structure``: like Engine._decode_loop, the per-step forward either
+    scans the layers ("nested" — faster, but XLA pins ~3/16 of the stacked
+    weight bytes as relayouted q/k/v copies at batch>=4) or runs one FLAT
+    while over step x layer ("flat" — fits 7B bf16 on a 16GB chip).
+    "auto" picks nested when the relayout copies fit HBM."""
     if input_ids.shape[0] != 1:
         raise ValueError(
             f"beam search supports batch size 1, got {input_ids.shape[0]}"
@@ -426,6 +433,14 @@ def beam_generate_fused(
     text_cfg = cfg.text_config
     lp = float(length_penalty)
     NEG = jnp.float32(-1e9)
+    if structure == "auto":
+        params_b = sum(
+            int(np.prod(x.shape)) * x.dtype.itemsize
+            for x in jax.tree.leaves(params)
+        )
+        limit = 16e9 if jax.default_backend() == "tpu" else float("inf")
+        structure = ("nested"
+                     if params_b * (1 + 3 / 16) + 1.5e9 < limit else "flat")
 
     def hyp_add(hyp, ids_row, length, sum_logprob, enabled):
         """HF BeamHypotheses.add, vectorized: insert while count < nb, else
@@ -500,6 +515,77 @@ def beam_generate_fused(
                / (jnp.asarray(cur_len, jnp.float32) ** lp))
         )
 
+    def _flat_beam_while(params_, carry0):
+        """One while over (step x layer) — the Engine-flat-loop structure,
+        which avoids the scan-at-batch>=4 q/k/v relayout copies so 7B bf16
+        beams fit a 16GB chip.  Step-boundary work (reorder, embed, logits,
+        top-k, candidate routing) runs under lax.cond at layer 0 / L-1."""
+        text = params_["text"]
+        L = jax.tree.leaves(text["layers"])[0].shape[0]
+        H = text_cfg.hidden_size
+        from ..ops.norms import rms_norm
+        from ..ops.rope import rope_table
+
+        carry0 = dict(carry0, li=jnp.int32(0),
+                      h=jnp.zeros((nb, 1, H), dtype))
+
+        def cond(c):
+            return ~c["stop"]  # stop only flips at step boundaries (li wraps)
+
+        def body(c):
+            li = c["li"]
+
+            def start(c):
+                cache = {k: v[:, c["beams"]] for k, v in c["cache"].items()}
+                return dict(
+                    c, cache=cache,
+                    kv_valid=c["kv_valid"].at[:, c["slot"]].set(True),
+                    h=llama.embed(text, c["tokens"][:, None]).astype(dtype),
+                )
+
+            c = jax.lax.cond(li == 0, start, lambda c: c, c)
+            cos, sin = rope_table(
+                jnp.full((nb, 1), c["pos"], jnp.int32), text_cfg.head_dim,
+                text_cfg.rope_theta)
+            p_l = jax.tree.map(
+                lambda a: jax.lax.dynamic_index_in_dim(a, li, 0,
+                                                       keepdims=False),
+                text["layers"],
+            )
+            h, cache = llama.layer_forward(
+                p_l, text_cfg, c["h"], cos, sin, c["cache"], c["kv_valid"],
+                c["slot"], li)
+            c = dict(c, h=h, cache=cache)
+
+            def finish(c):
+                i = c["i"]
+                hidden = rms_norm(c["h"], text["final_norm"],
+                                  text_cfg.rms_norm_eps)
+                lg = llama.logits(text, hidden)[:, 0]
+                logprobs = jax.nn.log_softmax(lg.astype(jnp.float32), -1)
+                flat = (c["scores"][:, None] + logprobs).reshape(-1)
+                cand_s, top_i = jax.lax.top_k(flat, 2 * nb)
+                V = logprobs.shape[-1]
+                cand_b, cand_t = top_i // V, top_i % V
+                next_s, next_b, next_t, hyp = process_candidates(
+                    cand_s, cand_b, cand_t, c["gen"], i, c["hyp"])
+                next_gen = c["gen"][next_b].at[:, i].set(next_t)
+                stop = (is_done(hyp, cand_s.max(), i + 1)
+                        | (c["slot"] + 1 >= Smax) | (i + 1 >= T))
+                return dict(
+                    c, gen=next_gen, scores=next_s, beams=next_b,
+                    tokens=next_t, slot=c["slot"] + 1, pos=c["pos"] + 1,
+                    i=i + 1, hyp=hyp, stop=stop,
+                    last_next=(next_s, next_gen, i + 1),
+                )
+
+            c = jax.lax.cond(li == L - 1, finish, lambda c: c, c)
+            return dict(c, li=(li + 1) % L)
+
+        c = jax.lax.while_loop(cond, body, carry0)
+        c.pop("li"), c.pop("h")
+        return c
+
     @functools.partial(jax.jit, donate_argnames=("cache",))
     def fused_loop(params_, cache, cand_s, cand_b, cand_t):
         # PURE-DATAFLOW loop: all stop conditions live in the while COND, and
@@ -549,7 +635,10 @@ def beam_generate_fused(
                 last_next=(next_s, next_gen, i + 1),
             )
 
-        c = jax.lax.while_loop(cond, body, carry0)
+        if structure == "flat":
+            c = _flat_beam_while(params_, carry0)
+        else:
+            c = jax.lax.while_loop(cond, body, carry0)
 
         # finalize: open beams become hypotheses in score order while room
         hyp = c["hyp"]
