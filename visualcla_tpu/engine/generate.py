@@ -150,12 +150,15 @@ class Engine:
         """Fused decode: pick the loop structure by HBM fit.
 
         The NESTED loop (while over steps, layer scan inside) is ~15% faster
-        per step — XLA pipelines the scan's weight slices — but holds ~3
-        extra whole-cache carry buffers.  The FLAT loop (one while over
-        step x layer) holds none.  Measured on v5e (tools/probe_fused_loop.py):
-        L16/B8 bf16 nested 634 vs flat 556 tok/s; full-size bf16 B8 only
-        COMPILES flat.  So: nested whenever params + ~4.2x cache + margin fit
-        the device, flat otherwise; VISUALCLA_DECODE_LOOP=flat|nested pins."""
+        per step — XLA pipelines the scan's weight slices — but at batch >= 4
+        XLA pins relayouted q/k/v_proj copies (~3/16 of the stacked weight
+        bytes).  The FLAT loop (one while over step x layer) pays only a
+        ~0.38GB lm_head relayout.  Measured on v5e
+        (tools/probe_fused_loop.py): L16/B8 bf16 nested 634 vs flat 556
+        tok/s; full-size bf16 B8 only COMPILES flat.  The 4.2x-cache formula
+        below empirically matches the measured fits at the sizes we run
+        (cache and qkv bytes track each other there);
+        VISUALCLA_DECODE_LOOP=flat|nested pins."""
         import os
 
         impl = os.environ.get("VISUALCLA_DECODE_LOOP")
@@ -296,10 +299,12 @@ class Engine:
         FLATTENED iteration space: ONE while_loop over (step x layer), layer
         index ``li`` in the carry, with embed/rope at li == 0 and
         norm+logits+sampling at li == L-1 under lax.cond.  A nested layer
-        scan inside the decode while_loop makes XLA hold ~3 extra whole-cache
-        carry buffers (measured via tools/probe_fused_loop.py) — at 7B bf16
-        batch 8 that pushed the program past the 16GB chip.  Flat, the cache
-        lives in exactly one loop carry and is updated in place (same
+        scan inside the decode while_loop at batch >= 4 makes XLA pin
+        RELAYOUTED copies of the stacked q/k/v projections (~3/16 of the
+        weight bytes: 3GB at 7B — root-caused from the fused-beam OOM dump,
+        DEVNOTES round 2) — at 7B bf16 batch 8 that pushed the program past
+        the 16GB chip.  Flat, the only extra is a ~0.38GB lm_head relayout,
+        and the cache lives in exactly one loop carry updated in place (same
         structure as the single-step program, whose temp is ~0)."""
         text = params["text"]
         tcfg = self.cfg.text_config
@@ -315,6 +320,13 @@ class Engine:
 
             act = ACT2FN[tcfg.hidden_act]
 
+        def slice_layer(li):
+            return jax.tree.map(
+                lambda a: jax.lax.dynamic_index_in_dim(a, li, 0,
+                                                       keepdims=False),
+                text["layers"],
+            )
+
         def cond(carry):
             s, h, li = carry
             step_ok = (
@@ -326,6 +338,11 @@ class Engine:
 
         def body(carry):
             s, h, li = carry
+            # (hand-rolled next-layer weight prefetch was tried here and
+            # measured WORSE — 275 vs 556 tok/s at L16/B8: carrying the
+            # slice defeats XLA's own scheduling; keep the plain slice)
+            p_l = slice_layer(li)
+
             # step start: embed the last token, open its kv slot
             def start(s, h):
                 return (
@@ -339,10 +356,6 @@ class Engine:
 
             cos, sin = rope_table(s.positions[:, None], tcfg.head_dim,
                                   tcfg.rope_theta)
-            p_l = jax.tree.map(
-                lambda a: jax.lax.dynamic_index_in_dim(a, li, 0, keepdims=False),
-                text["layers"],
-            )
             h, cache = llama.layer_forward(
                 p_l, tcfg, h, cos, sin, s.cache, s.kv_valid, s.cur_slot, li,
                 act=act,
@@ -369,9 +382,10 @@ class Engine:
     def _decode_loop_nested_impl(self, params, state: DecodeState,
                                  sampling: SamplingConfig, max_steps):
         """Nested-loop variant (while over steps, layer scan inside via
-        _decode_step_impl).  Holds ~3 extra whole-cache carry buffers, so it
-        only fits when cache is small relative to HBM headroom; kept for A/B
-        perf measurement against the flat loop (tools/probe_fused_loop.py)."""
+        _decode_step_impl).  ~15% faster per step than flat (XLA pipelines
+        the scan's weight-slice DMAs) but at batch >= 4 XLA pins relayouted
+        q/k/v_proj copies (~3/16 of weight bytes), so it only fits when that
+        overhead fits HBM; _decode_loop picks per shape."""
         Smax = state.kv_valid.shape[1]
         max_steps = jnp.asarray(max_steps, jnp.int32)
 
