@@ -200,3 +200,36 @@ def test_batched_uneven_prompts_match_single_rows(setup):
         a = list(solo[i])
         b = list(both[i])[: len(solo[i])]
         assert a == b, (i, a, b)
+
+
+def test_step_n_matches_single_steps(setup):
+    """A fused step_n chunk produces exactly the tokens of n single steps
+    (and stops early when a row finishes)."""
+    cfg, params, single, paged = setup
+    from visualcla_tpu.engine.server import ServingEngine
+
+    def run(use_chunk):
+        eng = ServingEngine(
+            params, cfg, eos_token_id=EOS, pad_token_id=PAD, pool_size=2,
+            max_seq_len=96, max_new_tokens_cap=12,
+            sampling=SamplingConfig.greedy(max_new_tokens=12),
+            dtype=jnp.float64,
+        )
+        ps = prompts(2)
+        for r, p in enumerate(ps):
+            eng.prefill_row(r, p, None, None, 12)
+        for _ in range(12):
+            if use_chunk:
+                eng.step_n(4)
+            else:
+                eng.step()
+        snap = eng.snapshot()
+
+        def trim(x):
+            x = list(np.asarray(x))
+            return x[: x.index(EOS) + 1] if EOS in x else x
+
+        return [trim(snap["gen_ids"][r][: snap["gen_len"][r]])
+                for r in range(2)]
+
+    assert run(False) == run(True)

@@ -311,6 +311,9 @@ class PagedServingEngine:
         self._step = scoped(jax.jit(
             self._step_impl, static_argnames=("sampling",),
             donate_argnames=("state",)))
+        self._step_n = scoped(jax.jit(
+            self._step_n_impl, static_argnames=("sampling",),
+            donate_argnames=("state",)))
 
     # -- allocator -------------------------------------------------------------
 
@@ -527,6 +530,33 @@ class PagedServingEngine:
             self._host_active[row] = False
             raise
 
+    def _step_n_impl(self, params, state: PagedState, tables, lens,
+                     sampling: SamplingConfig, n):
+        """Up to ``n`` fused decode steps in one dispatch.  Valid because
+        prefill reserves EVERY block a request can touch up front
+        (prefill_row allocates nb_total), so the device can advance ``lens``
+        itself — no host allocator call is needed mid-chunk.  Stops early
+        when any row finishes so retirement/streaming isn't delayed."""
+        n = jnp.asarray(n, jnp.int32)
+        finished0 = state.finished  # only rows finishing DURING the chunk
+        # stop it (pre-existing finished rows are awaiting collection)
+
+        def cond(c):
+            s, lens, i = c
+            run = s.active & ~s.finished
+            newly_done = s.finished & ~finished0
+            return (i < n) & jnp.any(run) & ~jnp.any(newly_done)
+
+        def body(c):
+            s, lens, i = c
+            run = s.active & ~s.finished
+            lens = lens + run.astype(jnp.int32)
+            return self._step_impl(params, s, tables, lens, sampling), lens, i + 1
+
+        state, lens, _ = jax.lax.while_loop(
+            cond, body, (state, lens, jnp.int32(0)))
+        return state, lens
+
     def step(self) -> None:
         run = self._host_active & ~self._host_finished
         self.ctx_len[run] += 1  # the token being appended this step
@@ -534,6 +564,14 @@ class PagedServingEngine:
             self.params, self._state, jnp.asarray(self.tables),
             jnp.asarray(self.ctx_len), self.sampling,
         )
+
+    def step_n(self, n: int) -> None:
+        """Fused multi-step decode; syncs the host ctx_len after the chunk."""
+        self._state, lens = self._step_n(
+            self.params, self._state, jnp.asarray(self.tables),
+            jnp.asarray(self.ctx_len), self.sampling, n,
+        )
+        self.ctx_len = np.asarray(jax.device_get(lens)).copy()
 
     def snapshot(self):
         s = self._state

@@ -140,6 +140,10 @@ class ServingEngine:
             self._step_impl, donate_argnames=("state",),
             static_argnames=("sampling",),
         )
+        self._step_n = jax.jit(
+            self._step_n_impl, donate_argnames=("state",),
+            static_argnames=("sampling",),
+        )
         self._state = self._init_state(seed)
 
     # -- state ---------------------------------------------------------------
@@ -324,8 +328,35 @@ class ServingEngine:
             self.sampling,
         )
 
+    def _step_n_impl(self, params, state: PoolState,
+                     sampling: SamplingConfig, n) -> PoolState:
+        """Up to ``n`` fused decode steps (one device dispatch).  Stops early
+        the moment ANY row finishes so the scheduler can retire/stream it —
+        between admissions this cuts per-token host/tunnel dispatch overhead
+        to 1/n."""
+        n = jnp.asarray(n, jnp.int32)
+        finished0 = state.finished  # rows finished BEFORE the chunk don't
+        # block it (matches step()); a row finishing DURING the chunk stops it
+
+        def cond(c):
+            s, i = c
+            run = s.active & ~s.finished
+            newly_done = s.finished & ~finished0
+            return (i < n) & jnp.any(run) & ~jnp.any(newly_done)
+
+        def body(c):
+            s, i = c
+            return self._step_impl(params, s, sampling), i + 1
+
+        state, _ = jax.lax.while_loop(cond, body, (state, jnp.int32(0)))
+        return state
+
     def step(self) -> None:
         self._state = self._step(self.params, self._state, self.sampling)
+
+    def step_n(self, n: int) -> None:
+        """Fused multi-step decode (see _step_n_impl)."""
+        self._state = self._step_n(self.params, self._state, self.sampling, n)
 
     def snapshot(self):
         """Host copies of the per-row control fields (one device round trip).
@@ -367,10 +398,16 @@ class Request:
 class Scheduler:
     """Host thread multiplexing a request queue onto the pool."""
 
-    def __init__(self, engine: ServingEngine, poll_interval: float = 0.0):
+    def __init__(self, engine: ServingEngine, poll_interval: float = 0.0,
+                 step_chunk: int = 8):
         self.engine = engine
         self.requests: queue.Queue = queue.Queue()
         self.poll_interval = poll_interval
+        # with no admissions pending, decode up to this many steps per device
+        # dispatch (engine.step_n) — bounds both the dispatch overhead
+        # (1/step_chunk) and the added streaming/admission latency
+        # (step_chunk * step_time); 1 disables fusion
+        self.step_chunk = max(1, int(step_chunk))
         self._rows: dict = {}  # row -> (Request, emitted_count)
         self._stop = threading.Event()
         self._crash: Optional[str] = None  # set when the loop dies
@@ -453,7 +490,14 @@ class Scheduler:
                 self._rows[row] = [req, 0]
                 did_work = True
             if self._rows:
-                eng.step()
+                step_n = getattr(eng, "step_n", None)
+                if (step_n is not None and self.step_chunk > 1
+                        and deferred is None and self.requests.empty()):
+                    # nothing waiting to be admitted: decode a fused chunk
+                    # (stops early when any row finishes — see _step_n_impl)
+                    step_n(self.step_chunk)
+                else:
+                    eng.step()
                 snap = eng.snapshot()
                 for row in list(self._rows):
                     req, emitted = self._rows[row]
