@@ -1,0 +1,113 @@
+"""Serving throughput: concurrent requests through the continuous-batching
+scheduler on the real chip (paged pool, int8 weights by default).
+
+Measures aggregate generated tokens/s with fused multi-step decode chunks
+(Scheduler step_chunk) vs single-step driving — under the axon tunnel every
+dispatch costs ~10ms, so chunking is the difference between dispatch-bound
+and compute-bound serving.
+
+  python tools/bench_serving.py [n_requests] [max_new] [--bf16] [--chunk N]
+"""
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from visualcla_tpu.utils import enable_compilation_cache
+
+enable_compilation_cache()
+
+
+def build_params(cfg, int8: bool):
+    from visualcla_tpu.models import visualcla
+
+    shapes = jax.eval_shape(
+        lambda k: visualcla.init_params(k, cfg, jnp.bfloat16),
+        jax.random.PRNGKey(0))
+    if not int8:
+        return {"text": jax.tree.map(
+            lambda s: jnp.zeros(s.shape, s.dtype), shapes["text"])}
+    from visualcla_tpu.checkpoint.serialize import flatten_tree, unflatten_tree
+    from visualcla_tpu.ops.quantization import INT8_TEXT_LEAVES
+
+    out = {}
+    for kk, s in flatten_tree(shapes["text"]).items():
+        key = "text/" + kk
+        if key in INT8_TEXT_LEAVES:
+            ax = INT8_TEXT_LEAVES[key] % len(s.shape)
+            sshape = tuple(1 if i == ax else d for i, d in enumerate(s.shape))
+            out[kk] = {"q": jnp.zeros(s.shape, jnp.int8),
+                       "scale": jnp.ones(sshape, jnp.float32)}
+        else:
+            out[kk] = jnp.zeros(s.shape, s.dtype)
+    return {"text": unflatten_tree(out)}
+
+
+def main():
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    n_req = int(args[0]) if args else 12
+    max_new = int(args[1]) if len(args) > 1 else 96
+    chunk = 8
+    if "--chunk" in sys.argv:
+        chunk = int(sys.argv[sys.argv.index("--chunk") + 1])
+
+    from __graft_entry__ import _flagship_config
+    from visualcla_tpu.engine.paged import PagedServingEngine
+    from visualcla_tpu.engine.sampling import SamplingConfig
+    from visualcla_tpu.engine.server import Request, Scheduler
+
+    import queue
+
+    cfg = _flagship_config()
+    params = build_params(cfg, int8="--bf16" not in sys.argv)
+
+    eng = PagedServingEngine(
+        params, cfg, eos_token_id=-7, pad_token_id=49954,
+        pool_size=8, block_size=64, num_blocks=64,
+        max_seq_len=512, max_new_tokens_cap=max_new,
+        prompt_buckets=(128,),
+        sampling=SamplingConfig.greedy(max_new_tokens=max_new),
+        dtype=jnp.bfloat16,
+    )
+    sched = Scheduler(eng, step_chunk=chunk)
+    rng = np.random.default_rng(0)
+
+    def run_batch():
+        outs = []
+        t0 = time.perf_counter()
+        for _ in range(n_req):
+            q: queue.Queue = queue.Queue()
+            sched.submit(Request(
+                input_ids=rng.integers(5, 30000, size=(100,)).astype(np.int32),
+                pixel_values=None, img_start_pos=None,
+                max_new_tokens=max_new, out=q))
+            outs.append(q)
+        total = 0
+        for q in outs:
+            while True:
+                kind, payload = q.get(timeout=1200)
+                if kind == "done":
+                    total += len(payload)
+                    break
+                if kind == "error":
+                    raise RuntimeError(payload)
+        return total, time.perf_counter() - t0
+
+    try:
+        run_batch()  # warm/compile
+        total, dt = run_batch()
+        print(f"serving[chunk={chunk}]: {total / dt:.1f} tok/s aggregate "
+              f"({total} tokens, {n_req} reqs in {dt:.2f}s)", flush=True)
+    finally:
+        sched.stop()
+
+
+if __name__ == "__main__":
+    main()

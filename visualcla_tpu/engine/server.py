@@ -491,10 +491,16 @@ class Scheduler:
                 did_work = True
             if self._rows:
                 step_n = getattr(eng, "step_n", None)
+                # chunk unless an admission could actually happen right now:
+                # either nothing is waiting, or no row is free to admit into
+                # (a full pool can't admit — single-stepping would only add
+                # dispatch overhead while waiting for a row to finish)
+                nothing_waiting = deferred is None and self.requests.empty()
+                pool_full = len(self._rows) >= eng.B
                 if (step_n is not None and self.step_chunk > 1
-                        and deferred is None and self.requests.empty()):
-                    # nothing waiting to be admitted: decode a fused chunk
-                    # (stops early when any row finishes — see _step_n_impl)
+                        and (nothing_waiting or pool_full)):
+                    # fused chunk (stops early when any row finishes — see
+                    # _step_n_impl — so retirement/admission isn't delayed)
                     step_n(self.step_chunk)
                 else:
                     eng.step()
