@@ -233,3 +233,47 @@ def test_step_n_matches_single_steps(setup):
                 for r in range(2)]
 
     assert run(False) == run(True)
+
+
+def test_scheduler_chunks_while_pool_full(setup):
+    """With more requests queued than pool rows, the scheduler must keep
+    using fused step_n chunks (a full pool can't admit, so single-stepping
+    would only add dispatch overhead) — and still drain every request."""
+    cfg, params, single, paged = setup
+    eng = ServingEngine(
+        params, cfg, eos_token_id=EOS, pad_token_id=PAD, pool_size=2,
+        max_seq_len=96, max_new_tokens_cap=8, prompt_buckets=(32,),
+        sampling=SamplingConfig.greedy(max_new_tokens=8),
+        dtype=jnp.float64,
+    )
+    sched = Scheduler(eng, step_chunk=4)
+    calls = []  # (kind, n_rows, queue_nonempty) at dispatch time
+    real_step_n, real_step = eng.step_n, eng.step
+    eng.step_n = lambda n: (
+        calls.append(("chunk", len(sched._rows), not sched.requests.empty())),
+        real_step_n(n))[1]
+    eng.step = lambda: (
+        calls.append(("single", len(sched._rows), not sched.requests.empty())),
+        real_step())[1]
+    ps = prompts(cfg, n=5)
+    qs = []
+    try:
+        for p in ps:
+            q: queue.Queue = queue.Queue()
+            sched.submit(Request(input_ids=p, pixel_values=None,
+                                 img_start_pos=None, max_new_tokens=8, out=q))
+            qs.append(q)
+        for q in qs:
+            while True:
+                kind, payload = q.get(timeout=300)
+                if kind == "done":
+                    break
+                assert kind != "error", payload
+    finally:
+        sched.stop()
+    # the gate: whenever the pool was full, dispatch was a fused chunk
+    full_pool = [c for c in calls if c[1] >= 2]
+    assert full_pool, calls
+    assert all(c[0] == "chunk" for c in full_pool), calls
+    # and at least one chunk ran while requests were still waiting
+    assert any(c[0] == "chunk" and c[2] for c in calls), calls
