@@ -10,12 +10,24 @@ so a row's context costs ceil(len/block_size) blocks instead of a full
 max_seq_len stripe — the difference between 2 and 8+ concurrent 2048-token
 rows next to 14 GB of weights on a 16 GB chip.
 
-Kernel: grid (B, N, max_blocks); the block table rides scalar prefetch, so
-each step's KV block index is known before the body runs and the pipeline
-can DMA ahead.  Online-softmax state (m, l, acc) lives in VMEM scratch and
-carries across the innermost grid dimension (TPU grids run sequentially);
-block 0 initializes, the last block writes the output.  Queries are the
-newest token (Sq=1) per row, padded to the sublane minimum.
+Kernel: grid (B, max_blocks) — ONE program per (row, block), ALL heads at
+once.  TPU grids run sequentially (~0.5 us/step through this deployment), so
+the round-1 (B, N, max_blocks) per-head grid paid 32x more iteration overhead
+than compute at decode shapes: 2048 grid steps x 16 KB DMAs per layer came to
+~34 ms of a 42 ms B=8 decode step.  This version DMAs the whole
+(BS, Nkv*hd) slab once per block and contracts every head in a single MXU
+dot against a block-diagonal-masked query matrix (wasted MACs are free —
+decode is bandwidth-bound, the MXU is ~99% idle).  GQA needs no K/V repeat:
+the mask pairs each query row with its kv head's lane slice.  int8 KV scales
+never touch the K/V slabs either — they fold into the score matrix (k) and
+the prob matrix (v) as (N, BS) factors built by one tiny selection matmul.
+
+The block table rides scalar prefetch, so each step's KV block index is
+known before the body runs and the pipeline can DMA ahead; the index map
+clamps past-the-end blocks to the row's last real block, which Pallas
+recognises as a revisit (no copy issued).  Online-softmax state (m, l, acc)
+lives in VMEM scratch and carries across the innermost grid dimension;
+block 0 initializes, the last block writes the output.
 """
 from __future__ import annotations
 
@@ -33,11 +45,11 @@ NEG_INF = -1e30
 def _paged_kernel(
     tables_ref,  # (B, max_blocks) int32 — scalar prefetch
     lens_ref,  # (B, 1) int32 — post-append context length per row
-    q_ref,  # (1, 1, QP, H) — row's query, padded to QP rows
-    k_ref,  # (1, BS, hd) block (selected via the table in the index_map)
-    v_ref,  # (1, BS, hd)
-    *refs,  # [k_scale (1, BS, 1), v_scale (1, BS, 1)] when int8  | then:
-    #         o_ref, m/l/acc scratch
+    q_ref,  # (1, N, hd) — the row's queries, every head
+    k_ref,  # (1, BS, Nkv*hd) slab (selected via the table in the index_map)
+    v_ref,  # (1, BS, Nkv*hd)
+    *refs,  # [k_scale (1, BS, Nkv), v_scale (1, BS, Nkv)] when int8 | then:
+    #         o_ref (1, N, hd), m/l/acc scratch
     scale: float,
     block_size: int,
     heads_per_kv: int,
@@ -48,9 +60,11 @@ def _paged_kernel(
     else:
         o_ref, m_ref, l_ref, acc_ref = refs
     b = pl.program_id(0)
-    n = pl.program_id(1)
-    i = pl.program_id(2)
-    QP, H = q_ref.shape[2], q_ref.shape[3]
+    i = pl.program_id(1)
+    N, hd = q_ref.shape[1], q_ref.shape[2]
+    KVL = k_ref.shape[2]  # Nkv * hd lanes
+    Nkv = KVL // hd
+    BS = block_size
 
     @pl.when(i == 0)
     def _init():
@@ -59,23 +73,34 @@ def _paged_kernel(
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
     length = lens_ref[b, 0]
-    n_blocks = (length + block_size - 1) // block_size
+    n_blocks = (length + BS - 1) // BS
+
+    # row n reads kv head n // heads_per_kv; lane j belongs to kv head j // hd
+    rowkv = jax.lax.broadcasted_iota(jnp.int32, (N, KVL), 0) // heads_per_kv
+    colkv = jax.lax.broadcasted_iota(jnp.int32, (N, KVL), 1) // hd
+    hmask = rowkv == colkv
+
+    def scale_rows(sc):  # (BS, Nkv) -> (N, BS): row n gets its kv head's col
+        sel_r = jax.lax.broadcasted_iota(jnp.int32, (N, Nkv), 0) // heads_per_kv
+        sel_c = jax.lax.broadcasted_iota(jnp.int32, (N, Nkv), 1)
+        sel = (sel_r == sel_c).astype(jnp.float32)
+        return jax.lax.dot_general(
+            sel, sc, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
 
     @pl.when(i < n_blocks)
     def _step():
-        q = q_ref[0, 0].astype(jnp.float32) * scale  # (QP, H)
-        k = k_ref[0].astype(jnp.float32)  # (BS, H) — this (b,n)'s kv head
+        q = q_ref[0].astype(jnp.float32) * scale  # (N, hd)
+        qt = jnp.concatenate([q] * Nkv, axis=1) if Nkv > 1 else q  # (N, KVL)
+        qb = jnp.where(hmask, qt, 0.0)  # block-diagonal queries
+        k = k_ref[0].astype(jnp.float32)  # (BS, KVL)
         v = v_ref[0].astype(jnp.float32)
-        if kv_int8:  # per-token-per-head scales: slice this program's kv head
-            kv_head = n // heads_per_kv
-            k = k * ks_ref[0, :, pl.ds(kv_head, 1)].astype(jnp.float32)
-            v = v * vs_ref[0, :, pl.ds(kv_head, 1)].astype(jnp.float32)
         s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )  # (QP, BS)
-        slot = i * block_size + jax.lax.broadcasted_iota(
-            jnp.int32, (QP, block_size), 1
-        )
+            qb, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (N, BS) — every head in one dot
+        if kv_int8:  # k = int8 * per-(token, kv-head) scale, folded into s
+            s = s * scale_rows(ks_ref[0].astype(jnp.float32))
+        slot = i * BS + jax.lax.broadcasted_iota(jnp.int32, (N, BS), 1)
         s = jnp.where(slot < length, s, NEG_INF)
         m_prev, l_prev, acc_prev = m_ref[:], l_ref[:], acc_ref[:]
         m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
@@ -83,15 +108,24 @@ def _paged_kernel(
         alpha = jnp.exp(m_prev - m_new)
         m_ref[:] = m_new
         l_ref[:] = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        acc_ref[:] = acc_prev * alpha + jax.lax.dot_general(
+        if kv_int8:  # v's dequant scale rides the prob matrix
+            p = p * scale_rows(vs_ref[0].astype(jnp.float32))
+        pv = jax.lax.dot_general(
             p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )
+        )  # (N, KVL) — each row only needs its kv head's slice
+        acc_ref[:] = acc_prev * alpha + jnp.where(hmask, pv, 0.0)
 
-    @pl.when(i == pl.num_programs(2) - 1)
+    @pl.when(i == pl.num_programs(1) - 1)
     def _finish():
         l = l_ref[:]
         safe_l = jnp.where(l == 0.0, 1.0, l)
-        o_ref[0, 0] = (acc_ref[:] / safe_l).astype(o_ref.dtype)
+        acc = acc_ref[:]
+        # fold the masked (N, Nkv*hd) accumulator down to (N, hd): only each
+        # row's own kv-head slice is nonzero, so a sum over slices extracts it
+        o = acc[:, :hd]
+        for kvh in range(1, Nkv):
+            o = o + acc[:, kvh * hd:(kvh + 1) * hd]
+        o_ref[0] = (o / safe_l).astype(o_ref.dtype)
 
 
 def _min_sublane(dtype) -> int:
@@ -100,9 +134,9 @@ def _min_sublane(dtype) -> int:
 
 def _dense_reference(q, k_pool, v_pool, tables, lens, k_scales, v_scales,
                      scale):
-    """XLA fallback for kernel-unsafe shapes (the kernel's per-head KV block
-    is a slice of the trailing Nkv*hd dim, so Mosaic needs hd % 128 == 0 —
-    true for the 7B flagship, not for tiny test models on a real TPU)."""
+    """XLA fallback for kernel-unsafe shapes (the kernel's lane-sliced
+    head extraction wants hd % 128 == 0 — true for the 7B flagship, not for
+    tiny test models on a real TPU)."""
     B, N, H = q.shape
     _, BS, Nkv, hd = k_pool.shape
     rep = N // Nkv
@@ -152,9 +186,9 @@ def paged_decode_attention(
         scale = 1.0 / math.sqrt(H)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    # Mosaic tiling: the per-head KV block slices the trailing Nkv*hd dim;
-    # the (1, BS, hd) KV tile also needs BS to be a sublane multiple for the
-    # POOL dtype (16 for bf16, 32 for int8) — small block sizes fall back
+    # Mosaic tiling: the finalize step extracts each head via static lane
+    # slices at hd boundaries, and the slab DMA wants a sublane-aligned BS
+    # for the POOL dtype (16 for bf16, 32 for int8) — small shapes fall back
     bs_min = 32 if kv_int8 else _min_sublane(k_pool.dtype)
     kernel_safe = BS % bs_min == 0 and (hd % 128 == 0 or Nkv == 1)
     if not interpret and not kernel_safe:
@@ -162,61 +196,52 @@ def paged_decode_attention(
                                 k_scales, v_scales, scale)
     max_blocks = block_tables.shape[1]
 
-    QP = _min_sublane(q.dtype)
-    # one padded query tile per (row, head); only sublane 0 is a real query
-    qt = jnp.zeros((B, N, QP, H), q.dtype).at[:, :, 0, :].set(q)
-
     kp = k_pool.reshape(num_blocks, BS, Nkv * hd)
     vp = v_pool.reshape(num_blocks, BS, Nkv * hd)
     lens = context_lens.reshape(B, 1).astype(jnp.int32)
 
-    # kv block index comes from the prefetched table; the head offset selects
-    # this program's kv head (GQA: n // heads_per_kv)
-    def kv_index(b, n, i, tables, lens):
-        return (tables[b, i], 0, n // heads_per_kv)
+    # the kv block index comes from the prefetched table; past-the-end blocks
+    # clamp to the row's last real block = a revisit, so no DMA is issued
+    # (the body skips them via i < n_blocks anyway)
+    def kv_index(b, i, tables, lens):
+        last = jnp.maximum(lens[b, 0] - 1, 0) // BS
+        return (tables[b, jnp.minimum(i, last)], 0, 0)
+
+    def q_index(b, i, tables, lens):
+        return (b, 0, 0)
 
     in_specs = [
-        pl.BlockSpec((1, 1, QP, H), lambda b, n, i, tables, lens: (b, n, 0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, BS, hd), kv_index, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, BS, hd), kv_index, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, N, H), q_index, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, BS, Nkv * hd), kv_index, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, BS, Nkv * hd), kv_index, memory_space=pltpu.VMEM),
     ]
-    operands = [qt, kp, vp]
+    operands = [q, kp, vp]
     if kv_int8:
-        # full scale rows per block ((BS, Nkv) satisfies the tiling rule);
-        # the kernel slices out its kv head
-        def scale_index(b, n, i, tables, lens):
-            return (tables[b, i], 0, 0)
-
         ks = k_scales.reshape(num_blocks, BS, Nkv)
         vs = v_scales.reshape(num_blocks, BS, Nkv)
         in_specs += [
-            pl.BlockSpec((1, BS, Nkv), scale_index, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, BS, Nkv), scale_index, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BS, Nkv), kv_index, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BS, Nkv), kv_index, memory_space=pltpu.VMEM),
         ]
         operands += [ks, vs]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,  # tables, lens
-        grid=(B, N, max_blocks),
+        grid=(B, max_blocks),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec(
-            (1, 1, QP, H), lambda b, n, i, tables, lens: (b, n, 0, 0),
-            memory_space=pltpu.VMEM,
-        ),
+        out_specs=pl.BlockSpec((1, N, H), q_index, memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((QP, 1), jnp.float32),
-            pltpu.VMEM((QP, 1), jnp.float32),
-            pltpu.VMEM((QP, H), jnp.float32),
+            pltpu.VMEM((N, 1), jnp.float32),
+            pltpu.VMEM((N, 1), jnp.float32),
+            pltpu.VMEM((N, Nkv * hd), jnp.float32),
         ],
     )
-    out = pl.pallas_call(
+    return pl.pallas_call(
         functools.partial(
             _paged_kernel, scale=scale, block_size=BS,
             heads_per_kv=heads_per_kv, kv_int8=kv_int8,
         ),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, N, QP, H), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, N, H), q.dtype),
         interpret=interpret,
     )(block_tables.astype(jnp.int32), lens, *operands)
-    return out[:, :, 0, :]
