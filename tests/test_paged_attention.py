@@ -169,3 +169,171 @@ def test_dense_reference_int8_matches_kernel():
     dense = _dense_reference(q, kp, vp, tables, lens, ks, vs, H ** -0.5)
     np.testing.assert_allclose(np.asarray(kern), np.asarray(dense),
                                rtol=2e-5, atol=2e-5)
+
+
+def _build_layered(rng, L, NB, BS, Nkv, H, B, lens, layer):
+    """Multi-layer pool + tables + append metadata for lens INCLUDING new tok."""
+    kp = rng.standard_normal((L, NB, BS, Nkv, H)).astype(np.float32)
+    vp = rng.standard_normal((L, NB, BS, Nkv, H)).astype(np.float32)
+    max_blocks = max((ln + BS - 1) // BS for ln in lens)
+    tables = np.zeros((B, max_blocks), np.int32)
+    nxt = 1
+    for b in range(B):
+        nb = (lens[b] + BS - 1) // BS
+        for i in range(nb):
+            tables[b, i] = nxt
+            nxt += 1
+    blk = np.array([tables[b, (lens[b] - 1) // BS] for b in range(B)], np.int32)
+    off = np.array([(lens[b] - 1) % BS for b in range(B)], np.int32)
+    return kp, vp, tables, blk, off
+
+
+@pytest.mark.parametrize("N,Nkv", [(4, 4), (8, 2)])
+def test_append_attention_matches_scatter_then_decode(N, Nkv):
+    from visualcla_tpu.ops.pallas.paged_attention import paged_append_attention
+
+    rng = np.random.default_rng(3)
+    L, NB, BS, H, B = 3, 12, 16, 64, 2
+    lens = [24, 17]
+    layer = 1
+    kp, vp, tables, blk, off = _build_layered(rng, L, NB, BS, Nkv, H, B, lens,
+                                              layer)
+    q = rng.standard_normal((B, N, H)).astype(np.float32)
+    kn = rng.standard_normal((B, Nkv, H)).astype(np.float32)
+    vn = rng.standard_normal((B, Nkv, H)).astype(np.float32)
+
+    o, kp2, vp2, _, _ = paged_append_attention(
+        jnp.asarray(q), jnp.asarray(kn), jnp.asarray(vn),
+        jnp.asarray(kp.reshape(L, NB, BS, -1)),
+        jnp.asarray(vp.reshape(L, NB, BS, -1)), jnp.asarray(tables),
+        jnp.asarray(lens, jnp.int32), jnp.asarray(blk), jnp.asarray(off),
+        jnp.int32(layer),
+    )
+    kp2 = jnp.asarray(kp2).reshape(kp.shape)
+    vp2 = jnp.asarray(vp2).reshape(vp.shape)
+    # reference: scatter on the layer slice, then the plain decode kernel
+    ref_kp = kp[layer].copy()
+    ref_vp = vp[layer].copy()
+    for b in range(B):
+        ref_kp[blk[b], off[b]] = kn[b]
+        ref_vp[blk[b], off[b]] = vn[b]
+    ref = paged_decode_attention(
+        jnp.asarray(q), jnp.asarray(ref_kp), jnp.asarray(ref_vp),
+        jnp.asarray(tables), jnp.asarray(lens, jnp.int32),
+    )
+    np.testing.assert_allclose(np.asarray(o), np.asarray(ref), atol=2e-5)
+    # pool: append rows written on the target layer, everything else intact
+    exp_kp = kp.copy()
+    exp_kp[layer] = ref_kp
+    exp_vp = vp.copy()
+    exp_vp[layer] = ref_vp
+    np.testing.assert_allclose(np.asarray(kp2), exp_kp, atol=0)
+    np.testing.assert_allclose(np.asarray(vp2), exp_vp, atol=0)
+
+
+def test_append_attention_int8():
+    from visualcla_tpu.ops.pallas.paged_attention import paged_append_attention
+    from visualcla_tpu.ops.quantization import quantize_kv
+
+    rng = np.random.default_rng(4)
+    L, NB, BS, Nkv, H, B, N = 2, 10, 32, 2, 64, 2, 4
+    lens = [40, 33]
+    layer = 0
+    kpf, vpf, tables, blk, off = _build_layered(rng, L, NB, BS, Nkv, H, B,
+                                                lens, layer)
+    kp, ks = quantize_kv(jnp.asarray(kpf))
+    vp, vs = quantize_kv(jnp.asarray(vpf))
+    q = rng.standard_normal((B, N, H)).astype(np.float32)
+    knf = rng.standard_normal((B, Nkv, H)).astype(np.float32)
+    vnf = rng.standard_normal((B, Nkv, H)).astype(np.float32)
+    kn, ksn = quantize_kv(jnp.asarray(knf))
+    vn, vsn = quantize_kv(jnp.asarray(vnf))
+
+    o, kp2, vp2, ks2, vs2 = paged_append_attention(
+        jnp.asarray(q), kn, vn, kp.reshape(L, NB, BS, -1),
+        vp.reshape(L, NB, BS, -1), jnp.asarray(tables),
+        jnp.asarray(lens, jnp.int32), jnp.asarray(blk), jnp.asarray(off),
+        jnp.int32(layer), ksn, vsn, ks, vs,
+    )
+    kp2 = jnp.asarray(kp2).reshape(kp.shape)
+    vp2 = jnp.asarray(vp2).reshape(vp.shape)
+    # reference: scatter ints+scales on the layer slice, then plain decode
+    ref_kp = np.asarray(kp)[layer].copy()
+    ref_vp = np.asarray(vp)[layer].copy()
+    ref_ks = np.asarray(ks)[layer].copy()
+    ref_vs = np.asarray(vs)[layer].copy()
+    for b in range(B):
+        ref_kp[blk[b], off[b]] = np.asarray(kn)[b]
+        ref_vp[blk[b], off[b]] = np.asarray(vn)[b]
+        ref_ks[blk[b], off[b]] = np.asarray(ksn)[b]
+        ref_vs[blk[b], off[b]] = np.asarray(vsn)[b]
+    ref = paged_decode_attention(
+        jnp.asarray(q), jnp.asarray(ref_kp), jnp.asarray(ref_vp),
+        jnp.asarray(tables), jnp.asarray(lens, jnp.int32),
+        jnp.asarray(ref_ks), jnp.asarray(ref_vs),
+    )
+    np.testing.assert_allclose(np.asarray(o), np.asarray(ref), atol=2e-5)
+    np.testing.assert_array_equal(np.asarray(kp2)[layer], ref_kp)
+    np.testing.assert_array_equal(np.asarray(vp2)[layer], ref_vp)
+    np.testing.assert_allclose(np.asarray(ks2)[layer], ref_ks, atol=0)
+    np.testing.assert_allclose(np.asarray(vs2)[layer], ref_vs, atol=0)
+    # untouched layer intact
+    np.testing.assert_array_equal(np.asarray(kp2)[1], np.asarray(kp)[1])
+
+
+def test_append_attention_parked_rows_keep_pool_intact():
+    """Parked rows (lens=1, blk=0) must only dirty dummy block 0."""
+    from visualcla_tpu.ops.pallas.paged_attention import paged_append_attention
+
+    rng = np.random.default_rng(5)
+    L, NB, BS, Nkv, H, B, N = 2, 8, 16, 4, 64, 2, 4
+    lens = [24, 1]  # row 1 parked
+    kp, vp, tables, blk, off = _build_layered(rng, L, NB, BS, Nkv, H, B,
+                                              [24, 16], 0)
+    tables[1, :] = 0  # parked row's table is zeroed
+    blk[1] = 0
+    off[1] = 0
+    q = rng.standard_normal((B, N, H)).astype(np.float32)
+    kn = rng.standard_normal((B, Nkv, H)).astype(np.float32)
+    vn = rng.standard_normal((B, Nkv, H)).astype(np.float32)
+    o, kp2, vp2, _, _ = paged_append_attention(
+        jnp.asarray(q), jnp.asarray(kn), jnp.asarray(vn),
+        jnp.asarray(kp.reshape(L, NB, BS, -1)),
+        jnp.asarray(vp.reshape(L, NB, BS, -1)), jnp.asarray(tables),
+        jnp.asarray(lens, jnp.int32), jnp.asarray(blk), jnp.asarray(off),
+        jnp.int32(0),
+    )
+    kp2 = jnp.asarray(kp2).reshape(kp.shape)
+    kp2 = np.asarray(kp2)
+    # every non-dummy block except row 0's append block is untouched
+    exp = kp.copy()
+    exp[0, blk[0], off[0]] = kn[0]
+    np.testing.assert_allclose(kp2[:, 1:], exp[:, 1:], atol=0)
+    assert np.isfinite(np.asarray(o)).all()
+
+
+def test_dense_append_matches_kernel():
+    from visualcla_tpu.ops.pallas.paged_attention import (
+        _dense_append, paged_append_attention,
+    )
+
+    rng = np.random.default_rng(6)
+    L, NB, BS, Nkv, H, B, N = 2, 8, 8, 2, 16, 2, 4
+    lens = [20, 11]
+    layer = 1
+    kp, vp, tables, blk, off = _build_layered(rng, L, NB, BS, Nkv, H, B, lens,
+                                              layer)
+    q = jnp.asarray(rng.standard_normal((B, N, H)), jnp.float32)
+    kn = jnp.asarray(rng.standard_normal((B, Nkv, H)), jnp.float32)
+    vn = jnp.asarray(rng.standard_normal((B, Nkv, H)), jnp.float32)
+    args = (q, kn, vn, jnp.asarray(kp.reshape(L, NB, BS, -1)),
+            jnp.asarray(vp.reshape(L, NB, BS, -1)), jnp.asarray(tables),
+            jnp.asarray(lens, jnp.int32), jnp.asarray(blk), jnp.asarray(off),
+            jnp.int32(layer))
+    o_k, kp_k, vp_k, _, _ = paged_append_attention(*args, interpret=True)
+    o_d, kp_d, vp_d, _, _ = _dense_append(*args, None, None, None, None,
+                                          H ** -0.5)
+    np.testing.assert_allclose(np.asarray(o_k), np.asarray(o_d), rtol=2e-5,
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(kp_k), np.asarray(kp_d), atol=0)
+    np.testing.assert_allclose(np.asarray(vp_k), np.asarray(vp_d), atol=0)

@@ -291,3 +291,69 @@ def test_pool_exhaustion_defers_and_completes(setup):
         assert got == want
     finally:
         sched.stop()
+
+
+def test_step_n_flat_matches_nested(monkeypatch):
+    """The flat (step x layer) fused chunk must be token-identical to the
+    nested (scan-over-layers) one."""
+    import jax
+
+    from visualcla_tpu.core.config import tiny_visualcla_config
+    from visualcla_tpu.engine.paged import PagedServingEngine
+    from visualcla_tpu.engine.sampling import SamplingConfig
+    from visualcla_tpu.models import visualcla as vmod
+
+    cfg = tiny_visualcla_config(vocab_size=96)
+    params = vmod.init_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+    outs = {}
+    for impl in ("nested", "flat"):
+        monkeypatch.setenv("VISUALCLA_PAGED_LOOP", impl)
+        eng = PagedServingEngine(
+            params, cfg, eos_token_id=-5, pad_token_id=0,
+            pool_size=2, block_size=16, num_blocks=24, max_seq_len=96,
+            max_new_tokens_cap=10, prompt_buckets=(32,),
+            sampling=SamplingConfig.greedy(max_new_tokens=10),
+            dtype=jnp.float32,
+        )
+        rng = np.random.default_rng(7)
+        eng.prefill_row(0, rng.integers(4, 90, size=(12,)).astype(np.int32),
+                        None, None, 10)
+        eng.prefill_row(1, rng.integers(4, 90, size=(20,)).astype(np.int32),
+                        None, None, 10)
+        eng.step_n(9)
+        snap = eng.snapshot()
+        outs[impl] = (np.asarray(snap["gen_ids"]).copy(),
+                      np.asarray(snap["gen_len"]).copy(),
+                      eng.ctx_len.copy())
+    np.testing.assert_array_equal(outs["flat"][1], outs["nested"][1])
+    np.testing.assert_array_equal(outs["flat"][0], outs["nested"][0])
+    np.testing.assert_array_equal(outs["flat"][2], outs["nested"][2])
+
+
+def test_step_n_flat_int8_kv(monkeypatch):
+    """Flat chunk with int8 KV pools (scale pools ride the carry too)."""
+    import jax
+
+    from visualcla_tpu.core.config import tiny_visualcla_config
+    from visualcla_tpu.engine.paged import PagedServingEngine
+    from visualcla_tpu.engine.sampling import SamplingConfig
+    from visualcla_tpu.models import visualcla as vmod
+
+    cfg = tiny_visualcla_config(vocab_size=96)
+    params = vmod.init_params(jax.random.PRNGKey(1), cfg, jnp.float32)
+    monkeypatch.setenv("VISUALCLA_PAGED_LOOP", "flat")
+    eng = PagedServingEngine(
+        params, cfg, eos_token_id=-5, pad_token_id=0,
+        pool_size=2, block_size=16, num_blocks=24, max_seq_len=96,
+        max_new_tokens_cap=6, prompt_buckets=(32,),
+        sampling=SamplingConfig.greedy(max_new_tokens=6),
+        dtype=jnp.float32, kv_quant="int8",
+    )
+    rng = np.random.default_rng(8)
+    eng.prefill_row(0, rng.integers(4, 90, size=(12,)).astype(np.int32),
+                    None, None, 6)
+    eng.step_n(5)
+    snap = eng.snapshot()
+    assert int(snap["gen_len"][0]) == 6
+    ids = np.asarray(snap["gen_ids"][0, :6])
+    assert ((ids >= 0) & (ids < 96)).all()

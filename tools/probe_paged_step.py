@@ -53,7 +53,7 @@ def main():
     eng = PagedServingEngine(
         params, cfg, eos_token_id=-7, pad_token_id=49954,
         pool_size=8, block_size=64, num_blocks=64,
-        max_seq_len=512, max_new_tokens_cap=96,
+        max_seq_len=512, max_new_tokens_cap=256,
         prompt_buckets=(128,),
         sampling=SamplingConfig.greedy(max_new_tokens=96),
         kv_quant="int8" if "--kvint8" in sys.argv else "none",
@@ -68,7 +68,11 @@ def main():
         ("step_n(8)", eng._step_n, (eng.params, eng._state, tables, lens,
                                     eng.sampling, 8)),
     ):
-        compiled = fn.__wrapped__.lower(*args).compile()  # scoped(jit(...))
+        try:
+            compiled = fn.__wrapped__.lower(*args).compile()  # scoped(jit())
+        except Exception as e:  # noqa: BLE001 — probe the rest anyway
+            print(f"== {name}: COMPILE FAILED: {str(e)[:160]}")
+            continue
         ma = compiled.memory_analysis()
         print(f"== {name}: temp {ma.temp_size_in_bytes/1e9:.2f} GB, "
               f"args {ma.argument_size_in_bytes/1e9:.2f} GB, "
@@ -88,9 +92,14 @@ def main():
         import time
 
         rng = np.random.default_rng(0)
-        for r in range(8):
-            eng.prefill_row(r, rng.integers(5, 30000, size=(100,)).astype(np.int32),
-                            None, None, 96)
+
+        def fill():
+            for r in range(8):
+                eng.prefill_row(
+                    r, rng.integers(5, 30000, size=(100,)).astype(np.int32),
+                    None, None, 256)
+
+        fill()
         eng.step()
         jax.device_get(eng._state.gen_len)
         t0 = time.perf_counter()
@@ -99,7 +108,26 @@ def main():
         jax.device_get(eng._state.gen_len)
         dt = time.perf_counter() - t0
         print(f"single-step x30 (B8): {dt/30*1e3:.1f} ms/step "
-              f"= {8*30/dt:.1f} tok/s")
+              f"= {8*30/dt:.1f} tok/s", flush=True)
+        # fused chunks, both loop structures (step_n syncs lens per chunk)
+        for impl in ("nested", "flat"):
+            os.environ["VISUALCLA_PAGED_LOOP"] = impl
+            try:
+                eng.step_n(4)  # compile
+            except Exception as e:  # noqa: BLE001
+                print(f"step_n[{impl}]: COMPILE FAILED: {str(e)[:140]}")
+                continue
+            g0 = int(jax.device_get(eng._state.gen_len)[0])
+            t0 = time.perf_counter()
+            for _ in range(5):
+                eng.step_n(8)
+            dt = time.perf_counter() - t0
+            g1 = int(jax.device_get(eng._state.gen_len)[0])
+            steps = g1 - g0
+            if steps:
+                print(f"step_n[{impl}] x{steps} steps (B8): "
+                      f"{dt/steps*1e3:.1f} ms/step = {8*steps/dt:.1f} tok/s",
+                      flush=True)
 
 
 if __name__ == "__main__":

@@ -3,7 +3,8 @@
 Same scheduling surface as ``engine/server.py`` (Scheduler drives prefill_row /
 step / snapshot / collect_row), but KV lives in a global block pool:
 
-- ``(L, num_blocks, BS, Nkv, hd)`` pools + host-side free-list allocator;
+- ``(L, num_blocks, BS, Nkv*hd)`` pools (kernel operand order) + host-side
+  free-list allocator;
 - per-row block tables (host numpy, shipped per step — bytes, not megabytes);
 - decode attention via the Pallas paged kernel (scalar-prefetched tables);
 - prefill runs the normal contiguous forward into a scratch cache, then
@@ -28,7 +29,7 @@ from ..core.config import VisualCLAConfig
 from ..models import llama, visualcla
 from ..ops.linear import linear
 from ..ops.norms import rms_norm
-from ..ops.pallas.paged_attention import paged_decode_attention
+from ..ops.pallas.paged_attention import paged_append_attention
 from ..ops.rope import apply_rope, rope_table
 from .sampling import SamplingConfig, sample_step, sample_step_rowwise
 
@@ -37,9 +38,14 @@ logger = logging.getLogger(__name__)
 
 def init_pools(cfg, num_blocks: int, block_size: int, dtype=jnp.bfloat16,
                kv_quant: str = "none"):
-    """-> (k_pool, v_pool, k_scales|None, v_scales|None)."""
+    """-> (k_pool, v_pool, k_scales|None, v_scales|None).
+
+    Pools are stored in KERNEL OPERAND ORDER ``(L, NB, BS, Nkv*hd)`` — a
+    ``(..., Nkv, hd)`` layout would need a physical relayout (TPU tiling) at
+    every kernel call, breaking the in-place alias (measured 2x 1GB HLO
+    temps per decode step at 7B)."""
     L, Nkv, hd = cfg.num_hidden_layers, cfg.num_key_value_heads, cfg.head_dim
-    shape = (L, num_blocks, block_size, Nkv, hd)
+    shape = (L, num_blocks, block_size, Nkv * hd)
     if kv_quant == "int8":
         sshape = (L, num_blocks, block_size, Nkv)
         return (jnp.zeros(shape, jnp.int8), jnp.zeros(shape, jnp.int8),
@@ -50,11 +56,13 @@ def init_pools(cfg, num_blocks: int, block_size: int, dtype=jnp.bfloat16,
 from ..ops.quantization import quantize_kv  # noqa: E402  (shared with llama cache)
 
 
-def _paged_attention(q, kp, vp, tables, lens, ks=None, vs=None):
-    """Dispatch the paged kernel; under a registered attention mesh, shard_map
-    over the 'model' axis (kv heads are embarrassingly parallel — no
-    collectives; the surrounding matmuls' all-reduces are GSPMD's job, exactly
-    like ops.attention._flash_sharded)."""
+def _paged_append(q, kn, vn, kp, vp, tables, lens, blk, off, layer,
+                  ksn=None, vsn=None, ks=None, vs=None):
+    """Dispatch the fused append+attend kernel over the multi-layer pool;
+    under a registered attention mesh, shard_map over 'model' (kv heads are
+    embarrassingly parallel; the pools stay sharded and aliased in place).
+    The pool's lane dim (Nkv*hd) shards contiguously = whole kv-head
+    groups, matching the (B, Nkv, hd) new-token sharding."""
     from jax.sharding import PartitionSpec as P
     from jax import shard_map
 
@@ -63,35 +71,86 @@ def _paged_attention(q, kp, vp, tables, lens, ks=None, vs=None):
 
     mesh = attn_mod._ATTN_MESH
     B, N, H = q.shape
-    Nkv = kp.shape[2]
+    Nkv = kn.shape[1]
     if mesh is not None and MODEL in mesh.shape:
         n_model = mesh.shape[MODEL]
         if n_model > 1 and N % n_model == 0 and Nkv % n_model == 0:
             qs = P(None, MODEL, None)
-            pool_s = P(None, None, MODEL, None)
-            scale_s = P(None, None, MODEL)
+            new_s = P(None, MODEL, None)
+            pool_s = P(None, None, None, MODEL)
+            scale_s = P(None, None, None, MODEL)
+            nscale_s = P(None, MODEL)
+            rep = P()
             if ks is None:
                 fn = shard_map(
-                    lambda q_, k_, v_, t_, l_: paged_decode_attention(
-                        q_, k_, v_, t_, l_),
+                    lambda q_, kn_, vn_, kp_, vp_, t_, l_, b_, o_, lay_:
+                        paged_append_attention(
+                            q_, kn_, vn_, kp_, vp_, t_, l_, b_, o_, lay_)[:3],
                     mesh=mesh,
-                    in_specs=(qs, pool_s, pool_s, P(), P()),
-                    out_specs=qs,
+                    in_specs=(qs, new_s, new_s, pool_s, pool_s, rep, rep,
+                              rep, rep, rep),
+                    out_specs=(qs, pool_s, pool_s),
                     check_vma=False,
                 )
-                return fn(q, kp, vp, tables, lens)
+                o, kp, vp = fn(q, kn, vn, kp, vp, tables, lens, blk, off,
+                               layer)
+                return o, kp, vp, None, None
             fn = shard_map(
-                lambda q_, k_, v_, t_, l_, ks_, vs_: paged_decode_attention(
-                    q_, k_, v_, t_, l_, ks_, vs_),
+                lambda q_, kn_, vn_, kp_, vp_, t_, l_, b_, o_, lay_, ksn_,
+                vsn_, ks_, vs_: paged_append_attention(
+                    q_, kn_, vn_, kp_, vp_, t_, l_, b_, o_, lay_,
+                    ksn_, vsn_, ks_, vs_),
                 mesh=mesh,
-                in_specs=(qs, pool_s, pool_s, P(), P(), scale_s, scale_s),
-                out_specs=qs,
+                in_specs=(qs, new_s, new_s, pool_s, pool_s, rep, rep, rep,
+                          rep, rep, nscale_s, nscale_s, scale_s, scale_s),
+                out_specs=(qs, pool_s, pool_s, scale_s, scale_s),
                 check_vma=False,
             )
-            return fn(q, kp, vp, tables, lens, ks, vs)
-    if ks is None:
-        return paged_decode_attention(q, kp, vp, tables, lens)
-    return paged_decode_attention(q, kp, vp, tables, lens, ks, vs)
+            return fn(q, kn, vn, kp, vp, tables, lens, blk, off, layer,
+                      ksn, vsn, ks, vs)
+    return paged_append_attention(q, kn, vn, kp, vp, tables, lens, blk, off,
+                                  layer, ksn, vsn, ks, vs)
+
+
+def _act_fn(cfg):
+    if getattr(cfg, "hidden_act", "silu") == "silu":
+        return jax.nn.silu
+    from ..ops.activations import ACT2FN
+
+    return ACT2FN[cfg.hidden_act]
+
+
+def paged_layer_step(p, cfg, h, cos, sin, kp, vp, ks, vs, tables, lens,
+                     blk, off, l, act):
+    """One decoder layer over the paged pool for a single new token.  The KV
+    append rides INSIDE the attention kernel (input_output_aliases) — this
+    body never slices or scatters the (L, NB, BS, Nkv*hd) pool, which cost
+    ~16 ms/step of XLA copy traffic at 7B B=8.  Shared by the nested
+    (scan-over-layers) and flat (step x layer while) loop structures."""
+    B = h.shape[0]
+    N, Nkv, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+    x = rms_norm(h, p["input_norm"], cfg.rms_norm_eps)
+    q = linear(x, p["q_proj"]).reshape(B, 1, N, hd)
+    k = linear(x, p["k_proj"]).reshape(B, 1, Nkv, hd)
+    v = linear(x, p["v_proj"]).reshape(B, 1, Nkv, hd)
+    q, k = apply_rope(q, k, cos, sin)
+    if ks is not None:
+        kq, ksc = quantize_kv(k[:, 0])
+        vq, vsc = quantize_kv(v[:, 0])
+        attn, kp, vp, ks, vs = _paged_append(
+            q[:, 0], kq, vq, kp, vp, tables, lens, blk, off, l,
+            ksc, vsc, ks, vs,
+        )
+    else:
+        attn, kp, vp, _, _ = _paged_append(
+            q[:, 0], k[:, 0].astype(kp.dtype), v[:, 0].astype(vp.dtype),
+            kp, vp, tables, lens, blk, off, l,
+        )  # attn: (B, N, hd)
+    h = h + linear(attn.reshape(B, 1, N * hd), p["o_proj"])
+    x2 = rms_norm(h, p["post_norm"], cfg.rms_norm_eps)
+    gate = act(linear(x2, p["gate_proj"])) * linear(x2, p["up_proj"])
+    h = h + linear(gate, p["down_proj"])
+    return h, kp, vp, ks, vs
 
 
 def paged_decode_forward(
@@ -99,7 +158,7 @@ def paged_decode_forward(
     cfg,
     embeds: jnp.ndarray,  # (B, 1, H)
     positions: jnp.ndarray,  # (B,) int32 rope positions
-    k_pool: jnp.ndarray,  # (L, NB, BS, Nkv, hd) — bf16/f32 or int8
+    k_pool: jnp.ndarray,  # (L, NB, BS, Nkv*hd) — bf16/f32 or int8
     v_pool: jnp.ndarray,
     tables: jnp.ndarray,  # (B, max_blocks) int32
     blk: jnp.ndarray,  # (B,) int32 — pool block holding the new token
@@ -110,54 +169,16 @@ def paged_decode_forward(
 ):
     """One decode step over the paged pool.
     Returns (hidden (B,1,H), k_pool, v_pool, k_scales, v_scales)."""
-    B, _, H = embeds.shape
-    N, Nkv, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+    hd = cfg.head_dim
     cos, sin = rope_table(positions[:, None], hd, cfg.rope_theta)
-    quant = k_scales is not None
-    act_name = getattr(cfg, "hidden_act", "silu")
-    if act_name == "silu":
-        act = jax.nn.silu
-    else:
-        from ..ops.activations import ACT2FN
-
-        act = ACT2FN[act_name]
+    act = _act_fn(cfg)
 
     def layer(carry, xs):
         h, kp, vp, ks, vs = carry
         p, l = xs
-        x = rms_norm(h, p["input_norm"], cfg.rms_norm_eps)
-        q = linear(x, p["q_proj"]).reshape(B, 1, N, hd)
-        k = linear(x, p["k_proj"]).reshape(B, 1, Nkv, hd)
-        v = linear(x, p["v_proj"]).reshape(B, 1, Nkv, hd)
-        q, k = apply_rope(q, k, cos, sin)
-        kp_l = jax.lax.dynamic_index_in_dim(kp, l, axis=0, keepdims=False)
-        vp_l = jax.lax.dynamic_index_in_dim(vp, l, axis=0, keepdims=False)
-        if quant:
-            kq, ksc = quantize_kv(k[:, 0])
-            vq, vsc = quantize_kv(v[:, 0])
-            kp_l = kp_l.at[blk, off].set(kq)
-            vp_l = vp_l.at[blk, off].set(vq)
-            ks_l = jax.lax.dynamic_index_in_dim(ks, l, axis=0, keepdims=False)
-            vs_l = jax.lax.dynamic_index_in_dim(vs, l, axis=0, keepdims=False)
-            ks_l = ks_l.at[blk, off].set(ksc)
-            vs_l = vs_l.at[blk, off].set(vsc)
-            ks = jax.lax.dynamic_update_index_in_dim(ks, ks_l, l, axis=0)
-            vs = jax.lax.dynamic_update_index_in_dim(vs, vs_l, l, axis=0)
-            attn = _paged_attention(
-                q[:, 0], kp_l, vp_l, tables, lens, ks_l, vs_l
-            )
-        else:
-            kp_l = kp_l.at[blk, off].set(k[:, 0].astype(kp_l.dtype))
-            vp_l = vp_l.at[blk, off].set(v[:, 0].astype(vp_l.dtype))
-            attn = _paged_attention(
-                q[:, 0], kp_l, vp_l, tables, lens
-            )  # (B, N, hd)
-        kp = jax.lax.dynamic_update_index_in_dim(kp, kp_l, l, axis=0)
-        vp = jax.lax.dynamic_update_index_in_dim(vp, vp_l, l, axis=0)
-        h = h + linear(attn.reshape(B, 1, N * hd), p["o_proj"])
-        x2 = rms_norm(h, p["post_norm"], cfg.rms_norm_eps)
-        gate = act(linear(x2, p["gate_proj"])) * linear(x2, p["up_proj"])
-        h = h + linear(gate, p["down_proj"])
+        h, kp, vp, ks, vs = paged_layer_step(
+            p, cfg, h, cos, sin, kp, vp, ks, vs, tables, lens, blk, off, l,
+            act)
         return (h, kp, vp, ks, vs), None
 
     L = cfg.num_hidden_layers
@@ -269,7 +290,7 @@ class PagedServingEngine:
             from ..parallel.sharding import MODEL
 
             if text.num_key_value_heads % mesh.shape.get(MODEL, 1) == 0:
-                pool_s = NamedSharding(mesh, P(None, None, None, MODEL, None))
+                pool_s = NamedSharding(mesh, P(None, None, None, MODEL))
                 scale_s = NamedSharding(mesh, P(None, None, None, MODEL))
                 k_pool = jax.device_put(k_pool, pool_s)
                 v_pool = jax.device_put(v_pool, pool_s)
@@ -314,6 +335,12 @@ class PagedServingEngine:
         self._step_n = scoped(jax.jit(
             self._step_n_impl, static_argnames=("sampling",),
             donate_argnames=("state",)))
+        self._step_n_flat = scoped(jax.jit(
+            self._step_n_flat_impl, static_argnames=("sampling",),
+            donate_argnames=("state",)))
+        self._params_bytes = sum(
+            int(np.prod(x.shape)) * x.dtype.itemsize
+            for x in jax.tree.leaves(params))
 
     # -- allocator -------------------------------------------------------------
 
@@ -368,22 +395,29 @@ class PagedServingEngine:
         )
         # scatter the prompt KV into the pool.  The scratch cache is stored
         # heads-major (L, 1, Nkv, S, hd) — see llama.init_kv_cache — so bring
-        # slots back before blocking: -> (L, S, Nkv, hd) -> (L, nb, BS, ...)
+        # slots back before blocking: -> (L, S, Nkv, hd) -> (L, nb, BS, ...);
+        # the final reshape folds (Nkv, hd) into the pool's kernel-order
+        # Nkv*hd lane dim (a once-per-admission relayout of prompt-sized data)
         L = cfg.text_config.num_hidden_layers
+        Nkv, hd = scratch["k"].shape[2], scratch["k"].shape[4]
         k_blocks = scratch["k"][:, 0].transpose(0, 2, 1, 3).reshape(
-            L, nb, self.BS, *scratch["k"].shape[-3::2])
+            L, nb, self.BS, Nkv, hd)
         v_blocks = scratch["v"][:, 0].transpose(0, 2, 1, 3).reshape(
-            L, nb, self.BS, *scratch["v"].shape[-3::2])
+            L, nb, self.BS, Nkv, hd)
         if state.k_scales is not None:  # int8 KV: quantize the prompt blocks
             kq, ksc = quantize_kv(k_blocks)
             vq, vsc = quantize_kv(v_blocks)
-            k_pool = state.k_pool.at[:, block_ids].set(kq)
-            v_pool = state.v_pool.at[:, block_ids].set(vq)
+            k_pool = state.k_pool.at[:, block_ids].set(
+                kq.reshape(L, nb, self.BS, Nkv * hd))
+            v_pool = state.v_pool.at[:, block_ids].set(
+                vq.reshape(L, nb, self.BS, Nkv * hd))
             k_scales = state.k_scales.at[:, block_ids].set(ksc)
             v_scales = state.v_scales.at[:, block_ids].set(vsc)
         else:
-            k_pool = state.k_pool.at[:, block_ids].set(k_blocks)
-            v_pool = state.v_pool.at[:, block_ids].set(v_blocks)
+            k_pool = state.k_pool.at[:, block_ids].set(
+                k_blocks.reshape(L, nb, self.BS, Nkv * hd))
+            v_pool = state.v_pool.at[:, block_ids].set(
+                v_blocks.reshape(L, nb, self.BS, Nkv * hd))
             k_scales, v_scales = state.k_scales, state.v_scales
 
         # prompts are RIGHT-padded here: sample from the last REAL token
@@ -420,27 +454,24 @@ class PagedServingEngine:
             key=key,
         )
 
-    def _step_impl(self, params, state: PagedState, tables, lens,
-                   sampling: SamplingConfig):
-        """One decode step for all rows.  ``lens`` includes the new token."""
-        cfg = self.cfg
+    def _append_meta(self, state: PagedState, tables, lens):
+        """(run, blk, off, lens_attn) for the step appending at ``lens``-1.
+        Parked rows write into dummy block 0 (harmless: block 0 is never
+        referenced by any live table entry) and attend over length 1."""
         B = self.B
         run = state.active & ~state.finished
-        embeds = llama.embed(params["text"], state.last_token[:, None])
         new_slot = lens - 1
         blk_idx = new_slot // self.BS
         blk = tables[jnp.arange(B), blk_idx]
         off = new_slot % self.BS
-        # parked rows write into dummy block 0 at their offset (harmless:
-        # block 0 is never referenced by any live table entry)
         blk = jnp.where(run, blk, 0)
-        hidden, k_pool, v_pool, k_scales, v_scales = paged_decode_forward(
-            params["text"], cfg.text_config, embeds, state.positions,
-            state.k_pool, state.v_pool, tables, blk, off,
-            jnp.where(run, lens, 1),
-            state.k_scales, state.v_scales,
-        )
-        step_logits = llama.logits(params["text"], hidden)[:, 0]
+        return run, blk, off, jnp.where(run, lens, 1)
+
+    def _finish_step(self, state: PagedState, run, lens, step_logits,
+                     sampling: SamplingConfig) -> PagedState:
+        """Sample + bookkeeping tail shared by the single-step program and
+        the flat fused loop.  ``state`` already carries the updated pools."""
+        B = self.B
         key, sub = jax.random.split(state.key)
         token = sample_step_rowwise(
             step_logits, state.gen_ids, state.gen_len, sub, sampling,
@@ -458,13 +489,29 @@ class PagedServingEngine:
         )
         return dataclasses.replace(
             state,
-            k_pool=k_pool, v_pool=v_pool, k_scales=k_scales, v_scales=v_scales,
             last_token=jnp.where(run, token, state.last_token),
             positions=state.positions + run.astype(jnp.int32),
             gen_ids=gen_ids, gen_len=gen_len,
             finished=state.finished | hit_eos | hit_cap,
             key=key,
         )
+
+    def _step_impl(self, params, state: PagedState, tables, lens,
+                   sampling: SamplingConfig):
+        """One decode step for all rows.  ``lens`` includes the new token."""
+        cfg = self.cfg
+        run, blk, off, lens_attn = self._append_meta(state, tables, lens)
+        embeds = llama.embed(params["text"], state.last_token[:, None])
+        hidden, k_pool, v_pool, k_scales, v_scales = paged_decode_forward(
+            params["text"], cfg.text_config, embeds, state.positions,
+            state.k_pool, state.v_pool, tables, blk, off, lens_attn,
+            state.k_scales, state.v_scales,
+        )
+        step_logits = llama.logits(params["text"], hidden)[:, 0]
+        state = dataclasses.replace(
+            state, k_pool=k_pool, v_pool=v_pool, k_scales=k_scales,
+            v_scales=v_scales)
+        return self._finish_step(state, run, lens, step_logits, sampling)
 
     # -- host-side pool management (Scheduler-compatible) -----------------------
 
@@ -532,7 +579,8 @@ class PagedServingEngine:
 
     def _step_n_impl(self, params, state: PagedState, tables, lens,
                      sampling: SamplingConfig, n):
-        """Up to ``n`` fused decode steps in one dispatch.  Valid because
+        """Up to ``n`` fused decode steps in one dispatch (NESTED structure:
+        while over steps, layer scan inside).  Valid because
         prefill reserves EVERY block a request can touch up front
         (prefill_row allocates nb_total), so the device can advance ``lens``
         itself — no host allocator call is needed mid-chunk.  Stops early
@@ -557,6 +605,96 @@ class PagedServingEngine:
             cond, body, (state, lens, jnp.int32(0)))
         return state, lens
 
+    def _step_n_flat_impl(self, params, state: PagedState, tables, lens,
+                          sampling: SamplingConfig, n):
+        """Flat fused multi-step decode: ONE while over (step x layer), layer
+        index in the carry, step-boundary work under lax.cond.  Same
+        rationale as Engine._decode_loop_impl: a layer scan nested inside
+        the decode while pins RELAYOUTED copies of the stacked q/k/v
+        projections (2x 1GB at 7B bf16 — OOM dump, DEVNOTES round 2); flat
+        pays only a ~0.39GB lm_head relayout, so full-size bf16 B=8 serving
+        chunks compile on a 16GB chip."""
+        cfg = self.cfg.text_config
+        text = params["text"]
+        L = cfg.num_hidden_layers
+        n = jnp.asarray(n, jnp.int32)
+        finished0 = state.finished
+        act = _act_fn(cfg)
+
+        def slice_layer(li):
+            return jax.tree.map(
+                lambda a: jax.lax.dynamic_index_in_dim(a, li, 0,
+                                                       keepdims=False),
+                text["layers"])
+
+        def cond(c):
+            s, lens, h, meta, i, li = c
+            run = s.active & ~s.finished
+            newly_done = s.finished & ~finished0
+            step_ok = (i < n) & jnp.any(run) & ~jnp.any(newly_done)
+            return (li != 0) | step_ok  # stop only at step boundaries
+
+        def body(c):
+            s, lens, h, meta, i, li = c
+
+            def start(s, lens, h, meta):
+                run = s.active & ~s.finished
+                lens2 = lens + run.astype(jnp.int32)
+                meta = self._append_meta(s, tables, lens2)
+                return s, lens2, llama.embed(
+                    text, s.last_token[:, None]).astype(h.dtype), meta
+
+            s, lens, h, meta = jax.lax.cond(
+                li == 0, start,
+                lambda s, lens, h, meta: (s, lens, h, meta),
+                s, lens, h, meta)
+            run, blk, off, lens_attn = meta
+            p_l = slice_layer(li)
+            cos, sin = rope_table(s.positions[:, None], cfg.head_dim,
+                                  cfg.rope_theta)
+            h, kp, vp, ks, vs = paged_layer_step(
+                p_l, cfg, h, cos, sin, s.k_pool, s.v_pool,
+                s.k_scales, s.v_scales, tables, lens_attn, blk, off, li, act)
+            s = dataclasses.replace(
+                s, k_pool=kp, v_pool=vp, k_scales=ks, v_scales=vs)
+
+            def finish(s, i):
+                hidden = rms_norm(h, text["final_norm"], cfg.rms_norm_eps)
+                step_logits = llama.logits(text, hidden)[:, 0]
+                return (self._finish_step(s, run, lens, step_logits,
+                                          sampling), i + 1)
+
+            s, i = jax.lax.cond(li == L - 1, finish,
+                                lambda s, i: (s, i), s, i)
+            return s, lens, h, meta, i, (li + 1) % L
+
+        h0 = llama.embed(text, state.last_token[:, None])
+        meta0 = self._append_meta(state, tables, lens)
+        state, lens, _, _, _, _ = jax.lax.while_loop(
+            cond, body,
+            (state, lens, h0, meta0, jnp.int32(0), jnp.int32(0)))
+        return state, lens
+
+    def _pick_chunk_loop(self) -> str:
+        """'nested' (~15% faster per step: XLA pipelines the scan's weight
+        slices) when params + the nested loop's relayouted q/k/v copies
+        (~3/16 of stacked-weight bytes) + pools fit HBM, else 'flat'.
+        VISUALCLA_PAGED_LOOP=flat|nested pins."""
+        import os
+
+        impl = os.environ.get("VISUALCLA_PAGED_LOOP")
+        if impl in ("flat", "nested"):
+            return impl
+        limit = float(os.environ.get("VISUALCLA_HBM_BYTES", 0)) or (
+            16e9 if jax.default_backend() == "tpu" else float("inf"))
+        pool_bytes = sum(
+            int(np.prod(x.shape)) * x.dtype.itemsize
+            for x in (self._state.k_pool, self._state.v_pool))
+        if self._state.k_scales is not None:
+            pool_bytes += 2 * self._state.k_scales.size * 4
+        need = self._params_bytes * (1 + 3 / 16) + pool_bytes + 0.5e9
+        return "nested" if need < limit else "flat"
+
     def step(self) -> None:
         run = self._host_active & ~self._host_finished
         self.ctx_len[run] += 1  # the token being appended this step
@@ -566,8 +704,12 @@ class PagedServingEngine:
         )
 
     def step_n(self, n: int) -> None:
-        """Fused multi-step decode; syncs the host ctx_len after the chunk."""
-        self._state, lens = self._step_n(
+        """Fused multi-step decode; syncs the host ctx_len after the chunk.
+        Loop structure (nested scan vs flat step x layer) picked by HBM fit
+        — see _pick_chunk_loop."""
+        fn = (self._step_n if self._pick_chunk_loop() == "nested"
+              else self._step_n_flat)
+        self._state, lens = fn(
             self.params, self._state, jnp.asarray(self.tables),
             jnp.asarray(self.ctx_len), self.sampling, n,
         )

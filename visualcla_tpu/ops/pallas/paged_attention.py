@@ -28,6 +28,17 @@ clamps past-the-end blocks to the row's last real block, which Pallas
 recognises as a revisit (no copy issued).  Online-softmax state (m, l, acc)
 lives in VMEM scratch and carries across the innermost grid dimension;
 block 0 initializes, the last block writes the output.
+
+``paged_append_attention`` additionally APPENDS the step's new K/V token
+into the pool inside the same kernel via ``input_output_aliases``: the
+kernel already DMAs the row's last block for attention, so substituting one
+row of that block in VMEM and flushing it back costs one block write per
+row.  Doing the append in XLA instead (scatter / dynamic_update on the
+(L, NB, BS, Nkv, hd) pool carried through the layer scan) measured ~16 ms
+of the 29.7 ms B=8 decode step at 7B — XLA materializes per-layer pool
+slices and re-inserts them every layer, ~17 GB of pure copy traffic.  The
+multi-layer pool is passed whole with the layer index riding scalar
+prefetch, so the layer scan's body never slices the pool at all.
 """
 from __future__ import annotations
 
@@ -245,3 +256,294 @@ def paged_decode_attention(
         out_shape=jax.ShapeDtypeStruct((B, N, H), q.dtype),
         interpret=interpret,
     )(block_tables.astype(jnp.int32), lens, *operands)
+
+
+def _append_kernel(
+    tables_ref,  # (B, max_blocks) int32 — scalar prefetch
+    lens_ref,  # (B, 1) int32 — context length INCLUDING the new token
+    layer_ref,  # (1,) int32 — which pool layer this call serves
+    app_ref,  # (B, 2) int32 — [pool block id, in-block offset] for the append
+    q_ref,  # (1, N, hd)
+    kn_ref,  # (B, Nkv*hd) — the new token's K, pool dtype, every row
+    vn_ref,  # (B, Nkv*hd)
+    k_ref,  # (1, 1, BS, Nkv*hd) pool block (layer via prefetched layer_ref)
+    v_ref,
+    *refs,  # int8: [ksn (B, Nkv), vsn (B, Nkv), ks (1,1,BS,Nkv), vs (...)]
+    #         then outputs: o (1, N, hd), ko, vo [, kso, vso], m/l/acc scratch
+    scale: float,
+    block_size: int,
+    heads_per_kv: int,
+    kv_int8: bool = False,
+):
+    if kv_int8:
+        (ksn_ref, vsn_ref, ks_ref, vs_ref,
+         o_ref, ko_ref, vo_ref, kso_ref, vso_ref,
+         m_ref, l_ref, acc_ref) = refs
+    else:
+        o_ref, ko_ref, vo_ref, m_ref, l_ref, acc_ref = refs
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    N, hd = q_ref.shape[1], q_ref.shape[2]
+    KVL = k_ref.shape[3]
+    Nkv = KVL // hd
+    BS = block_size
+
+    @pl.when(i == 0)
+    def _init():
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    length = lens_ref[b, 0]
+    n_blocks = (length + BS - 1) // BS
+    last = n_blocks - 1
+    off = app_ref[b, 1]
+
+    # substitute the new token's row into the visited block when it IS the
+    # append block (i == last; the out index map points the flush there).
+    # Row b of the (B, ...) new-token operands is extracted by mask+sum —
+    # Mosaic can't prove a dynamic sublane index is 8-aligned, and the
+    # operand is tiny (B rows) so the select is free
+    def pick_row(ref):  # (B, C) -> (1, C): row b
+        rows = jax.lax.broadcasted_iota(jnp.int32, ref.shape, 0)
+        x = ref[...]
+        return jnp.sum(jnp.where(rows == b, x, jnp.zeros_like(x)), axis=0,
+                       keepdims=True)
+
+    rowsel = (jax.lax.broadcasted_iota(jnp.int32, (BS, KVL), 0) == off) & (
+        i == last)
+    if kv_int8:  # int8 has no VPU sum: pick via int32
+        kn = pick_row(kn_ref[...].astype(jnp.int32)).astype(jnp.int8)
+        vn = pick_row(vn_ref[...].astype(jnp.int32)).astype(jnp.int8)
+    else:
+        kn = pick_row(kn_ref)
+        vn = pick_row(vn_ref)
+    k_blk = jnp.where(rowsel, kn, k_ref[0, 0])
+    v_blk = jnp.where(rowsel, vn, v_ref[0, 0])
+    if kv_int8:
+        srowsel = (jax.lax.broadcasted_iota(jnp.int32, (BS, Nkv), 0) == off) & (
+            i == last)
+        ks_blk = jnp.where(srowsel, pick_row(ksn_ref), ks_ref[0, 0])
+        vs_blk = jnp.where(srowsel, pick_row(vsn_ref), vs_ref[0, 0])
+
+    @pl.when(i == last)
+    def _append():
+        ko_ref[0, 0] = k_blk
+        vo_ref[0, 0] = v_blk
+        if kv_int8:
+            kso_ref[0, 0] = ks_blk
+            vso_ref[0, 0] = vs_blk
+
+    rowkv = jax.lax.broadcasted_iota(jnp.int32, (N, KVL), 0) // heads_per_kv
+    colkv = jax.lax.broadcasted_iota(jnp.int32, (N, KVL), 1) // hd
+    hmask = rowkv == colkv
+
+    def scale_rows(sc):  # (BS, Nkv) -> (N, BS): row n gets its kv head's col
+        sel_r = jax.lax.broadcasted_iota(jnp.int32, (N, Nkv), 0) // heads_per_kv
+        sel_c = jax.lax.broadcasted_iota(jnp.int32, (N, Nkv), 1)
+        sel = (sel_r == sel_c).astype(jnp.float32)
+        return jax.lax.dot_general(
+            sel, sc, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    @pl.when(i < n_blocks)
+    def _step():
+        q = q_ref[0].astype(jnp.float32) * scale  # (N, hd)
+        qt = jnp.concatenate([q] * Nkv, axis=1) if Nkv > 1 else q
+        qb = jnp.where(hmask, qt, 0.0)
+        k = k_blk.astype(jnp.float32)  # (BS, KVL) — append already applied
+        v = v_blk.astype(jnp.float32)
+        s = jax.lax.dot_general(
+            qb, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (N, BS)
+        if kv_int8:
+            s = s * scale_rows(ks_blk.astype(jnp.float32))
+        slot = i * BS + jax.lax.broadcasted_iota(jnp.int32, (N, BS), 1)
+        s = jnp.where(slot < length, s, NEG_INF)
+        m_prev, l_prev, acc_prev = m_ref[:], l_ref[:], acc_ref[:]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m_prev - m_new)
+        m_ref[:] = m_new
+        l_ref[:] = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        if kv_int8:
+            p = p * scale_rows(vs_blk.astype(jnp.float32))
+        pv = jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        acc_ref[:] = acc_prev * alpha + jnp.where(hmask, pv, 0.0)
+
+    @pl.when(i == pl.num_programs(1) - 1)
+    def _finish():
+        l = l_ref[:]
+        safe_l = jnp.where(l == 0.0, 1.0, l)
+        acc = acc_ref[:]
+        o = acc[:, :hd]
+        for kvh in range(1, Nkv):
+            o = o + acc[:, kvh * hd:(kvh + 1) * hd]
+        o_ref[0] = (o / safe_l).astype(o_ref.dtype)
+
+
+def _dense_append(q, k_new, v_new, k_pool, v_pool, tables, lens, blk, off,
+                  layer, k_new_scales, v_new_scales, k_scales, v_scales,
+                  scale):
+    """XLA fallback: scatter the new token, then dense attention on the
+    layer's pool slice.  Used for kernel-unsafe shapes (tiny test models)."""
+    B, Nkv, hd = k_new.shape
+    L, NB, BS, KVL = k_pool.shape
+    k_pool = k_pool.at[layer, blk, off].set(k_new.reshape(B, KVL))
+    v_pool = v_pool.at[layer, blk, off].set(v_new.reshape(B, KVL))
+    kp_l = jax.lax.dynamic_index_in_dim(k_pool, layer, 0, keepdims=False)
+    vp_l = jax.lax.dynamic_index_in_dim(v_pool, layer, 0, keepdims=False)
+    if k_scales is not None:
+        k_scales = k_scales.at[layer, blk, off].set(k_new_scales)
+        v_scales = v_scales.at[layer, blk, off].set(v_new_scales)
+        ks_l = jax.lax.dynamic_index_in_dim(k_scales, layer, 0, keepdims=False)
+        vs_l = jax.lax.dynamic_index_in_dim(v_scales, layer, 0, keepdims=False)
+    else:
+        ks_l = vs_l = None
+    o = _dense_reference(q, kp_l.reshape(NB, BS, Nkv, hd),
+                         vp_l.reshape(NB, BS, Nkv, hd), tables, lens,
+                         ks_l, vs_l, scale)
+    return o, k_pool, v_pool, k_scales, v_scales
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "interpret"))
+def paged_append_attention(
+    q: jnp.ndarray,  # (B, N, hd) — the new token's queries (rope applied)
+    k_new: jnp.ndarray,  # (B, Nkv, hd) — POOL dtype (int8 pre-quantized)
+    v_new: jnp.ndarray,
+    k_pool: jnp.ndarray,  # (L, num_blocks, BS, Nkv*hd) — KERNEL OPERAND ORDER
+    v_pool: jnp.ndarray,
+    block_tables: jnp.ndarray,  # (B, max_blocks) int32
+    context_lens: jnp.ndarray,  # (B,) int32 INCLUDING the new token
+    append_blk: jnp.ndarray,  # (B,) int32 pool block for the new token
+    append_off: jnp.ndarray,  # (B,) int32 offset inside that block
+    layer: jnp.ndarray,  # () int32
+    k_new_scales: jnp.ndarray | None = None,  # (B, Nkv) f32 when int8
+    v_new_scales: jnp.ndarray | None = None,
+    k_scales: jnp.ndarray | None = None,  # (L, num_blocks, BS, Nkv) f32
+    v_scales: jnp.ndarray | None = None,
+    *,
+    scale: float | None = None,
+    interpret: bool | None = None,
+):
+    """Fused KV append + flash-decoding over the multi-layer block pool.
+
+    Returns ``(o, k_pool, v_pool, k_scales, v_scales)`` where the pools are
+    the SAME buffers updated in place (``input_output_aliases``) — the
+    caller's layer scan carries them with zero copy traffic.  The pools are
+    stored in kernel operand order ``(L, NB, BS, Nkv*hd)``: reshaping a
+    ``(..., Nkv, hd)`` pool at this boundary is a physical relayout under
+    TPU tiling (two 1 GB HLO temps at 7B that broke the in-place alias —
+    same lesson as the contiguous cache's (L, B, Nkv, S, hd) fix).  Parked
+    rows must pass ``context_lens == 1`` and ``append_blk == 0``."""
+    B, N, H = q.shape
+    _, Nkv, hd = k_new.shape
+    L, num_blocks, BS, KVL = k_pool.shape
+    assert hd == H and KVL == Nkv * hd
+    heads_per_kv = N // Nkv
+    kv_int8 = k_pool.dtype == jnp.int8
+    if scale is None:
+        scale = 1.0 / math.sqrt(H)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    bs_min = 32 if kv_int8 else _min_sublane(k_pool.dtype)
+    kernel_safe = BS % bs_min == 0 and (hd % 128 == 0 or Nkv == 1)
+    if not interpret and not kernel_safe:
+        return _dense_append(q, k_new, v_new, k_pool, v_pool, block_tables,
+                             context_lens, append_blk, append_off, layer,
+                             k_new_scales, v_new_scales, k_scales, v_scales,
+                             scale)
+    max_blocks = block_tables.shape[1]
+
+    kp = k_pool
+    vp = v_pool
+    kn = k_new.reshape(B, KVL)
+    vn = v_new.reshape(B, KVL)
+    lens = context_lens.reshape(B, 1).astype(jnp.int32)
+    lay = jnp.reshape(layer, (1,)).astype(jnp.int32)
+    app = jnp.stack(
+        [append_blk.astype(jnp.int32), append_off.astype(jnp.int32)], axis=1)
+
+    def kv_index(b, i, tables, lens, lay, app):
+        last = jnp.maximum(lens[b, 0] - 1, 0) // BS
+        return (lay[0], tables[b, jnp.minimum(i, last)], 0, 0)
+
+    def app_index(b, i, tables, lens, lay, app):
+        return (lay[0], app[b, 0], 0, 0)
+
+    def q_index(b, i, tables, lens, lay, app):
+        return (b, 0, 0)
+
+    def full_index(b, i, tables, lens, lay, app):
+        return (0, 0)
+
+    in_specs = [
+        pl.BlockSpec((1, N, H), q_index, memory_space=pltpu.VMEM),
+        pl.BlockSpec((B, KVL), full_index, memory_space=pltpu.VMEM),
+        pl.BlockSpec((B, KVL), full_index, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, BS, KVL), kv_index, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, BS, KVL), kv_index, memory_space=pltpu.VMEM),
+    ]
+    operands = [q, kn, vn, kp, vp]
+    out_specs = [
+        pl.BlockSpec((1, N, H), q_index, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, BS, KVL), app_index, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, BS, KVL), app_index, memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((B, N, H), q.dtype),
+        jax.ShapeDtypeStruct(kp.shape, kp.dtype),
+        jax.ShapeDtypeStruct(vp.shape, vp.dtype),
+    ]
+    # flattened input order (scalar prefetch first): tables=0 lens=1 lay=2
+    # app=3 q=4 kn=5 vn=6 kp=7 vp=8 [ksn=9 vsn=10 ks=11 vs=12]
+    aliases = {7: 1, 8: 2}
+    if kv_int8:
+        ksp = k_scales
+        vsp = v_scales
+        in_specs += [
+            pl.BlockSpec((B, Nkv), full_index, memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, Nkv), full_index, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, BS, Nkv), kv_index, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, BS, Nkv), kv_index, memory_space=pltpu.VMEM),
+        ]
+        operands += [k_new_scales.astype(jnp.float32),
+                     v_new_scales.astype(jnp.float32), ksp, vsp]
+        out_specs += [
+            pl.BlockSpec((1, 1, BS, Nkv), app_index, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, BS, Nkv), app_index, memory_space=pltpu.VMEM),
+        ]
+        out_shape += [
+            jax.ShapeDtypeStruct(ksp.shape, jnp.float32),
+            jax.ShapeDtypeStruct(vsp.shape, jnp.float32),
+        ]
+        aliases = {7: 1, 8: 2, 11: 3, 12: 4}
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,  # tables, lens, layer, app
+        grid=(B, max_blocks),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        scratch_shapes=[
+            pltpu.VMEM((N, 1), jnp.float32),
+            pltpu.VMEM((N, 1), jnp.float32),
+            pltpu.VMEM((N, KVL), jnp.float32),
+        ],
+    )
+    outs = pl.pallas_call(
+        functools.partial(
+            _append_kernel, scale=scale, block_size=BS,
+            heads_per_kv=heads_per_kv, kv_int8=kv_int8,
+        ),
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        input_output_aliases=aliases,
+        interpret=interpret,
+    )(block_tables.astype(jnp.int32), lens, lay, app, *operands)
+    if kv_int8:
+        o, kp2, vp2, ks2, vs2 = outs
+        return o, kp2, vp2, ks2, vs2
+    o, kp2, vp2 = outs
+    return o, kp2, vp2, None, None
