@@ -272,7 +272,10 @@ def test_append_attention_int8():
         jnp.asarray(tables), jnp.asarray(lens, jnp.int32),
         jnp.asarray(ref_ks), jnp.asarray(ref_vs),
     )
-    np.testing.assert_allclose(np.asarray(o), np.asarray(ref), atol=2e-5)
+    # int8 pools run the append kernel's dots in bf16 (f32 slab upcasts cost
+    # 8.9 ms/step at 7B B=8); the old kernel reference computes in f32 —
+    # agree to bf16 resolution
+    np.testing.assert_allclose(np.asarray(o), np.asarray(ref), atol=5e-3)
     np.testing.assert_array_equal(np.asarray(kp2)[layer], ref_kp)
     np.testing.assert_array_equal(np.asarray(vp2)[layer], ref_vp)
     np.testing.assert_allclose(np.asarray(ks2)[layer], ref_ks, atol=0)

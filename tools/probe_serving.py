@@ -44,7 +44,7 @@ def main():
     params = build_params(cfg, int8="--bf16" not in sys.argv)
     eng = PagedServingEngine(
         params, cfg, eos_token_id=-7, pad_token_id=49954,
-        pool_size=8, block_size=64, num_blocks=64,
+        pool_size=rows, block_size=64, num_blocks=8 + rows * 4,
         max_seq_len=512, max_new_tokens_cap=max_new,
         prompt_buckets=(128,),
         sampling=SamplingConfig.greedy(max_new_tokens=max_new),

@@ -269,74 +269,64 @@ def _append_kernel(
     k_ref,  # (1, 1, BS, Nkv*hd) pool block (layer via prefetched layer_ref)
     v_ref,
     *refs,  # int8: [ksn (B, Nkv), vsn (B, Nkv), ks (1,1,BS,Nkv), vs (...)]
-    #         then outputs: o (1, N, hd), ko, vo [, kso, vso], m/l/acc scratch
+    #         then outputs: o (1, N, hd), ko, vo [, kso, vso],
+    #         scratch: qb, m, l, acc
     scale: float,
     block_size: int,
     heads_per_kv: int,
     kv_int8: bool = False,
 ):
+    """VPU-lean layout: this kernel's first version did slab-wide f32 casts,
+    a substitute-row select, and an (N, Nkv*hd) accumulator mask on EVERY
+    grid step — 8.9 ms of a 21 ms 7B B=8 decode step.  Now: dots consume
+    the pool dtype directly (bf16 MXU; int8 upcast once), the new token is
+    an analytic online-softmax term added once per row in _finish (the
+    block substitution happens only in the once-per-row append write-back),
+    the block-diagonal query matrix is built once per row into scratch, and
+    the accumulator lives folded at (N, hd)."""
     if kv_int8:
         (ksn_ref, vsn_ref, ks_ref, vs_ref,
          o_ref, ko_ref, vo_ref, kso_ref, vso_ref,
-         m_ref, l_ref, acc_ref) = refs
+         qb_ref, m_ref, l_ref, acc_ref) = refs
     else:
-        o_ref, ko_ref, vo_ref, m_ref, l_ref, acc_ref = refs
+        o_ref, ko_ref, vo_ref, qb_ref, m_ref, l_ref, acc_ref = refs
     b = pl.program_id(0)
     i = pl.program_id(1)
     N, hd = q_ref.shape[1], q_ref.shape[2]
     KVL = k_ref.shape[3]
     Nkv = KVL // hd
     BS = block_size
+    cdt = qb_ref.dtype  # compute dtype: pool dtype for float pools, bf16 int8
+
+    length = lens_ref[b, 0]  # INCLUDING the new token
+    ctx = length - 1  # pool blocks hold only the OLD context
+    n_blocks = (length + BS - 1) // BS
+    last = n_blocks - 1
+    off = app_ref[b, 1]
 
     @pl.when(i == 0)
     def _init():
         m_ref[:] = jnp.full_like(m_ref, NEG_INF)
         l_ref[:] = jnp.zeros_like(l_ref)
         acc_ref[:] = jnp.zeros_like(acc_ref)
+        # block-diagonal queries, built ONCE per row (the (N, KVL) iota
+        # chain outside pl.when would execute on every grid step)
+        rowkv = jax.lax.broadcasted_iota(
+            jnp.int32, (N, KVL), 0) // heads_per_kv
+        colkv = jax.lax.broadcasted_iota(jnp.int32, (N, KVL), 1) // hd
+        q = q_ref[0].astype(jnp.float32) * scale  # (N, hd)
+        qt = jnp.concatenate([q] * Nkv, axis=1) if Nkv > 1 else q
+        qb_ref[:] = jnp.where(rowkv == colkv, qt, 0.0).astype(cdt)
 
-    length = lens_ref[b, 0]
-    n_blocks = (length + BS - 1) // BS
-    last = n_blocks - 1
-    off = app_ref[b, 1]
-
-    # substitute the new token's row into the visited block when it IS the
-    # append block (i == last; the out index map points the flush there).
-    # Row b of the (B, ...) new-token operands is extracted by mask+sum —
-    # Mosaic can't prove a dynamic sublane index is 8-aligned, and the
-    # operand is tiny (B rows) so the select is free
-    def pick_row(ref):  # (B, C) -> (1, C): row b
-        rows = jax.lax.broadcasted_iota(jnp.int32, ref.shape, 0)
+    def pick_row(ref, dtype=None):  # (B, C) -> (1, C): row b.  Mosaic can't
+        # prove a dynamic sublane index 8-aligned, so mask+sum the tiny operand
         x = ref[...]
-        return jnp.sum(jnp.where(rows == b, x, jnp.zeros_like(x)), axis=0,
-                       keepdims=True)
-
-    rowsel = (jax.lax.broadcasted_iota(jnp.int32, (BS, KVL), 0) == off) & (
-        i == last)
-    if kv_int8:  # int8 has no VPU sum: pick via int32
-        kn = pick_row(kn_ref[...].astype(jnp.int32)).astype(jnp.int8)
-        vn = pick_row(vn_ref[...].astype(jnp.int32)).astype(jnp.int8)
-    else:
-        kn = pick_row(kn_ref)
-        vn = pick_row(vn_ref)
-    k_blk = jnp.where(rowsel, kn, k_ref[0, 0])
-    v_blk = jnp.where(rowsel, vn, v_ref[0, 0])
-    if kv_int8:
-        srowsel = (jax.lax.broadcasted_iota(jnp.int32, (BS, Nkv), 0) == off) & (
-            i == last)
-        ks_blk = jnp.where(srowsel, pick_row(ksn_ref), ks_ref[0, 0])
-        vs_blk = jnp.where(srowsel, pick_row(vsn_ref), vs_ref[0, 0])
-
-    @pl.when(i == last)
-    def _append():
-        ko_ref[0, 0] = k_blk
-        vo_ref[0, 0] = v_blk
-        if kv_int8:
-            kso_ref[0, 0] = ks_blk
-            vso_ref[0, 0] = vs_blk
-
-    rowkv = jax.lax.broadcasted_iota(jnp.int32, (N, KVL), 0) // heads_per_kv
-    colkv = jax.lax.broadcasted_iota(jnp.int32, (N, KVL), 1) // hd
-    hmask = rowkv == colkv
+        if x.dtype == jnp.int8:  # no VPU int8 sum
+            x = x.astype(jnp.int32)
+        rows = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+        out = jnp.sum(jnp.where(rows == b, x, jnp.zeros_like(x)), axis=0,
+                      keepdims=True)
+        return out.astype(dtype) if dtype is not None else out
 
     def scale_rows(sc):  # (BS, Nkv) -> (N, BS): row n gets its kv head's col
         sel_r = jax.lax.broadcasted_iota(jnp.int32, (N, Nkv), 0) // heads_per_kv
@@ -346,42 +336,82 @@ def _append_kernel(
             sel, sc, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
 
-    @pl.when(i < n_blocks)
-    def _step():
-        q = q_ref[0].astype(jnp.float32) * scale  # (N, hd)
-        qt = jnp.concatenate([q] * Nkv, axis=1) if Nkv > 1 else q
-        qb = jnp.where(hmask, qt, 0.0)
-        k = k_blk.astype(jnp.float32)  # (BS, KVL) — append already applied
-        v = v_blk.astype(jnp.float32)
+    def scale_col(sc):  # (1, Nkv) -> (N, 1): elementwise (a 1-column
+        # dot_general trips a Mosaic verifier bug — see _finish's sn)
+        sel_r = jax.lax.broadcasted_iota(jnp.int32, (N, Nkv), 0) // heads_per_kv
+        sel_c = jax.lax.broadcasted_iota(jnp.int32, (N, Nkv), 1)
+        pick = (sel_r == sel_c).astype(jnp.float32)
+        return jnp.sum(pick * sc.astype(jnp.float32), axis=1, keepdims=True)
+
+    def fold(x):  # (N, KVL) -> (N, hd): keep each row's own kv-head slice
+        grp = jax.lax.broadcasted_iota(jnp.int32, (N, 1), 0) // heads_per_kv
+        o = jnp.where(grp == 0, x[:, :hd], 0.0)
+        for kvh in range(1, Nkv):
+            sl = slice(kvh * hd, (kvh + 1) * hd)
+            o = o + jnp.where(grp == kvh, x[:, sl], 0.0)
+        return o
+
+    @pl.when(i == last)
+    def _append():  # write-back of the append block, once per row
+        rowsel = jax.lax.broadcasted_iota(jnp.int32, (BS, KVL), 0) == off
+        ko_ref[0, 0] = jnp.where(rowsel, pick_row(kn_ref, k_ref.dtype),
+                                 k_ref[0, 0])
+        vo_ref[0, 0] = jnp.where(rowsel, pick_row(vn_ref, v_ref.dtype),
+                                 v_ref[0, 0])
+        if kv_int8:
+            srowsel = jax.lax.broadcasted_iota(
+                jnp.int32, (BS, Nkv), 0) == off
+            kso_ref[0, 0] = jnp.where(srowsel, pick_row(ksn_ref), ks_ref[0, 0])
+            vso_ref[0, 0] = jnp.where(srowsel, pick_row(vsn_ref), vs_ref[0, 0])
+
+    @pl.when((i < n_blocks) & (ctx > i * BS))
+    def _step():  # old-context blocks only (the new token is analytic)
+        qb = qb_ref[...]
+        k = k_ref[0, 0].astype(cdt)  # bf16/f32 slab straight into the MXU
+        v = v_ref[0, 0].astype(cdt)
         s = jax.lax.dot_general(
             qb, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )  # (N, BS)
-        if kv_int8:
-            s = s * scale_rows(ks_blk.astype(jnp.float32))
+        )  # (N, BS) — every head in one dot
+        if kv_int8:  # k = int8 * per-(token, kv-head) scale, folded into s
+            s = s * scale_rows(ks_ref[0, 0].astype(jnp.float32))
         slot = i * BS + jax.lax.broadcasted_iota(jnp.int32, (N, BS), 1)
-        s = jnp.where(slot < length, s, NEG_INF)
+        s = jnp.where(slot < ctx, s, NEG_INF)
         m_prev, l_prev, acc_prev = m_ref[:], l_ref[:], acc_ref[:]
         m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
         p = jnp.exp(s - m_new)
         alpha = jnp.exp(m_prev - m_new)
         m_ref[:] = m_new
         l_ref[:] = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        if kv_int8:
-            p = p * scale_rows(vs_blk.astype(jnp.float32))
+        if kv_int8:  # v's dequant scale rides the prob matrix
+            p = p * scale_rows(vs_ref[0, 0].astype(jnp.float32))
         pv = jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        acc_ref[:] = acc_prev * alpha + jnp.where(hmask, pv, 0.0)
+            p.astype(cdt), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (N, KVL)
+        acc_ref[:] = acc_prev * alpha + fold(pv)
 
     @pl.when(i == pl.num_programs(1) - 1)
     def _finish():
-        l = l_ref[:]
+        # the new token's analytic online-softmax term (always in-context)
+        qb = qb_ref[...]
+        kn = pick_row(kn_ref, cdt)  # (1, KVL)
+        vn = pick_row(vn_ref, cdt)
+        # (N, 1) matvec: Mosaic mis-verifies a 1-column dot_general here, so
+        # reduce elementwise (once per row — off the per-block hot path)
+        sn = jnp.sum((qb * kn).astype(jnp.float32), axis=1, keepdims=True)
+        if kv_int8:
+            sn = sn * scale_col(pick_row(ksn_ref))
+        m_prev, l_prev, acc_prev = m_ref[:], l_ref[:], acc_ref[:]
+        m_new = jnp.maximum(m_prev, sn)
+        pn = jnp.exp(sn - m_new)  # (N, 1)
+        alpha = jnp.exp(m_prev - m_new)
+        l = l_prev * alpha + pn
+        if kv_int8:
+            pn = pn * scale_col(pick_row(vsn_ref))
+        acc = acc_prev * alpha + pn * fold(
+            jnp.broadcast_to(vn.astype(jnp.float32), (N, KVL)))
         safe_l = jnp.where(l == 0.0, 1.0, l)
-        acc = acc_ref[:]
-        o = acc[:, :hd]
-        for kvh in range(1, Nkv):
-            o = o + acc[:, kvh * hd:(kvh + 1) * hd]
-        o_ref[0] = (o / safe_l).astype(o_ref.dtype)
+        o_ref[0] = (acc / safe_l).astype(o_ref.dtype)
 
 
 def _dense_append(q, k_new, v_new, k_pool, v_pool, tables, lens, blk, off,
@@ -521,15 +551,17 @@ def paged_append_attention(
         ]
         aliases = {7: 1, 8: 2, 11: 3, 12: 4}
 
+    cdt = k_pool.dtype if k_pool.dtype != jnp.int8 else jnp.bfloat16
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,  # tables, lens, layer, app
         grid=(B, max_blocks),
         in_specs=in_specs,
         out_specs=out_specs,
         scratch_shapes=[
-            pltpu.VMEM((N, 1), jnp.float32),
-            pltpu.VMEM((N, 1), jnp.float32),
-            pltpu.VMEM((N, KVL), jnp.float32),
+            pltpu.VMEM((N, KVL), cdt),  # qb: block-diagonal queries
+            pltpu.VMEM((N, 1), jnp.float32),  # m
+            pltpu.VMEM((N, 1), jnp.float32),  # l
+            pltpu.VMEM((N, hd), jnp.float32),  # acc (folded per step)
         ],
     )
     outs = pl.pallas_call(
