@@ -337,22 +337,37 @@ def sample_step_rowwise(
     do_sample: jnp.ndarray,  # (B,) bool
 ) -> jnp.ndarray:
     """Serving sampler: per-row dynamic temperature/top_p/repetition penalty
-    over the engine's static processor set.  Returns (B,) token ids."""
+    over the engine's static processor set.  Returns (B,) token ids.
+
+    The expensive branches — the (B, V) seen-token scatter of the repetition
+    penalty and the full-vocab sorts of top-p — run under ``lax.cond`` so a
+    step whose rows are all greedy/unpenalized skips them entirely (measured
+    ~3.5 ms of a 21 ms 7B B=8 paged step when they run unconditionally)."""
     logits = logits.astype(jnp.float32)
     T = gen_ids.shape[1]
-    gen_valid = jnp.arange(T)[None, :] < gen_len[:, None]
-    logits = apply_repetition_penalty_rowwise(
-        logits, gen_ids, gen_valid, repetition_penalty
-    )
+
+    def penalized(logits):
+        gen_valid = jnp.arange(T)[None, :] < gen_len[:, None]
+        return apply_repetition_penalty_rowwise(
+            logits, gen_ids, gen_valid, repetition_penalty
+        )
+
+    logits = jax.lax.cond(jnp.any(repetition_penalty != 1.0), penalized,
+                          lambda l: l, logits)
     if cfg.no_repeat_ngram_size > 0:
         logits = apply_no_repeat_ngram(logits, gen_ids, gen_len,
                                        cfg.no_repeat_ngram_size)
     greedy_tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-    warped = warp_temperature_rowwise(logits, temperature)
-    if cfg.top_k > 0:
-        warped = warp_top_k(warped, cfg.top_k)
-    warped = warp_top_p_rowwise(warped, top_p)
-    sampled_tok = jax.random.categorical(key, warped, axis=-1).astype(jnp.int32)
+
+    def sampled(logits):
+        warped = warp_temperature_rowwise(logits, temperature)
+        if cfg.top_k > 0:
+            warped = warp_top_k(warped, cfg.top_k)
+        warped = warp_top_p_rowwise(warped, top_p)
+        return jax.random.categorical(key, warped, axis=-1).astype(jnp.int32)
+
+    sampled_tok = jax.lax.cond(jnp.any(do_sample), sampled,
+                               lambda l: greedy_tok, logits)
     return jnp.where(do_sample, sampled_tok, greedy_tok)
 
 

@@ -286,7 +286,12 @@ def logits(params: Params, hidden: jnp.ndarray) -> jnp.ndarray:
     acc = jnp.promote_types(hidden.dtype, jnp.float32)
     w = params["lm_head"]
     if is_quantized(w):
-        w = (w["q"].astype(hidden.dtype)) * w["scale"].astype(hidden.dtype)
+        # per-output-channel scale commutes with the contraction — scaling
+        # the (B, V) logits instead of the (H, V) weight avoids materializing
+        # a dequantized bf16 lm_head (400 MB at 7B) every decode step
+        y = jnp.dot(hidden, w["q"].astype(hidden.dtype),
+                    preferred_element_type=acc)
+        return (y * w["scale"][..., 0, :]).astype(jnp.float32)
     return jnp.dot(hidden, w, preferred_element_type=acc).astype(jnp.float32)
 
 
