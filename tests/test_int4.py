@@ -1,0 +1,212 @@
+"""int4 (group-wise s4) weight quantization — the beyond-reference tier.
+
+The reference caps at bitsandbytes int8 (`--load_in_8bit`,
+reference scripts/inference/inference.py:24-25); decode on TPU is
+weight-bandwidth-bound, so the s4 tier targets ~2x the int8 single-stream
+rate.  These tests pin the numerics: grouped quantize/dequant roundtrip,
+grouped matmul == dequantized dense matmul, scan-sliceability of the stacked
+layout, end-to-end tiny-model closeness, and host-side (numpy) parity.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from visualcla_tpu.ops.quantization import (
+    dequantize,
+    device_put_quantized,
+    is_grouped,
+    is_quantized,
+    q_matmul,
+    quantize_grouped,
+    quantize_grouped_np,
+    quantize_llama_tree,
+    quantize_tree,
+)
+
+
+def test_grouped_roundtrip_and_structure():
+    rng = np.random.default_rng(0)
+    w = rng.standard_normal((64, 48)).astype(np.float32) * 0.05
+    wq = quantize_grouped(w, group=16, bits=4)
+    assert is_quantized(wq) and is_grouped(wq)
+    assert wq["q"].shape == (4, 16, 48) and wq["q"].dtype == jnp.int4
+    assert wq["scale"].shape == (4, 48)
+    deq = np.asarray(dequantize(wq))
+    assert deq.shape == w.shape
+    # 4-bit symmetric: error bounded by half a quantization step per group
+    step = np.asarray(wq["scale"])  # (G, out)
+    err = np.abs(deq - w).reshape(4, 16, 48)
+    assert np.all(err <= step[:, None, :] * 0.5 + 1e-7)
+
+
+def test_grouped_matmul_matches_dequantized_dense():
+    rng = np.random.default_rng(1)
+    w = rng.standard_normal((64, 48)).astype(np.float32) * 0.05
+    x = rng.standard_normal((3, 64)).astype(np.float32)
+    wq = quantize_grouped(w, group=16, bits=4)
+    got = np.asarray(q_matmul(jnp.asarray(x), wq))
+    want = x @ np.asarray(dequantize(wq))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_grouped_matmul_leading_batch_dims():
+    rng = np.random.default_rng(2)
+    w = rng.standard_normal((32, 24)).astype(np.float32) * 0.1
+    x = rng.standard_normal((2, 5, 32)).astype(np.float32)
+    wq = quantize_grouped(w, group=8, bits=4)
+    got = np.asarray(q_matmul(jnp.asarray(x), wq))
+    want = x @ np.asarray(dequantize(wq))
+    assert got.shape == (2, 5, 24)
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_grouped_int8_variant():
+    rng = np.random.default_rng(3)
+    w = rng.standard_normal((32, 24)).astype(np.float32) * 0.1
+    wq = quantize_grouped(w, group=8, bits=8)
+    assert wq["q"].dtype == jnp.int8 and is_grouped(wq)
+    x = rng.standard_normal((4, 32)).astype(np.float32)
+    got = np.asarray(q_matmul(jnp.asarray(x), wq))
+    want = x @ np.asarray(dequantize(wq))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_stacked_grouped_leaf_survives_scan():
+    """The (L, G, gs, out) stacked layout must slice cleanly under lax.scan —
+    the decode loop scans the layer dim of every weight leaf."""
+    rng = np.random.default_rng(4)
+    L = 3
+    w = rng.standard_normal((L, 32, 16)).astype(np.float32) * 0.1
+    wq = quantize_grouped(w, group=8, bits=4)
+    assert wq["q"].shape == (L, 4, 8, 16)
+    x0 = jnp.asarray(rng.standard_normal((2, 32)).astype(np.float32))
+
+    def body(h, p):
+        y = q_matmul(h, p)
+        return h + jnp.pad(y, ((0, 0), (0, 16))), None
+
+    out, _ = jax.lax.scan(body, x0, wq)
+    want = np.asarray(x0)
+    for i in range(L):
+        sl = {"q": wq["q"][i], "scale": wq["scale"][i]}
+        want = want + np.pad(np.asarray(q_matmul(jnp.asarray(want), sl)),
+                             ((0, 0), (0, 16)))
+    np.testing.assert_allclose(np.asarray(out), want, rtol=1e-4, atol=1e-4)
+
+
+def test_quantize_grouped_np_matches_device():
+    rng = np.random.default_rng(5)
+    w = rng.standard_normal((32, 24)).astype(np.float32) * 0.1
+    host = quantize_grouped_np(w, group=8, bits=4)
+    assert host["q"].dtype == np.int8 and host["bits"] == 4
+    dev = device_put_quantized(host)
+    ref = quantize_grouped(w, group=8, bits=4)
+    np.testing.assert_array_equal(
+        np.asarray(dev["q"].astype(jnp.int8)), np.asarray(ref["q"].astype(jnp.int8)))
+    np.testing.assert_allclose(np.asarray(dev["scale"]), np.asarray(ref["scale"]))
+
+
+def test_indivisible_group_raises():
+    w = np.zeros((30, 8), np.float32)
+    with pytest.raises(ValueError):
+        quantize_grouped(w, group=16)
+    with pytest.raises(ValueError):
+        quantize_grouped_np(w, group=16)
+
+
+def test_int4_tiny_model_forward_close():
+    """quantize_tree(bits=4) on a tiny composite model: logits stay close to
+    dense (same bar as the int8 test, wider tolerance for 4 bits)."""
+    from visualcla_tpu.core.config import tiny_visualcla_config
+    from visualcla_tpu.models import visualcla as vmod
+    from visualcla_tpu.train import train_forward_logits
+
+    cfg = tiny_visualcla_config()
+    params = vmod.init_params(jax.random.PRNGKey(3), cfg, jnp.float32)
+    rng = np.random.default_rng(0)
+    B, S = 1, 16
+    ids = jnp.asarray(rng.integers(4, cfg.text_config.vocab_size, (B, S)), jnp.int32)
+    mask = jnp.ones((B, S), jnp.int32)
+    pos = jnp.full((B,), -1, jnp.int32)
+    dense = train_forward_logits(params, cfg, ids, mask, pos, None)
+    hidden = cfg.text_config.hidden_size
+    q = quantize_tree(params, bits=4, group=min(32, hidden))
+    quant = train_forward_logits(q, cfg, ids, mask, pos, None)
+    err = np.abs(np.asarray(dense) - np.asarray(quant)).max()
+    scale = np.abs(np.asarray(dense)).max()
+    assert err < 0.25 * scale, (err, scale)
+
+
+def test_int4_engine_generates():
+    """End-to-end: an Engine over an int4 tree prefills and decodes."""
+    from visualcla_tpu.core.config import tiny_visualcla_config
+    from visualcla_tpu.engine.generate import Engine
+    from visualcla_tpu.engine.sampling import SamplingConfig
+    from visualcla_tpu.models import visualcla as vmod
+
+    cfg = tiny_visualcla_config()
+    params = vmod.init_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+    hidden = cfg.text_config.hidden_size
+    q = quantize_tree(params, bits=4, group=min(32, hidden))
+    eng = Engine(q, cfg, eos_token_id=2, pad_token_id=0,
+                 max_seq_len=64, prompt_buckets=(32,), dtype=jnp.float32)
+    ids = jnp.asarray([[1, 5, 6, 7]], jnp.int32)
+    out = eng.generate(ids, sampling=SamplingConfig.greedy(max_new_tokens=4))
+    toks = np.asarray(out.tokens if hasattr(out, "tokens") else out)
+    assert toks.size >= 4
+
+
+def test_load_checkpoint_int4_streamed_and_sharded(tmp_path):
+    """quantize='int4' on load: grouped s4 layer matmuls + lm_head, per-row
+    int8 embedding, mesh placement keeps group dims unsharded inside gs."""
+    from jax.sharding import Mesh
+
+    from visualcla_tpu.checkpoint.serialize import load_checkpoint, save_checkpoint
+    from visualcla_tpu.core.config import tiny_visualcla_config
+    from visualcla_tpu.models import visualcla as vmod
+    from visualcla_tpu.train import train_forward_logits
+
+    cfg = tiny_visualcla_config()
+    params = vmod.init_params(jax.random.PRNGKey(1), cfg, jnp.float32)
+    out = str(tmp_path / "ck")
+    save_checkpoint(out, params, cfg, dtype="float32")
+
+    hidden = cfg.text_config.hidden_size
+    devices = np.asarray(jax.devices()[:4]).reshape(1, 4)
+    mesh = Mesh(devices, ("data", "model"))
+    qparams, cfg2 = load_checkpoint(out, mesh=mesh, quantize="int4",
+                                    group=min(8, hidden))
+    qp = qparams["text"]["layers"]["q_proj"]
+    assert is_grouped(qp) and qp["q"].dtype == jnp.int4
+    assert is_grouped(qparams["text"]["lm_head"])
+    emb = qparams["text"]["embed_tokens"]
+    assert is_quantized(emb) and not is_grouped(emb)
+    assert emb["q"].dtype == jnp.int8
+
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(4, cfg.text_config.vocab_size, (1, 12)), jnp.int32)
+    dense = train_forward_logits(params, cfg, ids, jnp.ones_like(ids),
+                                 jnp.full((1,), -1, jnp.int32), None)
+    quant = train_forward_logits(qparams, cfg2, ids, jnp.ones_like(ids),
+                                 jnp.full((1,), -1, jnp.int32), None)
+    err = np.abs(np.asarray(dense) - np.asarray(quant)).max()
+    assert err < 0.25 * np.abs(np.asarray(dense)).max()
+
+
+def test_quantize_llama_tree_int4_layout():
+    """bits=4: layer matmuls + lm_head grouped s4; embed stays per-row int8."""
+    from visualcla_tpu.core.config import tiny_visualcla_config
+    from visualcla_tpu.models import visualcla as vmod
+
+    cfg = tiny_visualcla_config()
+    params = vmod.init_params(jax.random.PRNGKey(1), cfg, jnp.float32)
+    hidden = cfg.text_config.hidden_size
+    q = quantize_llama_tree(params["text"], bits=4, group=min(32, hidden))
+    assert q["layers"]["q_proj"]["q"].dtype == jnp.int4
+    assert is_grouped(q["layers"]["q_proj"])
+    assert is_grouped(q["lm_head"]) and q["lm_head"]["q"].dtype == jnp.int4
+    assert q["embed_tokens"]["q"].dtype == jnp.int8
+    assert not is_grouped(q["embed_tokens"])

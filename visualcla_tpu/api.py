@@ -267,6 +267,7 @@ def get_model_and_tokenizer_and_processor(
     device_map=None,  # accepted for API compat
     load_in_8bit: bool = False,
     *,
+    load_in_4bit: bool = False,  # beyond-reference: group-wise s4 weights
     dtype=None,
     max_seq_len: int = 2048,
     mesh=None,
@@ -284,6 +285,7 @@ def get_model_and_tokenizer_and_processor(
 
     if dtype is None:
         dtype = jnp.bfloat16
+    quantize = "int4" if load_in_4bit else ("int8" if load_in_8bit else "none")
 
     tok_dir = visualcla_model or lora_model or text_model
     tokenizer = VisualCLATokenizer.from_pretrained(tok_dir)
@@ -293,8 +295,7 @@ def get_model_and_tokenizer_and_processor(
             from .checkpoint.serialize import load_checkpoint
 
             params, cfg = load_checkpoint(
-                visualcla_model, mesh=mesh, dtype=dtype,
-                quantize_int8=load_in_8bit,
+                visualcla_model, mesh=mesh, dtype=dtype, quantize=quantize,
             )
         else:
             logger.info("converting reference merged checkpoint in-memory")
@@ -319,14 +320,26 @@ def get_model_and_tokenizer_and_processor(
             if cfg.use_visual_resampler:
                 params["resampler"] = resampler_tree_from_sd(root_sd)
             cfg = _sync_config(cfg, params)
-            if load_in_8bit:  # quantize on host before any device placement
-                from .ops.quantization import INT8_TEXT_LEAVES, quantize_np
+            if quantize != "none":  # quantize on host before device placement
+                from .ops.quantization import (
+                    INT8_TEXT_LEAVES, effective_group, quantize_grouped_np,
+                    quantize_np,
+                )
 
                 from .checkpoint.serialize import flatten_tree, unflatten_tree
 
                 flat = flatten_tree(params)
                 for k, ax in INT8_TEXT_LEAVES.items():
-                    if k in flat:
+                    if k not in flat:
+                        continue
+                    eff = (effective_group(flat[k].shape[-2])
+                           if quantize == "int4" and k != "text/embed_tokens"
+                           else None)
+                    if eff is not None:
+                        qd = quantize_grouped_np(flat[k], group=eff, bits=4)
+                        flat[k] = {"q": jnp.asarray(qd["q"]).astype(jnp.int4),
+                                   "scale": qd["scale"]}
+                    else:
                         flat[k] = quantize_np(flat[k], axis=ax)
                 params = unflatten_tree(flat)
             params = _place(params, dtype, mesh)
@@ -345,7 +358,7 @@ def get_model_and_tokenizer_and_processor(
                 vocab_size=len(tokenizer),
             )
             params, cfg = load_checkpoint(
-                tmp, mesh=mesh, dtype=dtype, quantize_int8=load_in_8bit
+                tmp, mesh=mesh, dtype=dtype, quantize=quantize
             )
 
     proc_src = visualcla_model or vision_model or lora_model

@@ -90,16 +90,25 @@ def load_checkpoint(
     mesh: Optional[Any] = None,
     dtype=None,
     quantize_int8: bool = False,
+    quantize: Optional[str] = None,  # None/"none" | "int8" | "int4"
+    group: int = 128,
 ):
     """-> (params pytree on device, VisualCLAConfig).
 
     Tensors stream off the mmap'd file one at a time on the HOST (peak host
-    memory ~1 tensor), are optionally int8-quantized there (``quantize_int8``:
-    the reference's load_in_8bit scope — text tower only), and are placed
-    directly with their TP sharding when ``mesh`` is given.  The bf16 original
-    of a quantized weight never touches device HBM.
+    memory ~1 tensor), are optionally quantized there (``quantize='int8'`` is
+    the reference's load_in_8bit scope — text tower only; ``'int4'`` is the
+    beyond-reference group-wise s4 tier: layer matmuls + lm_head grouped,
+    embedding per-row int8), and are placed directly with their TP sharding
+    when ``mesh`` is given.  The bf16 original of a quantized weight never
+    touches device HBM.  ``quantize_int8`` is the legacy bool alias.
     """
     from safetensors import safe_open
+
+    if quantize in (None, "none"):
+        quantize = "int8" if quantize_int8 else "none"
+    if quantize not in ("none", "int8", "int4"):
+        raise ValueError(f"quantize must be none/int8/int4, got {quantize!r}")
 
     cfg = VisualCLAConfig.from_pretrained(ckpt_dir)
     path = os.path.join(ckpt_dir, "params.safetensors")
@@ -109,30 +118,57 @@ def load_checkpoint(
 
         from ..parallel import sharding as shd
 
-    def place(arr, flat_key):
+    def place(arr, flat_key, spec=None, keep_dtype=False):
         target = None
         if (dtype is not None and jnp.issubdtype(arr.dtype, jnp.floating)
-                and not flat_key.endswith("/scale")):
-            # int8 quantization scales stay fp32 (the dequant precision
+                and not keep_dtype and not flat_key.endswith("/scale")):
+            # quantization scales stay fp32 (the dequant precision
             # contract — save_checkpoint preserves them fp32 too)
             target = dtype
         if mesh is None:
             out = jnp.asarray(arr, target)
         else:
-            spec = shd._lookup_flat(flat_key)
+            if spec is None:
+                spec = shd._lookup_flat(flat_key)
             spec = shd._valid_spec(spec, arr.shape, mesh)
             out = jax.device_put(
                 jnp.asarray(arr, target), NamedSharding(mesh, spec)
             )
         return out
 
-    from ..ops.quantization import INT8_TEXT_LEAVES, quantize_np
+    from ..ops.quantization import (
+        INT8_TEXT_LEAVES, effective_group, quantize_grouped_np, quantize_np,
+    )
+
+    # int4 scope: grouped s4 for the matmul leaves; per-row int8 embedding
+    # (gathers don't benefit from grouping — ops/quantization.py)
+    int4_grouped = {
+        k for k in INT8_TEXT_LEAVES if k != "text/embed_tokens"
+    }
 
     flat = {}
     with safe_open(path, framework="np") as f:
         for k in f.keys():
             arr = f.get_tensor(k)
-            if quantize_int8 and k in INT8_TEXT_LEAVES:
+            eff = (effective_group(arr.shape[-2], group)
+                   if quantize == "int4" and k in int4_grouped else None)
+            if eff is not None:
+                qd = quantize_grouped_np(arr, group=eff, bits=4)
+                q4 = jnp.asarray(qd["q"]).astype(jnp.int4)
+                spec = None
+                if mesh is not None:
+                    # the contraction dim split into (G, gs): carry the base
+                    # spec's in-dim axis on G, never on gs (a 'model'-divisible
+                    # gs would otherwise silently shard inside a group)
+                    base = tuple(shd._lookup_flat(k))
+                    base = base + (None,) * (arr.ndim - len(base))
+                    from jax.sharding import PartitionSpec as P
+                    spec = P(*base[:-1], None, base[-1])
+                flat[k] = {
+                    "q": place(q4, k, spec=spec, keep_dtype=True),
+                    "scale": place(qd["scale"], k + "/scale"),
+                }
+            elif quantize in ("int8", "int4") and k in INT8_TEXT_LEAVES:
                 qd = quantize_np(arr, axis=INT8_TEXT_LEAVES[k])
                 flat[k] = {
                     "q": place(qd["q"], k),

@@ -286,6 +286,12 @@ def logits(params: Params, hidden: jnp.ndarray) -> jnp.ndarray:
     acc = jnp.promote_types(hidden.dtype, jnp.float32)
     w = params["lm_head"]
     if is_quantized(w):
+        from ..ops.quantization import is_grouped
+        if is_grouped(w):
+            # grouped s4 head: the batched-over-groups dot already accumulates
+            # the partials in fp32 and never materializes a dequantized head
+            from ..ops.quantization import _q_matmul_grouped
+            return _q_matmul_grouped(hidden, w, out_dtype=jnp.float32)
         # per-output-channel scale commutes with the contraction — scaling
         # the (B, V) logits instead of the (H, V) weight avoids materializing
         # a dequantized bf16 lm_head (400 MB at 7B) every decode step

@@ -1,5 +1,7 @@
-"""Weight-only int8 quantization — the TPU replacement for bitsandbytes
-``load_in_8bit`` (reference modeling_visualcla.py:138,155; inference.py:24-25).
+"""Weight-only int8/int4 quantization — the TPU replacement for bitsandbytes
+``load_in_8bit`` (reference modeling_visualcla.py:138,155; inference.py:24-25),
+plus an int4 tier the reference doesn't have (decode is weight-bandwidth-bound
+on TPU, so each halving of weight bytes is ~2x single-stream tokens/s).
 
 Symmetric per-output-channel int8: W ≈ q * scale, q int8, scale = absmax/127
 per channel.  Weights live in HBM at 1 byte/param (halving the 7B decode's
@@ -7,8 +9,18 @@ bandwidth bill vs bf16); the dequant happens in-register as part of the matmul
 (XLA fuses the convert+scale into the dot's operand).  Matches the reference's
 scope: only the **text tower** quantizes (vision/resampler stay dense).
 
+int4 uses XLA's native s4 dtype (bit-packed 2/byte in TPU HBM) with
+**group-wise** scales along the contraction dim (default group 128, the
+GPTQ/AWQ convention) to keep quantization error acceptable at 4 bits:
+W[(g), out] ≈ q[(g), out] * scale[g, out].  The matmul is one dot_general
+batched over groups with the scale applied to the per-group partials — the
+dot still consumes raw s4 (no dequantized weight temp in HBM; see q_matmul's
+post-dot-scale note).
+
 A quantized weight is a dict {"q": int8 (..., in, out), "scale": f32 (..., 1, out)}
-— model code dispatches through ``q_matmul``/``q_embed`` below.
+(per-channel) or {"q": int4 (..., G, gs, out), "scale": f32 (..., G, out)}
+(group-wise; detected structurally by ``is_grouped`` so the dict survives
+``lax.scan`` slicing) — model code dispatches through ``q_matmul``/``q_take``.
 """
 from __future__ import annotations
 
@@ -49,6 +61,77 @@ def quantize(w, axis: int = -2):
     return {"q": q, "scale": scale.astype(jnp.float32)}
 
 
+def effective_group(in_dim: int, group: int = 128):
+    """Largest usable group size for a contraction dim: the requested group
+    when it divides, else the largest power-of-two divisor of ``in_dim`` that
+    is <= group (grouping needs in_dim % group == 0).  Returns None when no
+    divisor >= 8 exists — callers fall back to per-channel int8 for that leaf
+    (a <8-wide group would mean more scale bytes than a useful win)."""
+    if in_dim % group == 0:
+        return group
+    g = group
+    while g >= 8:
+        if in_dim % g == 0:
+            return g
+        g //= 2
+    return None
+
+
+def quantize_grouped(w, group: int = 128, bits: int = 4):
+    """Group-wise symmetric quantization along the contraction (second-to-last)
+    dim: W (..., in, out) -> {"q": s4 (..., G, gs, out), "scale": f32
+    (..., G, out)} with G = in/group groups.  The group axis is materialized in storage
+    (no in-graph reshape of the weight at each decode step).  bits=4 uses the
+    symmetric range ±7 (s4 holds [-8, 7])."""
+    assert bits in (4, 8)
+    w = jnp.asarray(w)
+    in_dim = w.shape[-2]
+    if in_dim % group:
+        raise ValueError(f"contraction dim {in_dim} not divisible by group {group}")
+    g = in_dim // group
+    lead = w.shape[:-2]
+    wg = w.astype(jnp.float32).reshape(*lead, g, group, w.shape[-1])
+    lim = 7 if bits == 4 else 127
+    absmax = jnp.max(jnp.abs(wg), axis=-2, keepdims=True)
+    scale = absmax / lim
+    scale = jnp.where(scale == 0, 1.0, scale)
+    q = jnp.clip(jnp.round(wg / scale), -lim, lim)
+    q = q.astype(jnp.int4 if bits == 4 else jnp.int8)
+    # NOTE no static "group" leaf: grouped-ness is detected structurally
+    # (q.ndim == scale.ndim + 1) so the dict survives lax.scan slicing over a
+    # stacked layer axis, where every leaf must be an array.
+    return {"q": q, "scale": scale[..., 0, :].astype(jnp.float32)}
+
+
+def quantize_grouped_np(w: np.ndarray, group: int = 128, bits: int = 4) -> dict:
+    """Host-side (numpy) group-wise quantization.  numpy has no int4, so "q"
+    is int8 with values in ±7 and a "bits" marker — ``device_put_quantized``
+    (or any jnp.asarray(...).astype(jnp.int4)) narrows it on transfer."""
+    assert bits in (4, 8)
+    wf = np.asarray(w, np.float32)
+    in_dim = wf.shape[-2]
+    if in_dim % group:
+        raise ValueError(f"contraction dim {in_dim} not divisible by group {group}")
+    g = in_dim // group
+    lead = wf.shape[:-2]
+    wg = wf.reshape(*lead, g, group, wf.shape[-1])
+    lim = 7 if bits == 4 else 127
+    absmax = np.max(np.abs(wg), axis=-2, keepdims=True)
+    scale = absmax / lim
+    scale[scale == 0] = 1.0
+    q = np.clip(np.round(wg / scale), -lim, lim).astype(np.int8)
+    return {"q": q, "scale": scale[..., 0, :].astype(np.float32), "bits": bits}
+
+
+def device_put_quantized(wq: dict):
+    """Move a host-side grouped dict to device, narrowing int8-held int4."""
+    bits = wq.get("bits", 8)
+    q = jnp.asarray(wq["q"])
+    if bits == 4:
+        q = q.astype(jnp.int4)
+    return {"q": q, "scale": jnp.asarray(wq["scale"])}
+
+
 def quantize_kv(x: jnp.ndarray):
     """Per-token-per-head int8 for KV caches: x (..., Nkv, hd) ->
     (int8 same shape, scales (..., Nkv) f32).  Shared by the paged pool and
@@ -62,11 +145,22 @@ def quantize_kv(x: jnp.ndarray):
 
 
 def dequantize(wq: dict, dtype=jnp.float32):
+    if is_grouped(wq):
+        w = wq["q"].astype(jnp.float32) * wq["scale"][..., None, :]
+        lead = w.shape[:-3]
+        return w.reshape(*lead, w.shape[-3] * w.shape[-2], w.shape[-1]).astype(dtype)
     return (wq["q"].astype(jnp.float32) * wq["scale"]).astype(dtype)
 
 
 def is_quantized(w) -> bool:
     return isinstance(w, dict) and "q" in w and "scale" in w
+
+
+def is_grouped(w) -> bool:
+    """Group-wise layout: q (..., G, gs, out) has one more dim than scale
+    (..., G, out).  Per-channel layouts have equal ndim (scale keeps a
+    broadcast dim)."""
+    return is_quantized(w) and w["q"].ndim == w["scale"].ndim + 1
 
 
 def q_matmul(x, w: Union[dict, jnp.ndarray]):
@@ -81,8 +175,34 @@ def q_matmul(x, w: Union[dict, jnp.ndarray]):
     of the 7B B=8 paged step (bitcast_multiply_fusion in the HLO)."""
     if not is_quantized(w):
         return x @ w
+    if is_grouped(w):
+        return _q_matmul_grouped(x, w)
     y = x @ w["q"].astype(x.dtype)
     return y * w["scale"][..., 0, :].astype(x.dtype)
+
+
+def _q_matmul_grouped(x, w: dict, out_dtype=None):
+    """x (..., in) @ grouped weight {q (G, gs, out), scale (G, out)}: ONE
+    dot_general batched over groups, scales applied to the fp32 per-group
+    partials, summed.  The dot's RHS stays raw s4/s8 (XLA fuses the narrow
+    convert into the operand read — no dequantized weight temp in HBM), and
+    the scale never touches the weight-sized tensor."""
+    import jax
+
+    q, s = w["q"], w["scale"]  # (G, gs, out), (G, out)
+    if q.ndim != 3:
+        raise ValueError(
+            f"grouped q_matmul expects an unstacked (G, gs, out) weight, got "
+            f"shape {q.shape} — slice the layer dim before dispatch")
+    g = q.shape[0]
+    xg = x.reshape(*x.shape[:-1], g, q.shape[1])  # (..., G, gs)
+    y = jax.lax.dot_general(
+        xg, q.astype(x.dtype),
+        (((xg.ndim - 1,), (1,)), ((xg.ndim - 2,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # (G, ..., out)
+    y = y * s.reshape(g, *(1,) * (y.ndim - 2), s.shape[-1])
+    return jnp.sum(y, axis=0).astype(out_dtype or x.dtype)
 
 
 def q_take(w: Union[dict, jnp.ndarray], ids, axis: int = 0):
@@ -95,25 +215,39 @@ def q_take(w: Union[dict, jnp.ndarray], ids, axis: int = 0):
     return rows * scales
 
 
-def quantize_llama_tree(text_params: dict) -> dict:
-    """Quantize the LLaMA tower's matmul weights (norms stay fp)."""
+def quantize_llama_tree(text_params: dict, bits: int = 8, group: int = 128) -> dict:
+    """Quantize the LLaMA tower's matmul weights (norms stay fp).
+
+    bits=8: per-output-channel int8 everywhere (the reference's load_in_8bit
+    scope).  bits=4: group-wise s4 for the layer matmuls and lm_head; the
+    embedding table stays per-row int8 (gathers don't benefit from grouping
+    and the table is read once per prompt token, not per step)."""
     lyr = text_params["layers"]
     qlayers = dict(lyr)
+    def q4_or_int8(w):
+        eff = effective_group(w.shape[-2], group)
+        if bits == 4 and eff is not None:
+            return quantize_grouped(w, group=eff, bits=4)
+        return quantize(w, axis=-2)  # (L, in, out): channel=out
+
     for k in ("q_proj", "k_proj", "v_proj", "o_proj", "gate_proj", "up_proj", "down_proj"):
-        qlayers[k] = quantize(lyr[k], axis=-2)  # (L, in, out): channel=out
+        qlayers[k] = q4_or_int8(lyr[k]) if bits == 4 else quantize(lyr[k], axis=-2)
     out = dict(text_params)
     out["layers"] = qlayers
     out["embed_tokens"] = quantize(text_params["embed_tokens"], axis=-1)  # per-row
-    out["lm_head"] = quantize(text_params["lm_head"], axis=-2)
+    if bits == 4:
+        out["lm_head"] = q4_or_int8(text_params["lm_head"])
+    else:
+        out["lm_head"] = quantize(text_params["lm_head"], axis=-2)
     return out
 
 
-def quantize_tree(params: dict) -> dict:
-    """Composite tree: int8 text tower, everything else untouched (the
-    reference's load_in_8bit scope)."""
+def quantize_tree(params: dict, bits: int = 8, group: int = 128) -> dict:
+    """Composite tree: quantized text tower, everything else untouched (the
+    reference's load_in_8bit scope; bits=4 is the beyond-reference tier)."""
     out = dict(params)
     if "text" in params:
-        out["text"] = quantize_llama_tree(params["text"])
+        out["text"] = quantize_llama_tree(params["text"], bits=bits, group=group)
     elif "embed_tokens" in params:
-        out = quantize_llama_tree(params)
+        out = quantize_llama_tree(params, bits=bits, group=group)
     return out
