@@ -108,14 +108,17 @@ def warm(quant: str) -> bool:
 
 
 def main() -> int:
-    # bench.py's headline is int8 now, with bf16 on the same line: warm both
-    # by default (--bf16-only / --int8-only to narrow)
+    # bench.py's headline is the fastest quantized tier (int4 when it wins),
+    # with int8 + bf16 on the same line: warm all three by default
+    # (--bf16-only / --int8-only / --int4-only to narrow)
     if "--bf16-only" in sys.argv:
         quants = ["bf16"]
     elif "--int8-only" in sys.argv or "--int8" in sys.argv:
         quants = ["int8"]
+    elif "--int4-only" in sys.argv:
+        quants = ["int4"]
     else:
-        quants = ["int8", "bf16"]
+        quants = ["int4", "int8", "bf16"]
     all_ok = True
     for q in quants:
         all_ok = warm(q) and all_ok
