@@ -108,9 +108,13 @@ def test_chat_stream_matches_blocking(loaded):
 
 
 @pytest.mark.slow
-def test_load_reference_merged_dir_with_int8(tmp_path):
+@pytest.mark.parametrize("quant_kw", [
+    {"load_in_8bit": True},
+    {"load_in_4bit": True},  # beyond-reference grouped-s4 tier
+])
+def test_load_reference_merged_dir_quantized(tmp_path, quant_kw):
     """get_model... on a reference-layout merged dir (in-memory conversion)
-    with load_in_8bit: quantized text tower, chat runs."""
+    with load_in_8bit / load_in_4bit: quantized text tower, chat runs."""
     import visualcla_tpu as v
     from tests.test_checkpoint import build_merged_dir
     from visualcla_tpu.ops.quantization import is_quantized
@@ -128,10 +132,14 @@ def test_load_reference_merged_dir_with_int8(tmp_path):
     ImageProcessor(image_size=28, crop_size=28).save_pretrained(merged)
 
     model, tok, proc = v.get_model_and_tokenizer_and_processor(
-        visualcla_model=merged, load_in_8bit=True,
+        visualcla_model=merged, **quant_kw,
         dtype=jnp.float32, max_seq_len=256,
     )
-    assert is_quantized(model.params["text"]["layers"]["q_proj"])
+    qp = model.params["text"]["layers"]["q_proj"]
+    assert is_quantized(qp)
+    if "load_in_4bit" in quant_kw:
+        # grouped layout: (..., G, gs, out) s4 q + (..., G, out) scales
+        assert qp["q"].ndim == qp["scale"].ndim + 1
     assert not is_quantized(model.params["vision"]["layers"]["q_proj"])
     from visualcla_tpu.api import chat
 
