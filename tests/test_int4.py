@@ -210,3 +210,58 @@ def test_quantize_llama_tree_int4_layout():
     assert is_grouped(q["lm_head"]) and q["lm_head"]["q"].dtype == jnp.int4
     assert q["embed_tokens"]["q"].dtype == jnp.int8
     assert not is_grouped(q["embed_tokens"])
+
+
+def test_grouped_matmul_prefill_branch_matches():
+    """Past the token-count crossover (T*4 > gs*2) q_matmul switches to
+    dequantize-then-dot — the grouped (G, T, out) fp32 partials tensor would
+    cost GBs at prefill sizes (code-review round 2).  Both branches must
+    agree numerically."""
+    rng = np.random.default_rng(3)
+    w = rng.standard_normal((64, 48)).astype(np.float32) * 0.05
+    wq = quantize_grouped(w, group=16, bits=4)  # gs=16: crossover at T>8
+    x_small = rng.standard_normal((4, 64)).astype(np.float32)   # grouped path
+    x_large = rng.standard_normal((32, 64)).astype(np.float32)  # dequant path
+    want_s = x_small @ np.asarray(dequantize(wq))
+    want_l = x_large @ np.asarray(dequantize(wq))
+    np.testing.assert_allclose(
+        np.asarray(q_matmul(jnp.asarray(x_small), wq)), want_s,
+        rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(q_matmul(jnp.asarray(x_large), wq)), want_l,
+        rtol=2e-5, atol=2e-5)
+
+
+def test_grouped_leaf_tp_specs_keep_group_inner_unsharded():
+    """shard_params on a grouped-int4 tree: 'model' must land on the OUT dim
+    of q (..., G, gs, out) — never on gs — and q/scale shardings must agree
+    (code-review round 2; mirrors checkpoint/serialize.py's streamed rule)."""
+    from jax.sharding import Mesh
+
+    from visualcla_tpu.core.config import tiny_visualcla_config
+    from visualcla_tpu.models import visualcla as vmod
+    from visualcla_tpu.parallel.sharding import shard_params
+
+    cfg = tiny_visualcla_config()
+    params = vmod.init_params(jax.random.PRNGKey(1), cfg, jnp.float32)
+    hidden = cfg.text_config.hidden_size
+    gs = min(8, hidden)
+    params["text"] = quantize_llama_tree(params["text"], bits=4, group=gs)
+    devices = np.asarray(jax.devices()[:4]).reshape(1, 4)
+    mesh = Mesh(devices, ("data", "model"))
+    sharded = shard_params(params, mesh)
+
+    qp = sharded["text"]["layers"]["q_proj"]  # column-parallel (out sharded)
+    q_spec = qp["q"].sharding.spec        # (L, G, gs, out)
+    s_spec = qp["scale"].sharding.spec    # (L, G, out)
+    assert len(q_spec) < 3 or q_spec[2] is None  # gs never sharded
+    L, G, gs_, out = qp["q"].shape
+    if out % 4 == 0:
+        assert tuple(q_spec)[-1] == "model" and tuple(s_spec)[-1] == "model"
+    # row-parallel leaf: 'model' on the group dim G for q AND scale alike
+    dp = sharded["text"]["layers"]["down_proj"]
+    dq_spec = tuple(dp["q"].sharding.spec)
+    ds_spec = tuple(dp["scale"].sharding.spec)
+    if dp["q"].shape[1] % 4 == 0:
+        assert dq_spec[1] == "model" and ds_spec[1] == "model"
+    assert len(dq_spec) < 3 or dq_spec[2] is None

@@ -640,7 +640,10 @@ class PagedServingEngine:
             def start(s, lens, h, meta):
                 run = s.active & ~s.finished
                 lens2 = lens + run.astype(jnp.int32)
-                meta = self._append_meta(s, tables, lens2)
+                # positions are constant within a step: rope rides the meta
+                # carry instead of being recomputed on all L layer iterations
+                meta = self._append_meta(s, tables, lens2) + rope_table(
+                    s.positions[:, None], cfg.head_dim, cfg.rope_theta)
                 return s, lens2, llama.embed(
                     text, s.last_token[:, None]).astype(h.dtype), meta
 
@@ -648,10 +651,8 @@ class PagedServingEngine:
                 li == 0, start,
                 lambda s, lens, h, meta: (s, lens, h, meta),
                 s, lens, h, meta)
-            run, blk, off, lens_attn = meta
+            run, blk, off, lens_attn, cos, sin = meta
             p_l = slice_layer(li)
-            cos, sin = rope_table(s.positions[:, None], cfg.head_dim,
-                                  cfg.rope_theta)
             h, kp, vp, ks, vs = paged_layer_step(
                 p_l, cfg, h, cos, sin, s.k_pool, s.v_pool,
                 s.k_scales, s.v_scales, tables, lens_attn, blk, off, li, act)
@@ -669,7 +670,8 @@ class PagedServingEngine:
             return s, lens, h, meta, i, (li + 1) % L
 
         h0 = llama.embed(text, state.last_token[:, None])
-        meta0 = self._append_meta(state, tables, lens)
+        meta0 = self._append_meta(state, tables, lens) + rope_table(
+            state.positions[:, None], cfg.head_dim, cfg.rope_theta)
         state, lens, _, _, _, _ = jax.lax.while_loop(
             cond, body,
             (state, lens, h0, meta0, jnp.int32(0), jnp.int32(0)))

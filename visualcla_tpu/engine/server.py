@@ -492,13 +492,16 @@ class Scheduler:
             if self._rows:
                 step_n = getattr(eng, "step_n", None)
                 # chunk unless an admission could actually happen right now:
-                # either nothing is waiting, or no row is free to admit into
-                # (a full pool can't admit — single-stepping would only add
-                # dispatch overhead while waiting for a row to finish)
+                # nothing is waiting, or no row is free to admit into, or the
+                # waiter was just deferred by can_admit (KV blocks exhausted).
+                # In every one of those states admission needs a row to
+                # FINISH first — which step_n's early-exit detects — so
+                # single-stepping would only add dispatch overhead.
                 nothing_waiting = deferred is None and self.requests.empty()
                 pool_full = len(self._rows) >= eng.B
+                block_bound = deferred is not None  # can_admit failed above
                 if (step_n is not None and self.step_chunk > 1
-                        and (nothing_waiting or pool_full)):
+                        and (nothing_waiting or pool_full or block_bound)):
                     # fused chunk (stops early when any row finishes — see
                     # _step_n_impl — so retirement/admission isn't delayed)
                     step_n(self.step_chunk)

@@ -182,11 +182,21 @@ def q_matmul(x, w: Union[dict, jnp.ndarray]):
 
 
 def _q_matmul_grouped(x, w: dict, out_dtype=None):
-    """x (..., in) @ grouped weight {q (G, gs, out), scale (G, out)}: ONE
-    dot_general batched over groups, scales applied to the fp32 per-group
-    partials, summed.  The dot's RHS stays raw s4/s8 (XLA fuses the narrow
-    convert into the operand read — no dequantized weight temp in HBM), and
-    the scale never touches the weight-sized tensor."""
+    """x (..., in) @ grouped weight {q (G, gs, out), scale (G, out)}.
+
+    DECODE (few tokens): ONE dot_general batched over groups, scales applied
+    to the fp32 per-group partials, summed.  The dot's RHS stays raw s4/s8
+    (XLA fuses the narrow convert into the operand read — no dequantized
+    weight temp in HBM), and the scale never touches a weight-sized tensor.
+
+    PREFILL (many tokens): the grouped form's (G, T, out) fp32 partials
+    tensor scales with token count T — at T=2048, out=11008, G=32 that is
+    ~2.9 GB written+read per matmul (the sum over G cannot fuse into the
+    dot).  Past the crossover (partials bytes > dequantized-weight bytes,
+    i.e. T*4 > gs*2) we dequantize to ONE (in, out) x.dtype weight temp and
+    run a plain dot instead — prefill is MXU-bound, the extra HBM temp is
+    bounded by the weight size, and decode programs (T = batch <= gs/2)
+    never take this branch."""
     import jax
 
     q, s = w["q"], w["scale"]  # (G, gs, out), (G, out)
@@ -194,6 +204,11 @@ def _q_matmul_grouped(x, w: dict, out_dtype=None):
         raise ValueError(
             f"grouped q_matmul expects an unstacked (G, gs, out) weight, got "
             f"shape {q.shape} — slice the layer dim before dispatch")
+    tokens = 1
+    for d in x.shape[:-1]:
+        tokens *= d
+    if tokens * 4 > q.shape[1] * 2:  # fp32 partials vs x.dtype weight temp
+        return (x @ dequantize(w, x.dtype)).astype(out_dtype or x.dtype)
     g = q.shape[0]
     xg = x.reshape(*x.shape[:-1], g, q.shape[1])  # (..., G, gs)
     y = jax.lax.dot_general(

@@ -113,7 +113,20 @@ def _tree_specs(tree, rules: dict, prefix=()) -> dict:
     for k, v in tree.items():
         path = prefix + (k,)
         if isinstance(v, dict):
-            out[k] = _tree_specs(v, rules, path)
+            if (set(v.keys()) == {"q", "scale"}
+                    and np.ndim(v["q"]) == np.ndim(v["scale"]) + 1):
+                # GROUPED quantized leaf: q (..., G, gs, out), scale
+                # (..., G, out).  The base rule maps the ORIGINAL (..., in,
+                # out) weight; the contraction dim split into (G, gs) must
+                # carry the in-dim axis on G, never on gs (a 'model'-divisible
+                # gs would silently shard inside a group — same rule as
+                # checkpoint/serialize.py's streamed int4 load).
+                base = tuple(_lookup(rules, path))
+                base = base + (None,) * (np.ndim(v["scale"]) - len(base))
+                out[k] = {"q": P(*base[:-1], None, base[-1]),
+                          "scale": P(*base)}
+            else:
+                out[k] = _tree_specs(v, rules, path)
         else:
             spec = _lookup(rules, path)
             # drop specs that don't divide the dim evenly or exceed rank
