@@ -273,3 +273,19 @@ def test_fused_beam_flat_structure_matches_host(models):
     got = beam_generate_fused(params, cfg, ids, None, None,
                               structure="flat", **kw)
     np.testing.assert_array_equal(np.asarray(want), np.asarray(got))
+
+
+def test_fused_beam_cache_cap_matches_host(models):
+    """Regression (code-review round 2): the fused loop's stop condition must
+    bind at the CALLER's max_seq_len, not at the 128/256-aligned cache
+    allocation — a non-multiple cap (S + k - 1) must emit exactly k tokens
+    and match the host scorer token for token."""
+    _, params, cfg = models
+    for seed, nb, k in [(7, 3, 4), (8, 2, 5)]:
+        rng = np.random.default_rng(seed)
+        ids = rng.integers(3, 60, size=(1, 9)).astype(np.int32)
+        _fused_vs_host(
+            cfg, params, ids,
+            num_beams=nb, max_new_tokens=16, eos_token_id=2,
+            pad_token_id=0, max_seq_len=ids.shape[1] + k - 1,
+        )

@@ -152,3 +152,53 @@ def test_spec_validation_skips_indivisible_dims(mesh8):
     assert spec == P()
     spec = sharding._valid_spec(P(None, "model"), (3, 8), mesh8)
     assert spec == P(None, "model")
+
+
+def test_beam_and_speculative_under_mesh_match_single_device(mesh8, tmp_path):
+    """Beam search and speculative decode trace their own jits OUTSIDE the
+    Engine's _scoped programs — the model's mesh must still reach the
+    attention dispatch at trace time (code-review round 2: the scope now
+    wraps the api-level beam dispatch and SpeculativeDecoder's jits, and the
+    override is thread-local)."""
+    import dataclasses
+    import json
+    import os
+
+    import visualcla_tpu as v
+    from tests.test_checkpoint import build_merged_dir
+    from visualcla_tpu.engine.sampling import SamplingConfig
+    from visualcla_tpu.processor import ImageProcessor
+    from visualcla_tpu.text import build_test_model
+
+    merged, _ = build_merged_dir(str(tmp_path))
+    chars = sorted(set("abcdefgh 图片?"))
+    sp = build_test_model(chars + ["ab"], [-100.0] * len(chars) + [-1.0],
+                          byte_fallback=False)
+    sp.save(os.path.join(merged, "tokenizer.model"))
+    with open(os.path.join(merged, "added_tokens.json"), "w") as f:
+        json.dump({"<pad>": sp.vocab_size, "<img>": sp.vocab_size + 1,
+                   "</img>": sp.vocab_size + 2,
+                   "<img_token>": sp.vocab_size + 3}, f)
+    ImageProcessor(image_size=28, crop_size=28).save_pretrained(merged)
+
+    plain, tok, _ = v.get_model_and_tokenizer_and_processor(
+        visualcla_model=merged, dtype=jnp.float32, max_seq_len=128)
+    meshed, _, _ = v.get_model_and_tokenizer_and_processor(
+        visualcla_model=merged, dtype=jnp.float32, max_seq_len=128,
+        mesh=mesh8)
+
+    rng = np.random.default_rng(0)
+    ids = rng.integers(4, 90, (1, 12)).astype(np.int32)
+    gc_beam = dataclasses.replace(
+        SamplingConfig.greedy(max_new_tokens=6), num_beams=2)
+    gc_greedy = SamplingConfig.greedy(max_new_tokens=6)
+
+    want_beam = np.asarray(plain.generate(ids, generation_config=gc_beam))
+    got_beam = np.asarray(meshed.generate(ids, generation_config=gc_beam))
+    np.testing.assert_array_equal(want_beam, got_beam)
+
+    want_spec = np.asarray(plain.generate(
+        ids, generation_config=gc_greedy, speculative=True, spec_k=3))
+    got_spec = np.asarray(meshed.generate(
+        ids, generation_config=gc_greedy, speculative=True, spec_k=3))
+    np.testing.assert_array_equal(want_spec, got_spec)

@@ -74,6 +74,7 @@ def main():
           f"({n} tokens in {dt_f:.2f}s)", flush=True)
 
     if "--host" in sys.argv:
+        kw.pop("structure", None)  # fused-only knob
         out = beam_generate(params, cfg, ids, None, None, **kw)  # compile
         t0 = time.perf_counter()
         out = beam_generate(params, cfg, ids, None, None, **kw)

@@ -111,6 +111,10 @@ class VisualCLA:
     ) -> np.ndarray:
         sampling = as_sampling_config(generation_config)
         img_pos = img_marker_positions(input_ids, self.tokenizer.img_start_token_id)
+        # beam paths trace their own jits at call time: the model's mesh must
+        # be in scope so cached_attention dispatches the shard_map'd kernel
+        # (the engine's own programs are scoped by Engine._scoped)
+        from .ops.attention import attention_mesh_scope
         if sampling.num_beams > 1 and not sampling.do_sample:
             # fused device-side scorer by default (zero per-step host round
             # trips; its loop structure self-selects by HBM fit — see
@@ -123,28 +127,30 @@ class VisualCLA:
             beam_fn = (beam_generate
                        if os.environ.get("VISUALCLA_BEAM") == "host"
                        else beam_generate_fused)
-            out = beam_fn(
-                self.params, self.config, np.asarray(input_ids),
-                pixel_values, img_pos,
-                num_beams=sampling.num_beams,
-                max_new_tokens=sampling.max_new_tokens,
-                eos_token_id=self.tokenizer.eos_token_id,
-                pad_token_id=self.tokenizer.pad_token_id,
-                length_penalty=sampling.length_penalty,
-                early_stopping=sampling.early_stopping,
-                dtype=self.engine.dtype,
-            )
+            with attention_mesh_scope(self.mesh):
+                out = beam_fn(
+                    self.params, self.config, np.asarray(input_ids),
+                    pixel_values, img_pos,
+                    num_beams=sampling.num_beams,
+                    max_new_tokens=sampling.max_new_tokens,
+                    eos_token_id=self.tokenizer.eos_token_id,
+                    pad_token_id=self.tokenizer.pad_token_id,
+                    length_penalty=sampling.length_penalty,
+                    early_stopping=sampling.early_stopping,
+                    dtype=self.engine.dtype,
+                )
             return out[None]
         if sampling.num_beams > 1 and sampling.do_sample:
             from .engine.beam import beam_sample_generate
 
-            out = beam_sample_generate(
-                self.params, self.config, np.asarray(input_ids),
-                pixel_values, img_pos, sampling,
-                eos_token_id=self.tokenizer.eos_token_id,
-                pad_token_id=self.tokenizer.pad_token_id,
-                seed=seed, dtype=self.engine.dtype,
-            )
+            with attention_mesh_scope(self.mesh):
+                out = beam_sample_generate(
+                    self.params, self.config, np.asarray(input_ids),
+                    pixel_values, img_pos, sampling,
+                    eos_token_id=self.tokenizer.eos_token_id,
+                    pad_token_id=self.tokenizer.pad_token_id,
+                    seed=seed, dtype=self.engine.dtype,
+                )
             return out[None]
         if speculative and sampling.mirostat_mode != 2:
             # greedy: token-identical; sampled: identical distribution

@@ -69,8 +69,11 @@ class PoolWorker:
             )
         self.scheduler = Scheduler(self.engine)
 
-    def submit(self, req: dict, timeout: float = 600.0) -> dict:
-        from visualcla_tpu.engine.server import generate_sync
+    def _prepare_request(self, req: dict):
+        """Shared blocking/streaming request prep: decode the base64 image,
+        build the prompt, locate the image marker, record the instruction in
+        the (mutated) history, extract sampling overrides.  One code path so
+        /chat and /chat_stream can never drift."""
         from visualcla_tpu.text import encoding_text
         from visualcla_tpu.text.prompt import img_marker_positions
 
@@ -95,10 +98,19 @@ class PoolWorker:
         overrides = {k: gc[k] for k in
                      ("temperature", "top_p", "repetition_penalty", "do_sample")
                      if k in gc}
+        return (ids, pixel_values, img_pos, history, overrides,
+                int(gc.get("max_new_tokens", 512)))
+
+    def submit(self, req: dict, timeout: float = 600.0) -> dict:
+        from visualcla_tpu.engine.server import generate_sync
+
+        model = self.model
+        ids, pixel_values, img_pos, history, overrides, max_new = (
+            self._prepare_request(req))
         out = generate_sync(
             self.scheduler, ids[0], pixel_values=pixel_values,
             img_start_pos=int(img_pos[0]),
-            max_new_tokens=int(gc.get("max_new_tokens", 512)),
+            max_new_tokens=max_new,
             sampling_overrides=overrides or None,
             timeout=timeout,
         )
@@ -112,33 +124,16 @@ class PoolWorker:
         them, so concurrent /chat_stream clients share every decode step
         (reference UX: text_generation_webui/script.py:102-114)."""
         from visualcla_tpu.engine.server import generate_stream
-        from visualcla_tpu.text import encoding_text
-        from visualcla_tpu.text.prompt import img_marker_positions
 
         model = self.model
-        history = req.get("history") or []
-        text = req["text"]
-        pixel_values = None
-        if req.get("image_b64"):
-            from PIL import Image
-
-            img = Image.open(io.BytesIO(base64.b64decode(req["image_b64"])))
-            pixel_values = model.image_processor(img)["pixel_values"]
-        enc = encoding_text(history, text, model.num_patch, model.tokenizer)
-        ids = enc["input_ids"]
-        img_pos = img_marker_positions(ids, model.tokenizer.img_start_token_id)
-        history.append({"type": "instruction", "value": text,
-                        **({"first_instruction": True} if not history else {})})
-        gc = req.get("generation_config") or {}
-        overrides = {k: gc[k] for k in
-                     ("temperature", "top_p", "repetition_penalty", "do_sample")
-                     if k in gc}
+        ids, pixel_values, img_pos, history, overrides, max_new = (
+            self._prepare_request(req))
         tokens: list = []
         response = ""
         for kind, payload in generate_stream(
             self.scheduler, ids[0], pixel_values=pixel_values,
             img_start_pos=int(img_pos[0]),
-            max_new_tokens=int(gc.get("max_new_tokens", 512)),
+            max_new_tokens=max_new,
             sampling_overrides=overrides or None, timeout=timeout,
         ):
             if kind == "token":

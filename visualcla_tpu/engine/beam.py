@@ -424,23 +424,32 @@ def beam_generate_fused(
     nb = num_beams
     T = max_new_tokens
     S = input_ids.shape[1]
-    Smax = max_seq_len or (S + max_new_tokens)
-    # align the cache's slot dim to the flash kernel's kv block so the
-    # stacked-cache read never pads (a pad would copy the whole cache in-loop)
-    Smax = -(-Smax // 128) * 128
+    # Scap is the CALLER's decode cap (HF cache-limit semantics — the host
+    # beam_generate stops at it); Smax is the cache ALLOCATION, aligned to
+    # the flash kernel's kv block so the stacked-cache read never pads (a
+    # pad would copy the whole cache in-loop).  Stop conditions must use
+    # Scap, not the rounded Smax, to stay bit-identical to beam_generate.
+    Scap = max_seq_len or (S + max_new_tokens)
+    Smax = -(-Scap // 128) * 128
     if Smax > 256:
         Smax = -(-Smax // 256) * 256
     text_cfg = cfg.text_config
     lp = float(length_penalty)
     NEG = jnp.float32(-1e9)
     if structure == "auto":
-        params_b = sum(
-            int(np.prod(x.shape)) * x.dtype.itemsize
-            for x in jax.tree.leaves(params)
-        )
-        limit = 16e9 if jax.default_backend() == "tpu" else float("inf")
-        structure = ("nested"
-                     if params_b * (1 + 3 / 16) + 1.5e9 < limit else "flat")
+        import os
+
+        from .generate import hbm_limit
+
+        structure = os.environ.get("VISUALCLA_BEAM_LOOP", "auto")
+        if structure not in ("flat", "nested"):
+            params_b = sum(
+                int(np.prod(x.shape)) * x.dtype.itemsize
+                for x in jax.tree.leaves(params)
+            )
+            structure = ("nested"
+                         if params_b * (1 + 3 / 16) + 1.5e9 < hbm_limit()
+                         else "flat")
 
     def hyp_add(hyp, ids_row, length, sum_logprob, enabled):
         """HF BeamHypotheses.add, vectorized: insert while count < nb, else
@@ -571,7 +580,7 @@ def beam_generate_fused(
                     cand_s, cand_b, cand_t, c["gen"], i, c["hyp"])
                 next_gen = c["gen"][next_b].at[:, i].set(next_t)
                 stop = (is_done(hyp, cand_s.max(), i + 1)
-                        | (c["slot"] + 1 >= Smax) | (i + 1 >= T))
+                        | (c["slot"] + 1 >= Scap) | (i + 1 >= T))
                 return dict(
                     c, gen=next_gen, scores=next_s, beams=next_b,
                     tokens=next_t, slot=c["slot"] + 1, pos=c["pos"] + 1,
@@ -606,7 +615,7 @@ def beam_generate_fused(
         next_s, next_b, next_t, hyp = process_candidates(
             cand_s, cand_b, cand_t, gen0, 0, hyp0)
         next_gen = gen0[next_b].at[:, 0].set(next_t)
-        stop0 = is_done(hyp, cand_s.max(), 1) | (S >= Smax) | (T <= 1)
+        stop0 = is_done(hyp, cand_s.max(), 1) | (S >= Scap) | (T <= 1)
         carry0 = dict(
             gen=next_gen, scores=next_s, beams=next_b, tokens=next_t,
             cache=cache, kv_valid=kv_valid, slot=jnp.int32(S),
@@ -627,7 +636,7 @@ def beam_generate_fused(
                 cand_s, cand_b, cand_t, c["gen"], i, c["hyp"])
             next_gen = c["gen"][next_b].at[:, i].set(next_t)
             stop = (is_done(hyp, cand_s.max(), i + 1)
-                    | (c["slot"] + 1 >= Smax) | (i + 1 >= T))
+                    | (c["slot"] + 1 >= Scap) | (i + 1 >= T))
             return dict(
                 gen=next_gen, scores=next_s, beams=next_b, tokens=next_t,
                 cache=cache, kv_valid=kv_valid, slot=c["slot"] + 1,

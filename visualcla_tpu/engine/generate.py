@@ -28,6 +28,16 @@ from ..models import llama, visualcla
 from .sampling import SamplingConfig, sample_step
 
 
+def hbm_limit() -> float:
+    """Per-chip HBM budget used by the loop-structure fit policies (Engine
+    decode, paged step_n, fused beam).  VISUALCLA_HBM_BYTES overrides."""
+    import os
+
+    return float(os.environ.get("VISUALCLA_HBM_BYTES", 0)) or (
+        16e9 if jax.default_backend() == "tpu" else float("inf")
+    )
+
+
 def pick_bucket(buckets: Tuple[int, ...], n: int) -> int:
     """Smallest bucket >= n (shared by all engines so policies can't drift)."""
     if not buckets:
@@ -167,9 +177,7 @@ class Engine:
                 int(np.prod(x.shape)) * x.dtype.itemsize
                 for x in jax.tree.leaves(state.cache)
             )
-            limit = float(os.environ.get("VISUALCLA_HBM_BYTES", 0)) or (
-                16e9 if jax.default_backend() == "tpu" else float("inf")
-            )
+            limit = hbm_limit()
             # int8-KV caches carry 4 leaves + in-loop dequant transients;
             # measured: 7B bf16 weights + int8 KV at B8 OOMs nested even
             # though the 4.2x estimate said it fit — be conservative there
@@ -435,9 +443,14 @@ class Engine:
         if pixel_values is not None:
             pixel_values = jnp.asarray(pixel_values, self.dtype)
         need = padded.shape[1] + sampling.max_new_tokens + extra_slots
-        cache_len = self.max_seq_len
-        if need > cache_len:
-            cache_len = -(-need // 256) * 256
+        cache_len = max(self.max_seq_len, need)
+        # ALWAYS align the cache's slot dim to the flash kernel's kv block:
+        # a non-multiple cache (e.g. max_seq_len=1000) would be whole-cache
+        # padded inside every stacked-cache flash read — an L-layer cache
+        # copy per layer per decode step (_flash_stacked pads to the block).
+        # Rounding up only allocates a few spare slots; decode stops are
+        # governed by max_new_tokens/kv_valid, not the cache size.
+        cache_len = -(-cache_len // 256) * 256
         cache = llama.init_kv_cache(
             self.cfg.text_config, B, cache_len, self.dtype, kv_quant=self.kv_quant
         )

@@ -69,7 +69,7 @@ def _paged_append(q, kn, vn, kp, vp, tables, lens, blk, off, layer,
     from ..ops import attention as attn_mod
     from ..parallel.sharding import MODEL
 
-    mesh = attn_mod._ATTN_MESH
+    mesh = attn_mod.current_attention_mesh()
     B, N, H = q.shape
     Nkv = kn.shape[1]
     if mesh is not None and MODEL in mesh.shape:
@@ -687,8 +687,9 @@ class PagedServingEngine:
         impl = os.environ.get("VISUALCLA_PAGED_LOOP")
         if impl in ("flat", "nested"):
             return impl
-        limit = float(os.environ.get("VISUALCLA_HBM_BYTES", 0)) or (
-            16e9 if jax.default_backend() == "tpu" else float("inf"))
+        from .generate import hbm_limit
+
+        limit = hbm_limit()
         pool_bytes = sum(
             int(np.prod(x.shape)) * x.dtype.itemsize
             for x in (self._state.k_pool, self._state.v_pool))

@@ -371,22 +371,25 @@ class SpeculativeDecoder:
         self.spec_k = spec_k
         self.max_ngram = max_ngram
         self.last_stats: dict = {}
-        self._loop = jax.jit(
+        # scope trace time to the engine's mesh (like Engine._scoped): under
+        # TP the attention dispatch must see the mesh or the flash kernel
+        # runs unsharded over GSPMD-sharded operands
+        self._loop = engine._scoped(jax.jit(
             _spec_loop,
             static_argnums=(1, 5),  # cfg_text, sampling (hashable dataclasses)
             static_argnames=(
                 "eos_token_id", "pad_token_id", "spec_k", "max_ngram",
             ),
             donate_argnums=(2,),
-        )
-        self._chunk = jax.jit(
+        ))
+        self._chunk = engine._scoped(jax.jit(
             spec_chunk,
             static_argnums=(1, 5),
             static_argnames=(
                 "eos_token_id", "pad_token_id", "spec_k", "max_ngram",
             ),
             donate_argnums=(2,),
-        )
+        ))
 
     def _to_spec_state(self, st: DecodeState, B: int, max_new: int) -> SpecState:
         K = self.spec_k

@@ -255,11 +255,12 @@ def layer_forward(
         # Valid because the Engine's prefill writes from slot 0 and only the
         # chunk's slots are kv-valid, so chunk attention == cache attention;
         # causality uses slot indices as positions (write_slot == 0).
-        from ..ops.attention import _ATTN_MESH
+        from ..ops.attention import current_attention_mesh
         from ..parallel.ring import ring_attention_sharded
 
         attn = ring_attention_sharded(
-            q, k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3), _ATTN_MESH,
+            q, k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3),
+            current_attention_mesh(),
             seq_axis=ring_axis, kv_valid=kv_valid[:, :Sq], causal=True,
         )
     elif quant:

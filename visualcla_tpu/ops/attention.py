@@ -70,13 +70,24 @@ def set_attention_impl(name: str | None) -> None:
 
 
 def set_attention_mesh(mesh) -> None:
-    """Register the mesh used to shard_map the flash kernel (heads on 'model',
-    batch on 'data').  None reverts to single-device dispatch."""
+    """Register the process-wide default mesh used to shard_map the flash
+    kernel (heads on 'model', batch on 'data').  None reverts to
+    single-device dispatch.  Scoped overrides (below) take precedence."""
     global _ATTN_MESH
     _ATTN_MESH = mesh
 
 
 import contextlib  # noqa: E402
+import threading  # noqa: E402
+
+_TLS = threading.local()  # per-thread override stack (trace-time reads)
+
+
+def current_attention_mesh():
+    """The mesh in effect for the calling thread: innermost scoped override
+    if any, else the process default."""
+    stack = getattr(_TLS, "mesh_override", None)
+    return stack[-1] if stack else _ATTN_MESH
 
 
 @contextlib.contextmanager
@@ -84,15 +95,19 @@ def attention_mesh_scope(mesh):
     """Temporarily register ``mesh`` (which may be None) around a jitted
     program invocation.  Engines use this instead of setting the global at
     construction, so a meshed and an unmeshed engine in one process can't
-    inherit each other's mesh at trace time (the global is only read while
-    tracing; cached executables are unaffected)."""
-    global _ATTN_MESH
-    prev = _ATTN_MESH
-    _ATTN_MESH = mesh
+    inherit each other's mesh at trace time (the mesh is only read while
+    tracing; cached executables are unaffected).  The override is
+    THREAD-LOCAL: the serving Scheduler steps its engine on a daemon thread,
+    and its scope must not leak into (or clobber) a concurrent trace on the
+    main thread."""
+    stack = getattr(_TLS, "mesh_override", None)
+    if stack is None:
+        stack = _TLS.mesh_override = []
+    stack.append(mesh)
     try:
         yield
     finally:
-        _ATTN_MESH = prev
+        stack.pop()
 
 
 def _flash_sharded(q, k, v, kv_valid, write_slot, mesh, *,
@@ -184,7 +199,8 @@ def cached_attention(
     boundary (4x cache bytes of transient — the round-1 bf16 B>=2 fused-loop
     compile rejection, bisected in tools/probe_fused_loop.py)."""
     impl = impl or attention_impl()
-    if (impl == "flash" and _ATTN_MESH is None and layer_index is not None):
+    mesh = current_attention_mesh()
+    if (impl == "flash" and mesh is None and layer_index is not None):
         from .pallas.flash_attention import flash_attention
 
         return flash_attention(q, k, v, kv_valid, write_slot, causal=True,
@@ -198,8 +214,8 @@ def cached_attention(
 
         k, v, k_scale, v_scale = _take(k), _take(v), _take(k_scale), _take(v_scale)
     if impl == "flash":
-        if _ATTN_MESH is not None:
-            out = _flash_sharded(q, k, v, kv_valid, write_slot, _ATTN_MESH,
+        if mesh is not None:
+            out = _flash_sharded(q, k, v, kv_valid, write_slot, mesh,
                                  k_scale=k_scale, v_scale=v_scale)
             if out is not None:
                 return out
@@ -249,7 +265,7 @@ def full_attention(
 
     if impl is None:
         impl = os.environ.get("VISUALCLA_VIT_ATTN", "xla")
-    if impl == "flash" and _ATTN_MESH is None:
+    if impl == "flash" and current_attention_mesh() is None:
         from .pallas.flash_attention import flash_attention
 
         B, Skv = k.shape[0], k.shape[1]

@@ -88,12 +88,15 @@ class VisionPipeline:
 
         vision_sd = load_state_dict(os.path.join(path, "vision_encoder"))
         root_sd = load_state_dict(path)
+        cfg = VisualCLAConfig.from_pretrained(path)
         params = {
             "vision": vit_tree_from_sd(vision_sd),
-            "resampler": resampler_tree_from_sd(root_sd),
             "projection": projection_tree_from_sd(root_sd),
         }
-        cfg = VisualCLAConfig.from_pretrained(path)
+        # merged dirs without a resampler (use_visual_resampler=False) ship
+        # no visual_resampler.* keys — same gate as from_pretrained
+        if cfg.use_visual_resampler:
+            params["resampler"] = resampler_tree_from_sd(root_sd)
         ip = (ImageProcessor.from_pretrained(path)
               if os.path.exists(os.path.join(path, "preprocessor_config.json"))
               else None)
