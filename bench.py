@@ -25,6 +25,7 @@ Measures, on the real attached TPU with the full flagship architecture
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -255,12 +256,43 @@ def _run_batch8(engine, cfg, input_ids, pixel_values, img_start_pos):
     return B8 * N / dt8
 
 
+class _SectionTimeout(Exception):
+    pass
+
+
+def _run_with_deadline(fn, seconds: int):
+    """Bound a bench section by wall clock: the axon tunnel sometimes HANGS
+    (no error — device calls block forever), and an unbounded hang would eat
+    the driver's whole bench window.  SIGALRM is main-thread only, which is
+    where bench runs."""
+    import signal
+
+    def _raise(signum, frame):
+        raise _SectionTimeout(f"section exceeded {seconds}s (tunnel hang?)")
+
+    prev = signal.signal(signal.SIGALRM, _raise)
+    signal.alarm(seconds)
+    try:
+        return fn()
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, prev)
+
+
 def _run_resilient(quant):
-    """run() with OOM budget shrinking + transient-tunnel retries."""
+    """run() with OOM budget shrinking + transient-tunnel retries + a
+    per-attempt wall-clock deadline (cold compiles through the tunnel take
+    1-3 min/program; 35 min covers a fully cold section with margin —
+    VISUALCLA_BENCH_DEADLINE_S overrides)."""
+    deadline = int(os.environ.get("VISUALCLA_BENCH_DEADLINE_S", 2100))
     for max_seq in (768, 512, 384):
         for attempt in range(3):
             try:
-                return run(max_seq, quant)
+                return _run_with_deadline(lambda: run(max_seq, quant),
+                                          deadline)
+            except _SectionTimeout as e:
+                print(f"# {quant} section timed out: {e}", file=sys.stderr)
+                return None
             except Exception as e:  # noqa: BLE001
                 msg = str(e)
                 if "RESOURCE_EXHAUSTED" in msg or "Out of memory" in msg.lower():
