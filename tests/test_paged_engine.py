@@ -357,3 +357,130 @@ def test_step_n_flat_int8_kv(monkeypatch):
     assert int(snap["gen_len"][0]) == 6
     ids = np.asarray(snap["gen_ids"][0, :6])
     assert ((ids >= 0) & (ids < 96)).all()
+
+
+# -- chunked prefill (vLLM-style admission interleaved with decode) -----------
+
+
+def _mk_chunk_engine(cfg, params, **kw):
+    return PagedServingEngine(
+        params, cfg, eos_token_id=EOS, pad_token_id=PAD,
+        pool_size=2, block_size=8, num_blocks=24,
+        max_seq_len=96, max_new_tokens_cap=16, prompt_buckets=(32, 64),
+        sampling=SamplingConfig.greedy(max_new_tokens=16),
+        dtype=jnp.float64, **kw,
+    )
+
+
+def test_chunked_prefill_matches_one_shot(setup):
+    """begin_prefill processed in chunks yields the exact tokens of
+    prefill_row: same slot causality (a chunk query sees exactly the kv
+    slots the one-shot query saw), same first-token sampling path."""
+    cfg, params, _, _ = setup
+    rng = np.random.default_rng(3)
+    prompt = rng.integers(4, 90, size=(40,)).astype(np.int32)
+
+    e1 = _mk_chunk_engine(cfg, params)
+    e1.prefill_row(0, prompt, None, None, 8)
+    for _ in range(8):
+        e1.step()
+    want = list(e1.collect_row(0))
+
+    e2 = _mk_chunk_engine(cfg, params)
+    pp = e2.begin_prefill(0, prompt, None, None, 8, chunk=16)
+    stages = 0
+    while not pp.step():
+        stages += 1
+    assert pp.n_chunks == 3  # ceil(40/16) over the 64 bucket
+    assert stages >= pp.n_chunks  # embed stage + chunks + finish
+    for _ in range(8):
+        e2.step()
+    got = list(e2.collect_row(0))
+    assert want == got
+
+
+def test_chunked_prefill_interleaves_with_decode(setup):
+    """Decode steps for a running row BETWEEN chunk stages must not change
+    either row's tokens (the running row's pool blocks are disjoint; the
+    pending row stays parked until the finish stage)."""
+    cfg, params, _, _ = setup
+    rng = np.random.default_rng(5)
+    short = rng.integers(4, 90, size=(10,)).astype(np.int32)
+    long = rng.integers(4, 90, size=(48,)).astype(np.int32)
+
+    # reference: both admitted sequentially, decoded to completion separately
+    e1 = _mk_chunk_engine(cfg, params)
+    e1.prefill_row(0, short, None, None, 12)
+    for _ in range(12):
+        e1.step()
+    want_short = list(e1.collect_row(0))
+    e1.prefill_row(1, long, None, None, 8)
+    for _ in range(8):
+        e1.step()
+    want_long = list(e1.collect_row(1))
+
+    # interleaved: row 0 decodes between row 1's admission chunks
+    e2 = _mk_chunk_engine(cfg, params)
+    e2.prefill_row(0, short, None, None, 12)
+    e2.step()  # one decode step before the admission starts
+    pp = e2.begin_prefill(1, long, None, None, 8, chunk=16)
+    while not pp.step():
+        e2.step()  # decode row 0 between stages
+    for _ in range(20):
+        e2.step()  # drive both rows to completion
+    got_short = list(e2.collect_row(0))
+    got_long = list(e2.collect_row(1))
+    assert want_short == got_short
+    assert want_long == got_long
+
+
+def test_chunked_prefill_abort_rolls_back_blocks(setup):
+    """abort() mid-admission returns every reserved block to the free list
+    and leaves the row parked."""
+    cfg, params, _, _ = setup
+    rng = np.random.default_rng(6)
+    prompt = rng.integers(4, 90, size=(40,)).astype(np.int32)
+    eng = _mk_chunk_engine(cfg, params)
+    free0 = len(eng._free)
+    pp = eng.begin_prefill(0, prompt, None, None, 8, chunk=16)
+    assert len(eng._free) < free0  # blocks reserved up front
+    pp.step()  # embed stage
+    pp.step()  # first chunk
+    pp.abort()
+    assert len(eng._free) == free0
+    assert not eng._host_active[0]
+    # the row is reusable after an abort
+    eng.prefill_row(0, prompt, None, None, 4)
+    for _ in range(4):
+        eng.step()
+    assert len(eng.collect_row(0)) >= 1
+
+
+def test_scheduler_chunked_admission_end_to_end(setup):
+    """Scheduler(prefill_chunk=16): a long prompt admitted while a short one
+    decodes — results identical to the sync-admission scheduler."""
+    cfg, params, _, _ = setup
+    rng = np.random.default_rng(9)
+    short = rng.integers(4, 90, size=(8,)).astype(np.int32)
+    long = rng.integers(4, 90, size=(48,)).astype(np.int32)
+
+    def serve(prefill_chunk):
+        eng = _mk_chunk_engine(cfg, params)
+        sched = Scheduler(eng, step_chunk=4, prefill_chunk=prefill_chunk)
+        try:
+            import threading
+            outs = [None, None]
+
+            def go(i, p, n):
+                outs[i] = generate_sync(sched, p, max_new_tokens=n,
+                                        timeout=300)
+            t0 = threading.Thread(target=go, args=(0, short, 10))
+            t1 = threading.Thread(target=go, args=(1, long, 8))
+            t0.start(); t1.start(); t0.join(); t1.join()
+        finally:
+            sched.stop()
+        return [list(o) for o in outs]
+
+    sync_outs = serve(prefill_chunk=0)      # chunking disabled
+    chunk_outs = serve(prefill_chunk=16)    # 48-token prompt -> 3 chunks
+    assert sync_outs == chunk_outs

@@ -338,6 +338,14 @@ class PagedServingEngine:
         self._step_n_flat = scoped(jax.jit(
             self._step_n_flat_impl, static_argnames=("sampling",),
             donate_argnames=("state",)))
+        # chunked-prefill programs (begin_prefill / PendingPrefill)
+        self._embed = scoped(jax.jit(self._embed_impl))
+        self._chunk = scoped(jax.jit(
+            self._chunk_impl, static_argnames=("chunk",),
+            donate_argnames=("scratch",)))
+        self._finish_chunked = scoped(jax.jit(
+            self._finish_chunked_impl, static_argnames=("sampling",),
+            donate_argnames=("state", "scratch")))
         self._params_bytes = sum(
             int(np.prod(x.shape)) * x.dtype.itemsize
             for x in jax.tree.leaves(params))
@@ -375,6 +383,72 @@ class PagedServingEngine:
 
     # -- jitted impls ------------------------------------------------------------
 
+    def _scatter_scratch(self, state: PagedState, scratch, block_ids, nb):
+        """Scatter a contiguous scratch cache's prompt KV into the pool.
+        The scratch is stored heads-major (L, 1, Nkv, S, hd) — see
+        llama.init_kv_cache — so bring slots back before blocking:
+        -> (L, S, Nkv, hd) -> (L, nb, BS, ...); the final reshape folds
+        (Nkv, hd) into the pool's kernel-order Nkv*hd lane dim (a
+        once-per-admission relayout of prompt-sized data)."""
+        L = self.cfg.text_config.num_hidden_layers
+        Nkv, hd = scratch["k"].shape[2], scratch["k"].shape[4]
+        k_blocks = scratch["k"][:, 0].transpose(0, 2, 1, 3).reshape(
+            L, nb, self.BS, Nkv, hd)
+        v_blocks = scratch["v"][:, 0].transpose(0, 2, 1, 3).reshape(
+            L, nb, self.BS, Nkv, hd)
+        if state.k_scales is not None:  # int8 KV: quantize the prompt blocks
+            kq, ksc = quantize_kv(k_blocks)
+            vq, vsc = quantize_kv(v_blocks)
+            return dataclasses.replace(
+                state,
+                k_pool=state.k_pool.at[:, block_ids].set(
+                    kq.reshape(L, nb, self.BS, Nkv * hd)),
+                v_pool=state.v_pool.at[:, block_ids].set(
+                    vq.reshape(L, nb, self.BS, Nkv * hd)),
+                k_scales=state.k_scales.at[:, block_ids].set(ksc),
+                v_scales=state.v_scales.at[:, block_ids].set(vsc),
+            )
+        return dataclasses.replace(
+            state,
+            k_pool=state.k_pool.at[:, block_ids].set(
+                k_blocks.reshape(L, nb, self.BS, Nkv * hd)),
+            v_pool=state.v_pool.at[:, block_ids].set(
+                v_blocks.reshape(L, nb, self.BS, Nkv * hd)),
+        )
+
+    def _admit_row(self, params, state: PagedState, row, hidden_last,
+                   last_idx, max_new_tokens, knobs,
+                   sampling: SamplingConfig) -> PagedState:
+        """Sample the first token from the last REAL prompt position's hidden
+        and activate the row (shared by the one-shot and chunked prefills)."""
+        last_logits = llama.logits(params["text"], hidden_last)[:, 0]
+        key, sub = jax.random.split(state.key)
+        token = sample_step_rowwise(
+            last_logits, jnp.zeros((1, self.T), jnp.int32),
+            jnp.zeros((1,), jnp.int32), sub, sampling,
+            temperature=knobs[0:1], top_p=knobs[1:2],
+            repetition_penalty=knobs[2:3], do_sample=knobs[3:4] > 0.5,
+        )
+        tok = token[0]
+        return dataclasses.replace(
+            state,
+            last_token=state.last_token.at[row].set(tok),
+            positions=state.positions.at[row].set(last_idx.astype(jnp.int32) + 1),
+            gen_ids=jax.lax.dynamic_update_index_in_dim(
+                state.gen_ids, jnp.zeros((self.T,), jnp.int32).at[0].set(tok),
+                row, axis=0,
+            ),
+            gen_len=state.gen_len.at[row].set(1),
+            max_len=state.max_len.at[row].set(max_new_tokens),
+            active=state.active.at[row].set(True),
+            finished=state.finished.at[row].set(tok == self.eos),
+            temp=state.temp.at[row].set(knobs[0]),
+            top_p=state.top_p.at[row].set(knobs[1]),
+            rep_pen=state.rep_pen.at[row].set(knobs[2]),
+            do_sample=state.do_sample.at[row].set(knobs[3] > 0.5),
+            key=key,
+        )
+
     def _prefill_impl(self, params, state: PagedState, row, input_ids,
                       attention_mask, img_start_pos, pixel_values,
                       block_ids, max_new_tokens, knobs, sampling: SamplingConfig):
@@ -393,66 +467,72 @@ class PagedServingEngine:
             params["text"], cfg.text_config, embeds, positions, scratch,
             kv_valid, jnp.int32(0),
         )
-        # scatter the prompt KV into the pool.  The scratch cache is stored
-        # heads-major (L, 1, Nkv, S, hd) — see llama.init_kv_cache — so bring
-        # slots back before blocking: -> (L, S, Nkv, hd) -> (L, nb, BS, ...);
-        # the final reshape folds (Nkv, hd) into the pool's kernel-order
-        # Nkv*hd lane dim (a once-per-admission relayout of prompt-sized data)
-        L = cfg.text_config.num_hidden_layers
-        Nkv, hd = scratch["k"].shape[2], scratch["k"].shape[4]
-        k_blocks = scratch["k"][:, 0].transpose(0, 2, 1, 3).reshape(
-            L, nb, self.BS, Nkv, hd)
-        v_blocks = scratch["v"][:, 0].transpose(0, 2, 1, 3).reshape(
-            L, nb, self.BS, Nkv, hd)
-        if state.k_scales is not None:  # int8 KV: quantize the prompt blocks
-            kq, ksc = quantize_kv(k_blocks)
-            vq, vsc = quantize_kv(v_blocks)
-            k_pool = state.k_pool.at[:, block_ids].set(
-                kq.reshape(L, nb, self.BS, Nkv * hd))
-            v_pool = state.v_pool.at[:, block_ids].set(
-                vq.reshape(L, nb, self.BS, Nkv * hd))
-            k_scales = state.k_scales.at[:, block_ids].set(ksc)
-            v_scales = state.v_scales.at[:, block_ids].set(vsc)
-        else:
-            k_pool = state.k_pool.at[:, block_ids].set(
-                k_blocks.reshape(L, nb, self.BS, Nkv * hd))
-            v_pool = state.v_pool.at[:, block_ids].set(
-                v_blocks.reshape(L, nb, self.BS, Nkv * hd))
-            k_scales, v_scales = state.k_scales, state.v_scales
+        state = self._scatter_scratch(state, scratch, block_ids, nb)
 
         # prompts are RIGHT-padded here: sample from the last REAL token
         last_idx = jnp.sum(attention_mask, axis=-1) - 1  # (1,)
         hidden_last = jnp.take_along_axis(
             hidden, last_idx[:, None, None].astype(jnp.int32), axis=1
         )  # (1, 1, H)
-        last_logits = llama.logits(params["text"], hidden_last)[:, 0]
-        key, sub = jax.random.split(state.key)
-        token = sample_step_rowwise(
-            last_logits, jnp.zeros((1, self.T), jnp.int32),
-            jnp.zeros((1,), jnp.int32), sub, sampling,
-            temperature=knobs[0:1], top_p=knobs[1:2],
-            repetition_penalty=knobs[2:3], do_sample=knobs[3:4] > 0.5,
+        return self._admit_row(params, state, row, hidden_last, last_idx[0],
+                               max_new_tokens, knobs, sampling)
+
+    # -- chunked prefill (admission interleaved with decode) ------------------
+
+    def _embed_impl(self, params, input_ids, img_start_pos, pixel_values):
+        """One-shot prompt embedding (ViT encode + splice) for chunked
+        admission; the text-tower chunks then slice it."""
+        return visualcla.multimodal_embeds(
+            params, self.cfg, input_ids, img_start_pos, pixel_values)
+
+    def _chunk_impl(self, params, scratch, embeds, positions, mask, c0,
+                    chunk: int):
+        """One text-tower chunk of a chunked prefill: slice ``chunk`` tokens
+        at ``c0`` out of the full prompt embedding and forward them, writing
+        their KV into the persistent scratch at slot ``c0``.  kv_valid =
+        real slots < c0+chunk: a query at slot j only sees kv <= j among the
+        valid, so this is EXACTLY the slot set the one-shot prefill's query
+        saw — chunk attention == one-shot attention, bit for bit in exact
+        arithmetic.  One program per (bucket, chunk) pair; ``c0`` is traced."""
+        L = embeds.shape[1]
+        emb = jax.lax.dynamic_slice_in_dim(embeds, c0, chunk, axis=1)
+        pos = jax.lax.dynamic_slice_in_dim(positions, c0, chunk, axis=1)
+        kv_valid = mask.astype(bool) & (jnp.arange(L)[None, :] < c0 + chunk)
+        hidden, scratch = llama.forward(
+            params["text"], self.cfg.text_config, emb, pos, scratch,
+            kv_valid, c0,
         )
-        tok = token[0]
-        return dataclasses.replace(
-            state,
-            k_pool=k_pool, v_pool=v_pool, k_scales=k_scales, v_scales=v_scales,
-            last_token=state.last_token.at[row].set(tok),
-            positions=state.positions.at[row].set(last_idx[0].astype(jnp.int32) + 1),
-            gen_ids=jax.lax.dynamic_update_index_in_dim(
-                state.gen_ids, jnp.zeros((self.T,), jnp.int32).at[0].set(tok),
-                row, axis=0,
-            ),
-            gen_len=state.gen_len.at[row].set(1),
-            max_len=state.max_len.at[row].set(max_new_tokens),
-            active=state.active.at[row].set(True),
-            finished=state.finished.at[row].set(tok == self.eos),
-            temp=state.temp.at[row].set(knobs[0]),
-            top_p=state.top_p.at[row].set(knobs[1]),
-            rep_pen=state.rep_pen.at[row].set(knobs[2]),
-            do_sample=state.do_sample.at[row].set(knobs[3] > 0.5),
-            key=key,
-        )
+        return hidden, scratch
+
+    def _finish_chunked_impl(self, params, state: PagedState, scratch,
+                             hidden_chunk, last_idx_in_chunk, last_idx, row,
+                             block_ids, max_new_tokens, knobs,
+                             sampling: SamplingConfig):
+        """Scatter the fully-written scratch into the pool and activate the
+        row, sampling from the chunk that held the last real token."""
+        nb = scratch["k"].shape[3] // self.BS
+        state = self._scatter_scratch(state, scratch, block_ids, nb)
+        hidden_last = jnp.take_along_axis(
+            hidden_chunk, last_idx_in_chunk[None, None, None].astype(jnp.int32),
+            axis=1)  # (1, 1, H)
+        return self._admit_row(params, state, row, hidden_last, last_idx,
+                               max_new_tokens, knobs, sampling)
+
+    def begin_prefill(self, row: int, input_ids: np.ndarray, pixel_values,
+                      img_start_pos, max_new_tokens: int,
+                      overrides: dict | None = None,
+                      chunk: int = 256) -> "PendingPrefill":
+        """Start a CHUNKED admission: the prompt is processed ``chunk`` tokens
+        per device dispatch (vLLM-style chunked prefill), so the scheduler can
+        interleave decode steps for running rows between chunks instead of
+        stalling them for the whole prompt forward.  Call ``.step()`` on the
+        returned object until it reports done; tokens are identical to
+        ``prefill_row`` (same math, same slot causality, different program
+        shapes).  Blocks are reserved up front exactly like ``prefill_row``;
+        ``abort()`` rolls the allocator back."""
+        return PendingPrefill(self, row, input_ids, pixel_values,
+                              img_start_pos, max_new_tokens, overrides, chunk)
+
 
     def _append_meta(self, state: PagedState, tables, lens):
         """(run, blk, off, lens_attn) for the step appending at ``lens``-1.
@@ -742,3 +822,111 @@ class PagedServingEngine:
 
     def num_active(self) -> int:
         return int(jax.device_get(jnp.sum(self._state.active)))
+
+
+
+class PendingPrefill:
+    """Host state machine for one chunked admission (see begin_prefill).
+
+    Stages per ``step()`` call (each one bounded device dispatch):
+      0. embed: ViT encode + multimodal splice over the whole padded prompt;
+      1..n: text-tower chunk forwards into the persistent scratch cache;
+      n+1 (fused into the last chunk's step): scatter scratch -> pool blocks,
+        sample the first token, activate the row.
+    The row stays PARKED (device active=False, host flags unset) until the
+    finish step, so decode/snapshot/collect never observe a half-admitted row.
+    """
+
+    def __init__(self, eng: "PagedServingEngine", row, input_ids, pixel_values,
+                 img_start_pos, max_new_tokens, overrides, chunk):
+        from .server import sampling_knobs
+
+        input_ids = np.asarray(input_ids).reshape(-1)
+        S = len(input_ids)
+        L = eng.bucket_len(S)
+        BS = eng.BS
+        chunk = max(BS, (int(chunk) // BS) * BS)
+        ids = np.full((1, L), eng.pad, np.int32)
+        mask = np.zeros((1, L), np.int32)
+        ids[0, :S] = input_ids
+        mask[0, :S] = 1
+        img_pos = np.asarray(
+            [-1 if img_start_pos is None or img_start_pos < 0 else img_start_pos],
+            np.int32,
+        )
+        visualcla.check_img_start_pos(img_pos, eng.cfg.num_image_tokens, L)
+        if pixel_values is not None:
+            pixel_values = jnp.asarray(pixel_values, eng.dtype)
+        eng._free_row(row)
+        nb_prompt = L // BS if L % BS == 0 else L // BS + 1
+        total_tokens = S + min(max_new_tokens, eng.T) + 1
+        nb_total = (total_tokens + BS - 1) // BS
+        nb_total = min(max(nb_total, nb_prompt), eng.max_blocks)
+        self.eng = eng
+        self.row = int(row)
+        self.blocks = eng._alloc_blocks(row, nb_total)
+        self.nb_prompt = nb_prompt
+        self.S, self.L, self.chunk = S, L, chunk
+        self.n_chunks = -(-S // chunk)
+        self.i = 0
+        self.ids, self.mask, self.img_pos = ids, mask, img_pos
+        self.pixel_values = pixel_values
+        self.max_new = min(max_new_tokens, eng.T)
+        self.knobs = sampling_knobs(eng.sampling, overrides)
+        self.done = False
+        self._embeds = None
+        self._positions = None
+        self._scratch = None
+        self._hidden = None
+
+    def step(self) -> bool:
+        """Run the next bounded stage; True once the row is live."""
+        eng = self.eng
+        if self.done:
+            return True
+        try:
+            if self._embeds is None:
+                self._embeds = eng._embed(
+                    eng.params, jnp.asarray(self.ids),
+                    jnp.asarray(self.img_pos), self.pixel_values)
+                self._positions = jnp.asarray(np.maximum(
+                    np.cumsum(self.mask, -1) - 1, 0).astype(np.int32))
+                self._mask_dev = jnp.asarray(self.mask)
+                self._scratch = llama.init_kv_cache(
+                    eng.cfg.text_config, 1, self.L, eng.dtype)
+                return False
+            if self.i < self.n_chunks:
+                hidden, self._scratch = eng._chunk(
+                    eng.params, self._scratch, self._embeds, self._positions,
+                    self._mask_dev, jnp.int32(self.i * self.chunk), self.chunk)
+                self.i += 1
+                if self.i == self.n_chunks:
+                    self._hidden = hidden  # the chunk holding slot S-1
+                return False
+            eng._state = eng._finish_chunked(
+                eng.params, eng._state, self._scratch, self._hidden,
+                jnp.int32((self.S - 1) % self.chunk), jnp.int32(self.S - 1),
+                jnp.int32(self.row),
+                jnp.asarray(self.blocks[: self.nb_prompt], jnp.int32),
+                jnp.int32(self.max_new), self.knobs, eng.sampling,
+            )
+            eng.ctx_len[self.row] = self.S
+            eng._host_active[self.row] = True
+            eng._host_finished[self.row] = False
+            self.done = True
+            self._scratch = self._embeds = self._hidden = None
+            return True
+        except Exception:
+            self.abort()
+            raise
+
+    def abort(self) -> None:
+        """Roll the host allocator back (failed/cancelled admission)."""
+        if not self.done:
+            eng = self.eng
+            eng._free_row(self.row)
+            eng.ctx_len[self.row] = 0
+            eng._host_active[self.row] = False
+            self._scratch = self._embeds = self._hidden = None
+            self.done = True
+

@@ -399,7 +399,7 @@ class Scheduler:
     """Host thread multiplexing a request queue onto the pool."""
 
     def __init__(self, engine: ServingEngine, poll_interval: float = 0.0,
-                 step_chunk: int = 8):
+                 step_chunk: int = 8, prefill_chunk: int = 256):
         self.engine = engine
         self.requests: queue.Queue = queue.Queue()
         self.poll_interval = poll_interval
@@ -408,6 +408,13 @@ class Scheduler:
         # (1/step_chunk) and the added streaming/admission latency
         # (step_chunk * step_time); 1 disables fusion
         self.step_chunk = max(1, int(step_chunk))
+        # CHUNKED PREFILL: admit prompts longer than this in prefill_chunk-
+        # token stages (engine.begin_prefill), interleaving decode steps for
+        # the running rows between stages — a long-prompt admission then
+        # stalls concurrent decodes by one chunk's forward instead of the
+        # whole prompt's.  0 disables; only engines exposing begin_prefill
+        # (the paged engine) use it.
+        self.prefill_chunk = max(0, int(prefill_chunk))
         self._rows: dict = {}  # row -> (Request, emitted_count)
         self._stop = threading.Event()
         self._crash: Optional[str] = None  # set when the loop dies
@@ -457,10 +464,25 @@ class Scheduler:
     def _run_inner(self):
         eng = self.engine
         deferred = None  # request waiting for KV blocks (paged pool full)
+        pending = None  # (PendingPrefill, row, Request): chunked admission
         while not self._stop.is_set():
             did_work = False
+            # advance the in-flight chunked admission by one bounded stage
+            if pending is not None:
+                pp, prow, preq = pending
+                try:
+                    if pp.step():
+                        self._rows[prow] = [preq, 0]
+                        pending = None
+                except Exception as e:  # noqa: BLE001 — isolate the request
+                    logger.exception("chunked prefill failed for a request")
+                    preq.out.put(("error", str(e)))
+                    pending = None  # abort() already rolled the blocks back
+                did_work = True
             # admit queued requests into free rows
             for row in self._free_rows():
+                if pending is not None:
+                    break  # one admission at a time (its row is allocated)
                 if deferred is not None:
                     req = deferred
                     deferred = None
@@ -477,6 +499,22 @@ class Scheduler:
                     req.out.put(("error",
                                  "request exceeds the engine's KV pool"))
                     continue
+                begin = getattr(eng, "begin_prefill", None)
+                if (begin is not None and self.prefill_chunk > 0
+                        and self._rows  # someone to protect from the stall
+                        and len(req.input_ids) > self.prefill_chunk):
+                    try:
+                        pending = (begin(
+                            row, req.input_ids, req.pixel_values,
+                            req.img_start_pos, req.max_new_tokens,
+                            overrides=req.sampling_overrides,
+                            chunk=self.prefill_chunk), row, req)
+                    except Exception as e:  # noqa: BLE001
+                        logger.exception("begin_prefill failed for a request")
+                        req.out.put(("error", str(e)))
+                        continue
+                    did_work = True
+                    break
                 try:
                     eng.prefill_row(
                         row, req.input_ids, req.pixel_values,
@@ -501,6 +539,7 @@ class Scheduler:
                 pool_full = len(self._rows) >= eng.B
                 block_bound = deferred is not None  # can_admit failed above
                 if (step_n is not None and self.step_chunk > 1
+                        and pending is None  # single-step between chunk stages
                         and (nothing_waiting or pool_full or block_bound)):
                     # fused chunk (stops early when any row finishes — see
                     # _step_n_impl — so retirement/admission isn't delayed)
