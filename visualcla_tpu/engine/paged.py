@@ -608,13 +608,15 @@ class PagedServingEngine:
                 return L
             raise
 
-    def prefill_row(self, row: int, input_ids: np.ndarray,
-                    pixel_values, img_start_pos, max_new_tokens: int,
-                    overrides: dict | None = None) -> None:
+    def _prepare_admission(self, row: int, input_ids, img_start_pos,
+                           pixel_values, max_new_tokens: int):
+        """Shared one-shot/chunked admission prep: RIGHT-pad to the bucket
+        (slots 0..S-1 hold the prompt, pads sit beyond ctx_len), normalize
+        the image marker, reserve every block the request can touch.
+        -> (ids, mask, img_pos, pixel_values, blocks, nb_prompt, S, L)."""
         input_ids = np.asarray(input_ids).reshape(-1)
         S = len(input_ids)
         L = self.bucket_len(S)
-        # RIGHT-pad: slots 0..S-1 hold the prompt, pads sit beyond ctx_len
         ids = np.full((1, L), self.pad, np.int32)
         mask = np.zeros((1, L), np.int32)
         ids[0, :S] = input_ids
@@ -635,6 +637,14 @@ class PagedServingEngine:
         # max_blocks entries — never allocate past either
         nb_total = min(max(nb_total, nb_prompt), self.max_blocks)
         blocks = self._alloc_blocks(row, nb_total)
+        return ids, mask, img_pos, pixel_values, blocks, nb_prompt, S, L
+
+    def prefill_row(self, row: int, input_ids: np.ndarray,
+                    pixel_values, img_start_pos, max_new_tokens: int,
+                    overrides: dict | None = None) -> None:
+        ids, mask, img_pos, pixel_values, blocks, nb_prompt, S, L = (
+            self._prepare_admission(row, input_ids, img_start_pos,
+                                    pixel_values, max_new_tokens))
         self.ctx_len[row] = S
         self._host_active[row] = True
         self._host_finished[row] = False
@@ -841,33 +851,26 @@ class PendingPrefill:
                  img_start_pos, max_new_tokens, overrides, chunk):
         from .server import sampling_knobs
 
-        input_ids = np.asarray(input_ids).reshape(-1)
-        S = len(input_ids)
-        L = eng.bucket_len(S)
-        BS = eng.BS
-        chunk = max(BS, (int(chunk) // BS) * BS)
-        ids = np.full((1, L), eng.pad, np.int32)
-        mask = np.zeros((1, L), np.int32)
-        ids[0, :S] = input_ids
-        mask[0, :S] = 1
-        img_pos = np.asarray(
-            [-1 if img_start_pos is None or img_start_pos < 0 else img_start_pos],
-            np.int32,
-        )
-        visualcla.check_img_start_pos(img_pos, eng.cfg.num_image_tokens, L)
-        if pixel_values is not None:
-            pixel_values = jnp.asarray(pixel_values, eng.dtype)
-        eng._free_row(row)
-        nb_prompt = L // BS if L % BS == 0 else L // BS + 1
-        total_tokens = S + min(max_new_tokens, eng.T) + 1
-        nb_total = (total_tokens + BS - 1) // BS
-        nb_total = min(max(nb_total, nb_prompt), eng.max_blocks)
         self.eng = eng
         self.row = int(row)
-        self.blocks = eng._alloc_blocks(row, nb_total)
-        self.nb_prompt = nb_prompt
+        (ids, mask, img_pos, pixel_values, self.blocks, self.nb_prompt,
+         S, L) = eng._prepare_admission(row, input_ids, img_start_pos,
+                                        pixel_values, max_new_tokens)
+        BS = eng.BS
+        chunk = max(BS, (int(chunk) // BS) * BS)
+        chunk = min(chunk, L)  # a window must fit the padded bucket
+        # Chunk START slots.  Each window is exactly ``chunk`` wide (static
+        # shape); the LAST window is shifted LEFT so it ends at the bucket
+        # edge instead of being silently clamped by dynamic_slice (an
+        # inconsistent clamp would misalign write_slot vs the sliced tokens
+        # and break slot causality).  A shifted window re-forwards already-
+        # processed slots — their recomputed KV is value-identical, so the
+        # overwrite is a no-op and every query still sees exactly the
+        # kv slots <= its own slot.
+        n_chunks = -(-S // chunk)
+        self.starts = [min(i * chunk, L - chunk) for i in range(n_chunks)]
+        self.n_chunks = n_chunks
         self.S, self.L, self.chunk = S, L, chunk
-        self.n_chunks = -(-S // chunk)
         self.i = 0
         self.ids, self.mask, self.img_pos = ids, mask, img_pos
         self.pixel_values = pixel_values
@@ -898,14 +901,14 @@ class PendingPrefill:
             if self.i < self.n_chunks:
                 hidden, self._scratch = eng._chunk(
                     eng.params, self._scratch, self._embeds, self._positions,
-                    self._mask_dev, jnp.int32(self.i * self.chunk), self.chunk)
+                    self._mask_dev, jnp.int32(self.starts[self.i]), self.chunk)
                 self.i += 1
                 if self.i == self.n_chunks:
                     self._hidden = hidden  # the chunk holding slot S-1
                 return False
             eng._state = eng._finish_chunked(
                 eng.params, eng._state, self._scratch, self._hidden,
-                jnp.int32((self.S - 1) % self.chunk), jnp.int32(self.S - 1),
+                jnp.int32(self.S - 1 - self.starts[-1]), jnp.int32(self.S - 1),
                 jnp.int32(self.row),
                 jnp.asarray(self.blocks[: self.nb_prompt], jnp.int32),
                 jnp.int32(self.max_new), self.knobs, eng.sampling,

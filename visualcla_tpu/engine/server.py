@@ -416,6 +416,7 @@ class Scheduler:
         # (the paged engine) use it.
         self.prefill_chunk = max(0, int(prefill_chunk))
         self._rows: dict = {}  # row -> (Request, emitted_count)
+        self._pending = None  # in-flight chunked admission (set by _run_inner)
         self._stop = threading.Event()
         self._crash: Optional[str] = None  # set when the loop dies
         self.thread = threading.Thread(target=self._run, daemon=True)
@@ -452,6 +453,14 @@ class Scheduler:
             msg = f"scheduler loop died: {e}"
             self._crash = msg  # submit() fails fast from now on
             self._stop.set()
+            if self._pending is not None:  # in-flight chunked admission
+                pp, _, preq = self._pending
+                try:
+                    pp.abort()
+                except Exception:  # noqa: BLE001 — engine may be unusable
+                    logger.exception("aborting pending admission failed")
+                preq.out.put(("error", msg))
+                self._pending = None
             for req, _ in self._rows.values():
                 req.out.put(("error", msg))
             self._rows.clear()
@@ -464,25 +473,25 @@ class Scheduler:
     def _run_inner(self):
         eng = self.engine
         deferred = None  # request waiting for KV blocks (paged pool full)
-        pending = None  # (PendingPrefill, row, Request): chunked admission
+        self._pending = None  # (PendingPrefill, row, Request): chunked admission
         while not self._stop.is_set():
             did_work = False
             # advance the in-flight chunked admission by one bounded stage
-            if pending is not None:
-                pp, prow, preq = pending
+            if self._pending is not None:
+                pp, prow, preq = self._pending
                 try:
                     if pp.step():
                         self._rows[prow] = [preq, 0]
-                        pending = None
+                        self._pending = None
                 except Exception as e:  # noqa: BLE001 — isolate the request
                     logger.exception("chunked prefill failed for a request")
                     preq.out.put(("error", str(e)))
-                    pending = None  # abort() already rolled the blocks back
+                    self._pending = None  # abort() rolled the blocks back
                 did_work = True
             # admit queued requests into free rows
             for row in self._free_rows():
-                if pending is not None:
-                    break  # one admission at a time (its row is allocated)
+                if self._pending is not None and row == self._pending[1]:
+                    continue  # mid-admission row: allocated, not yet in _rows
                 if deferred is not None:
                     req = deferred
                     deferred = None
@@ -493,18 +502,25 @@ class Scheduler:
                         break
                 can_admit = getattr(eng, "can_admit", None)
                 if can_admit is not None and not can_admit(len(req.input_ids)):
-                    if self._rows:  # blocks free up as rows finish
-                        deferred = req
+                    if self._rows or self._pending is not None:
+                        deferred = req  # blocks free up as rows finish
                         break
                     req.out.put(("error",
                                  "request exceeds the engine's KV pool"))
                     continue
                 begin = getattr(eng, "begin_prefill", None)
-                if (begin is not None and self.prefill_chunk > 0
-                        and self._rows  # someone to protect from the stall
-                        and len(req.input_ids) > self.prefill_chunk):
+                wants_chunked = (
+                    begin is not None and self.prefill_chunk > 0
+                    and (self._rows or self._pending is not None)
+                    and len(req.input_ids) > self.prefill_chunk)
+                if wants_chunked and self._pending is not None:
+                    # one chunked admission at a time; short prompts behind
+                    # this one still admit synchronously (no head-of-line)
+                    deferred = req
+                    break
+                if wants_chunked:
                     try:
-                        pending = (begin(
+                        self._pending = (begin(
                             row, req.input_ids, req.pixel_values,
                             req.img_start_pos, req.max_new_tokens,
                             overrides=req.sampling_overrides,
@@ -539,7 +555,7 @@ class Scheduler:
                 pool_full = len(self._rows) >= eng.B
                 block_bound = deferred is not None  # can_admit failed above
                 if (step_n is not None and self.step_chunk > 1
-                        and pending is None  # single-step between chunk stages
+                        and self._pending is None  # single-step between stages
                         and (nothing_waiting or pool_full or block_bound)):
                     # fused chunk (stops early when any row finishes — see
                     # _step_n_impl — so retirement/admission isn't delayed)
