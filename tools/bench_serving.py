@@ -109,5 +109,79 @@ def main():
         sched.stop()
 
 
+def stall():
+    """--stall: max inter-token gap seen by a RUNNING stream while a long
+    prompt is admitted — sync admission stalls it for the whole prompt
+    forward; chunked admission (Scheduler prefill_chunk) bounds the stall to
+    one chunk.  Prints both so the improvement is measured, not asserted."""
+    import queue
+    import threading
+
+    from __graft_entry__ import _flagship_config
+    from visualcla_tpu.engine.paged import PagedServingEngine
+    from visualcla_tpu.engine.sampling import SamplingConfig
+    from visualcla_tpu.engine.server import Request, Scheduler
+
+    cfg = _flagship_config()
+    params = build_params(cfg, int8="--bf16" not in sys.argv)
+    long_len = 1000  # overflow-bucketed long prompt
+    rng = np.random.default_rng(0)
+
+    def one(prefill_chunk):
+        eng = PagedServingEngine(
+            params, cfg, eos_token_id=-7, pad_token_id=49954,
+            pool_size=4, block_size=64, num_blocks=48,
+            max_seq_len=2048, max_new_tokens_cap=64,
+            prompt_buckets=(128, 256, 512, 1024),
+            sampling=SamplingConfig.greedy(max_new_tokens=64),
+            dtype=jnp.bfloat16,
+        )
+        sched = Scheduler(eng, step_chunk=1, prefill_chunk=prefill_chunk)
+        try:
+            sq: queue.Queue = queue.Queue()
+            sched.submit(Request(
+                input_ids=rng.integers(5, 30000, size=(100,)).astype(np.int32),
+                pixel_values=None, img_start_pos=None,
+                max_new_tokens=64, out=sq))
+            stamps, done = [], None
+            lq: queue.Queue = queue.Queue()
+
+            def inject():
+                time.sleep(0.25)  # let the stream reach steady state
+                sched.submit(Request(
+                    input_ids=rng.integers(
+                        5, 30000, size=(long_len,)).astype(np.int32),
+                    pixel_values=None, img_start_pos=None,
+                    max_new_tokens=8, out=lq))
+            threading.Thread(target=inject, daemon=True).start()
+            while True:
+                kind, payload = sq.get(timeout=1200)
+                stamps.append(time.perf_counter())
+                if kind == "done":
+                    break
+                if kind == "error":
+                    raise RuntimeError(payload)
+            while True:  # drain the long request too
+                kind, payload = lq.get(timeout=1200)
+                if kind in ("done", "error"):
+                    break
+            gaps = np.diff(stamps)
+            return float(gaps.max() * 1e3), float(np.median(gaps) * 1e3)
+        finally:
+            sched.stop()
+
+    one(0)  # warm every program (sync prefill for the long bucket)
+    sync_max, sync_med = one(0)
+    one(256)  # warm the chunk programs
+    ch_max, ch_med = one(256)
+    print(f"admission stall (1000-tok prompt injected into a live stream):\n"
+          f"  sync    prefill: max gap {sync_max:7.1f} ms (median step {sync_med:.1f} ms)\n"
+          f"  chunked prefill: max gap {ch_max:7.1f} ms (median step {ch_med:.1f} ms)",
+          flush=True)
+
+
 if __name__ == "__main__":
-    main()
+    if "--stall" in sys.argv:
+        stall()
+    else:
+        main()
