@@ -484,3 +484,34 @@ def test_scheduler_chunked_admission_end_to_end(setup):
     sync_outs = serve(prefill_chunk=0)      # chunking disabled
     chunk_outs = serve(prefill_chunk=16)    # 48-token prompt -> 3 chunks
     assert sync_outs == chunk_outs
+
+
+def test_chunked_prefill_int8_kv_matches_one_shot(setup):
+    """Chunked admission into an int8-KV pool: the finish stage quantizes the
+    scratch blocks exactly like the one-shot scatter."""
+    cfg, params, _, _ = setup
+    rng = np.random.default_rng(11)
+    prompt = rng.integers(4, 90, size=(40,)).astype(np.int32)
+
+    def mk():
+        return PagedServingEngine(
+            params, cfg, eos_token_id=EOS, pad_token_id=PAD,
+            pool_size=2, block_size=8, num_blocks=24,
+            max_seq_len=96, max_new_tokens_cap=16, prompt_buckets=(32, 64),
+            sampling=SamplingConfig.greedy(max_new_tokens=16),
+            dtype=jnp.float32, kv_quant="int8",
+        )
+
+    e1 = mk()
+    e1.prefill_row(0, prompt, None, None, 8)
+    for _ in range(8):
+        e1.step()
+    want = list(e1.collect_row(0))
+
+    e2 = mk()
+    pp = e2.begin_prefill(0, prompt, None, None, 8, chunk=16)
+    while not pp.step():
+        pass
+    for _ in range(8):
+        e2.step()
+    assert want == list(e2.collect_row(0))
