@@ -84,6 +84,7 @@ def main(argv=None):
     ap.add_argument("--output", required=True)
     ap.add_argument("--batch_size", type=int, default=8)
     ap.add_argument("--load_in_8bit", action="store_true")
+    ap.add_argument("--load_in_4bit", action="store_true")
     ap.add_argument("--sample", action="store_true",
                     help="use the reference default sampling instead of greedy")
     ap.add_argument("--seed", type=int, default=0)
@@ -94,7 +95,8 @@ def main(argv=None):
     from visualcla_tpu.engine.sampling import SamplingConfig, default_sampling_config
 
     model, _, _ = visualcla.get_model_and_tokenizer_and_processor(
-        visualcla_model=args.visualcla_model, load_in_8bit=args.load_in_8bit
+        visualcla_model=args.visualcla_model, load_in_8bit=args.load_in_8bit,
+        load_in_4bit=args.load_in_4bit,
     )
     with open(args.questions) as f:
         questions = json.load(f)

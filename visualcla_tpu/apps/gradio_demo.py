@@ -22,6 +22,7 @@ def build_parser():
     p.add_argument("--share", default=False, action="store_true",
                    help="share gradio domain name")
     p.add_argument("--load_in_8bit", action="store_true")
+    p.add_argument("--load_in_4bit", action="store_true")
     p.add_argument("--only_cpu", action="store_true")
     p.add_argument("--no_stream", action="store_true",
                    help="Output without stream mode.")
@@ -77,6 +78,7 @@ def main(argv=None):
     model, tokenizer, _ = visualcla.get_model_and_tokenizer_and_processor(
         visualcla_model=args.visualcla_model,
         load_in_8bit=args.load_in_8bit and (args.visualcla_model is not None),
+        load_in_4bit=args.load_in_4bit and (args.visualcla_model is not None),
     )
 
     def predict(input_text, image_upload, image_webcam, chatbot,

@@ -265,6 +265,7 @@ def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--visualcla_model", required=True)
     ap.add_argument("--load_in_8bit", action="store_true")
+    ap.add_argument("--load_in_4bit", action="store_true")
     ap.add_argument("--host", default="0.0.0.0")
     ap.add_argument("--port", type=int, default=8091)
     ap.add_argument("--pool", type=int, default=0,
@@ -283,7 +284,8 @@ def main(argv=None):
     import visualcla_tpu as visualcla
 
     model, _, _ = visualcla.get_model_and_tokenizer_and_processor(
-        visualcla_model=args.visualcla_model, load_in_8bit=args.load_in_8bit
+        visualcla_model=args.visualcla_model, load_in_8bit=args.load_in_8bit,
+        load_in_4bit=args.load_in_4bit
     )
     worker = (
         PoolWorker(model, args.pool, paged=args.paged,
