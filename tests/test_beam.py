@@ -289,3 +289,47 @@ def test_fused_beam_cache_cap_matches_host(models):
             num_beams=nb, max_new_tokens=16, eos_token_id=2,
             pad_token_id=0, max_seq_len=ids.shape[1] + k - 1,
         )
+
+
+def test_api_batched_beam_matches_per_row(tmp_path):
+    """VisualCLA.generate(num_beams>1) with a B>1 batch: HF semantics = each
+    row an independent beam search; output right-padded to the longest."""
+    import json
+    import os
+
+    import jax.numpy as jnp
+
+    import visualcla_tpu as v
+    from tests.test_checkpoint import build_merged_dir
+    from visualcla_tpu.engine.sampling import SamplingConfig
+    from visualcla_tpu.processor import ImageProcessor
+    from visualcla_tpu.text import build_test_model
+
+    merged, _ = build_merged_dir(str(tmp_path))
+    chars = sorted(set("abcdefgh 图片?"))
+    sp = build_test_model(chars + ["ab"], [-100.0] * len(chars) + [-1.0],
+                          byte_fallback=False)
+    sp.save(os.path.join(merged, "tokenizer.model"))
+    with open(os.path.join(merged, "added_tokens.json"), "w") as f:
+        json.dump({"<pad>": sp.vocab_size, "<img>": sp.vocab_size + 1,
+                   "</img>": sp.vocab_size + 2,
+                   "<img_token>": sp.vocab_size + 3}, f)
+    ImageProcessor(image_size=28, crop_size=28).save_pretrained(merged)
+    model, tok, _ = v.get_model_and_tokenizer_and_processor(
+        visualcla_model=merged, dtype=jnp.float32, max_seq_len=128)
+
+    import dataclasses
+    gc = dataclasses.replace(SamplingConfig.greedy(max_new_tokens=5),
+                             num_beams=2)
+    rng = np.random.default_rng(2)
+    ids = rng.integers(4, 80, (2, 9)).astype(np.int32)
+
+    batched = np.asarray(model.generate(ids, generation_config=gc))
+    rows = [np.asarray(model.generate(ids[b:b + 1], generation_config=gc))[0]
+            for b in range(2)]
+    assert batched.shape[0] == 2
+    pad = tok.pad_token_id
+    for b in range(2):
+        got = list(batched[b])
+        want = list(rows[b]) + [pad] * (len(got) - len(rows[b]))
+        assert got == want

@@ -127,31 +127,40 @@ class VisualCLA:
             beam_fn = (beam_generate
                        if os.environ.get("VISUALCLA_BEAM") == "host"
                        else beam_generate_fused)
-            with attention_mesh_scope(self.mesh):
-                out = beam_fn(
-                    self.params, self.config, np.asarray(input_ids),
-                    pixel_values, img_pos,
-                    num_beams=sampling.num_beams,
-                    max_new_tokens=sampling.max_new_tokens,
-                    eos_token_id=self.tokenizer.eos_token_id,
-                    pad_token_id=self.tokenizer.pad_token_id,
-                    length_penalty=sampling.length_penalty,
-                    early_stopping=sampling.early_stopping,
-                    dtype=self.engine.dtype,
-                )
-            return out[None]
+
+            def one_row(ids_row, pix_row, pos_row):
+                with attention_mesh_scope(self.mesh):
+                    return beam_fn(
+                        self.params, self.config, ids_row,
+                        pix_row, pos_row,
+                        num_beams=sampling.num_beams,
+                        max_new_tokens=sampling.max_new_tokens,
+                        eos_token_id=self.tokenizer.eos_token_id,
+                        pad_token_id=self.tokenizer.pad_token_id,
+                        length_penalty=sampling.length_penalty,
+                        early_stopping=sampling.early_stopping,
+                        dtype=self.engine.dtype,
+                    )
+
+            return self._batched_beam(one_row, input_ids, pixel_values,
+                                      img_pos)
         if sampling.num_beams > 1 and sampling.do_sample:
             from .engine.beam import beam_sample_generate
 
-            with attention_mesh_scope(self.mesh):
-                out = beam_sample_generate(
-                    self.params, self.config, np.asarray(input_ids),
-                    pixel_values, img_pos, sampling,
-                    eos_token_id=self.tokenizer.eos_token_id,
-                    pad_token_id=self.tokenizer.pad_token_id,
-                    seed=seed, dtype=self.engine.dtype,
-                )
-            return out[None]
+            def one_row(ids_row, pix_row, pos_row, _i=[0]):
+                with attention_mesh_scope(self.mesh):
+                    out = beam_sample_generate(
+                        self.params, self.config, ids_row,
+                        pix_row, pos_row, sampling,
+                        eos_token_id=self.tokenizer.eos_token_id,
+                        pad_token_id=self.tokenizer.pad_token_id,
+                        seed=seed + _i[0], dtype=self.engine.dtype,
+                    )
+                _i[0] += 1  # HF: each batch row samples independently
+                return out
+
+            return self._batched_beam(one_row, input_ids, pixel_values,
+                                      img_pos)
         if speculative and sampling.mirostat_mode != 2:
             # greedy: token-identical; sampled: identical distribution
             # (speculative sampling — engine/speculative.py)
@@ -161,6 +170,29 @@ class VisualCLA:
         return self.engine.generate(
             input_ids, pixel_values, img_pos, sampling, seed=seed
         )
+
+    def _batched_beam(self, one_row, input_ids, pixel_values, img_pos):
+        """HF semantics for batched beam search: every batch row runs an
+        independent beam search (the scorers are single-prompt; the engine's
+        caches fan a 1-row prefill out to num_beams).  Rows are decoded
+        sequentially and right-padded to the longest hypothesis."""
+        input_ids = np.asarray(input_ids)
+        B = input_ids.shape[0]
+        outs = []
+        for b in range(B):
+            pix = None
+            if pixel_values is not None:
+                pix = np.asarray(pixel_values)[b:b + 1]
+            outs.append(np.asarray(one_row(
+                input_ids[b:b + 1], pix, img_pos[b:b + 1])))
+        if B == 1:
+            return outs[0][None]
+        T = max(len(o) for o in outs)
+        pad = self.tokenizer.pad_token_id
+        return np.stack([
+            np.concatenate([o, np.full((T - len(o),), pad, o.dtype)])
+            for o in outs
+        ])
 
     def stream_generate(self, input_ids, pixel_values=None,
                         generation_config=None, seed: int = 0,
