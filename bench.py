@@ -64,11 +64,12 @@ def build_engine(max_seq_len: int, quant: str = "bf16"):
         for k, s in flat.items():
             if (quant == "int4" and k in INT8_TEXT_LEAVES
                     and k != "text/embed_tokens"):
-                # grouped s4: q (..., G, gs, out), scale (..., G, out)
+                # grouped s4: q packed int8 (..., G, gs, out/2), scale
+                # (..., G, out) — eager s4 creation recurses under axon
                 lead, in_dim, odim = s.shape[:-2], s.shape[-2], s.shape[-1]
                 g = in_dim // GROUP
                 out[k] = {
-                    "q": jnp.zeros((*lead, g, GROUP, odim), jnp.int4),
+                    "q": jnp.zeros((*lead, g, GROUP, odim // 2), jnp.int8),
                     "scale": jnp.ones((*lead, g, odim), jnp.float32),
                 }
             elif k in INT8_TEXT_LEAVES:

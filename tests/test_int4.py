@@ -18,21 +18,41 @@ from visualcla_tpu.ops.quantization import (
     dequantize,
     device_put_quantized,
     is_grouped,
+    is_packed_grouped,
     is_quantized,
+    pack_s4,
     q_matmul,
     quantize_grouped,
     quantize_grouped_np,
     quantize_llama_tree,
     quantize_tree,
+    unpack_s4,
 )
+
+
+def test_pack_unpack_s4_roundtrip():
+    """pack_s4 (host/np and jnp) must be the exact inverse of the in-program
+    bitcast unpack — the int4 tier stores packed int8 carriers because s4
+    cannot cross the axon program boundary (jit args / transfers)."""
+    rng = np.random.default_rng(7)
+    vals = rng.integers(-8, 8, size=(3, 5, 16)).astype(np.int8)
+    packed_np = pack_s4(vals)
+    assert packed_np.dtype == np.int8 and packed_np.shape == (3, 5, 8)
+    un = np.asarray(jax.jit(lambda p: unpack_s4(p).astype(jnp.int8))(
+        jnp.asarray(packed_np)))
+    np.testing.assert_array_equal(un, vals)
+    packed_j = np.asarray(pack_s4(jnp.asarray(vals)))
+    np.testing.assert_array_equal(packed_j, packed_np)
+    with pytest.raises(ValueError):
+        pack_s4(vals[..., :15])  # odd last dim
 
 
 def test_grouped_roundtrip_and_structure():
     rng = np.random.default_rng(0)
     w = rng.standard_normal((64, 48)).astype(np.float32) * 0.05
     wq = quantize_grouped(w, group=16, bits=4)
-    assert is_quantized(wq) and is_grouped(wq)
-    assert wq["q"].shape == (4, 16, 48) and wq["q"].dtype == jnp.int4
+    assert is_quantized(wq) and is_grouped(wq) and is_packed_grouped(wq)
+    assert wq["q"].shape == (4, 16, 24) and wq["q"].dtype == jnp.int8
     assert wq["scale"].shape == (4, 48)
     deq = np.asarray(dequantize(wq))
     assert deq.shape == w.shape
@@ -68,6 +88,7 @@ def test_grouped_int8_variant():
     w = rng.standard_normal((32, 24)).astype(np.float32) * 0.1
     wq = quantize_grouped(w, group=8, bits=8)
     assert wq["q"].dtype == jnp.int8 and is_grouped(wq)
+    assert not is_packed_grouped(wq)  # bits=8 stays unpacked (full out dim)
     x = rng.standard_normal((4, 32)).astype(np.float32)
     got = np.asarray(q_matmul(jnp.asarray(x), wq))
     want = x @ np.asarray(dequantize(wq))
@@ -81,7 +102,7 @@ def test_stacked_grouped_leaf_survives_scan():
     L = 3
     w = rng.standard_normal((L, 32, 16)).astype(np.float32) * 0.1
     wq = quantize_grouped(w, group=8, bits=4)
-    assert wq["q"].shape == (L, 4, 8, 16)
+    assert wq["q"].shape == (L, 4, 8, 8)  # packed: out 16 -> 8 carrier bytes
     x0 = jnp.asarray(rng.standard_normal((2, 32)).astype(np.float32))
 
     def body(h, p):
@@ -104,8 +125,8 @@ def test_quantize_grouped_np_matches_device():
     assert host["q"].dtype == np.int8 and host["bits"] == 4
     dev = device_put_quantized(host)
     ref = quantize_grouped(w, group=8, bits=4)
-    np.testing.assert_array_equal(
-        np.asarray(dev["q"].astype(jnp.int8)), np.asarray(ref["q"].astype(jnp.int8)))
+    assert dev["q"].dtype == jnp.int8  # packed carrier transfers as-is
+    np.testing.assert_array_equal(np.asarray(dev["q"]), np.asarray(ref["q"]))
     np.testing.assert_allclose(np.asarray(dev["scale"]), np.asarray(ref["scale"]))
 
 
@@ -180,7 +201,8 @@ def test_load_checkpoint_int4_streamed_and_sharded(tmp_path):
     qparams, cfg2 = load_checkpoint(out, mesh=mesh, quantize="int4",
                                     group=min(8, hidden))
     qp = qparams["text"]["layers"]["q_proj"]
-    assert is_grouped(qp) and qp["q"].dtype == jnp.int4
+    assert is_grouped(qp) and is_packed_grouped(qp)
+    assert qp["q"].dtype == jnp.int8  # packed s4 carrier
     assert is_grouped(qparams["text"]["lm_head"])
     emb = qparams["text"]["embed_tokens"]
     assert is_quantized(emb) and not is_grouped(emb)
@@ -205,9 +227,9 @@ def test_quantize_llama_tree_int4_layout():
     params = vmod.init_params(jax.random.PRNGKey(1), cfg, jnp.float32)
     hidden = cfg.text_config.hidden_size
     q = quantize_llama_tree(params["text"], bits=4, group=min(32, hidden))
-    assert q["layers"]["q_proj"]["q"].dtype == jnp.int4
+    assert is_packed_grouped(q["layers"]["q_proj"])
     assert is_grouped(q["layers"]["q_proj"])
-    assert is_grouped(q["lm_head"]) and q["lm_head"]["q"].dtype == jnp.int4
+    assert is_grouped(q["lm_head"]) and is_packed_grouped(q["lm_head"])
     assert q["embed_tokens"]["q"].dtype == jnp.int8
     assert not is_grouped(q["embed_tokens"])
 

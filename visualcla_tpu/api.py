@@ -375,7 +375,7 @@ def get_model_and_tokenizer_and_processor(
                            else None)
                     if eff is not None:
                         qd = quantize_grouped_np(flat[k], group=eff, bits=4)
-                        flat[k] = {"q": jnp.asarray(qd["q"]).astype(jnp.int4),
+                        flat[k] = {"q": jnp.asarray(qd["q"]),  # packed carrier
                                    "scale": qd["scale"]}
                     else:
                         flat[k] = quantize_np(flat[k], axis=ax)

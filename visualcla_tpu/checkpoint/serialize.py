@@ -154,7 +154,9 @@ def load_checkpoint(
                    if quantize == "int4" and k in int4_grouped else None)
             if eff is not None:
                 qd = quantize_grouped_np(arr, group=eff, bits=4)
-                q4 = jnp.asarray(qd["q"]).astype(jnp.int4)
+                # packed int8 carrier transfers as-is (s4 cannot cross the
+                # axon program boundary — ops/quantization.py module note)
+                q4 = jnp.asarray(qd["q"])
                 spec = None
                 if mesh is not None:
                     # the contraction dim split into (G, gs): carry the base

@@ -9,18 +9,29 @@ bandwidth bill vs bf16); the dequant happens in-register as part of the matmul
 (XLA fuses the convert+scale into the dot's operand).  Matches the reference's
 scope: only the **text tower** quantizes (vision/resampler stay dense).
 
-int4 uses XLA's native s4 dtype (bit-packed 2/byte in TPU HBM) with
-**group-wise** scales along the contraction dim (default group 128, the
-GPTQ/AWQ convention) to keep quantization error acceptable at 4 bits:
+int4 uses XLA's s4 dtype (bit-packed 2/byte in TPU HBM) with **group-wise**
+scales along the contraction dim (default group 128, the GPTQ/AWQ
+convention) to keep quantization error acceptable at 4 bits:
 W[(g), out] ≈ q[(g), out] * scale[g, out].  The matmul is one dot_general
 batched over groups with the scale applied to the per-group partials — the
 dot still consumes raw s4 (no dequantized weight temp in HBM; see q_matmul's
 post-dot-scale note).
 
+**s4 never crosses a program boundary.**  The axon TPU runtime cannot accept
+s4 arrays as jit arguments or transfers (UNIMPLEMENTED at the PJRT layer;
+jax's eager fallback recurses — measured on the v5e tunnel, DEVNOTES round 2
+seventh window).  int4 weights are therefore STORED as int8 CARRIERS with two
+s4 nibbles per byte, packed along the last (output-channel) dim — element 2j
+in the low nibble, 2j+1 high, matching ``lax.bitcast_convert_type``'s
+little-endian split — and ``unpack_s4`` bitcasts them to s4 INSIDE the
+program (bit-identical layout to a native s4 array, so the bitcast+reshape
+is free).  HBM traffic stays 0.5 byte/param either way.
+
 A quantized weight is a dict {"q": int8 (..., in, out), "scale": f32 (..., 1, out)}
-(per-channel) or {"q": int4 (..., G, gs, out), "scale": f32 (..., G, out)}
-(group-wise; detected structurally by ``is_grouped`` so the dict survives
-``lax.scan`` slicing) — model code dispatches through ``q_matmul``/``q_take``.
+(per-channel) or {"q": packed int8 (..., G, gs, out/2), "scale": f32 (..., G, out)}
+(group-wise s4; detected structurally by ``is_grouped``/``is_packed_grouped``
+so the dict survives ``lax.scan`` slicing) — model code dispatches through
+``q_matmul``/``q_take``.
 """
 from __future__ import annotations
 
@@ -61,6 +72,36 @@ def quantize(w, axis: int = -2):
     return {"q": q, "scale": scale.astype(jnp.float32)}
 
 
+def pack_s4(q):
+    """Pack s4 values (int8 in [-8, 7], last dim even) into an int8 carrier,
+    two per byte: element 2j -> low nibble, 2j+1 -> high (the order
+    ``lax.bitcast_convert_type(int8, int4)`` unpacks).  Works on numpy and
+    jax arrays; the result's bit layout equals a native s4 array's HBM
+    layout, so the in-program unpack is a free bitcast."""
+    if q.shape[-1] % 2:
+        raise ValueError(f"pack_s4 needs an even last dim, got {q.shape}")
+    if isinstance(q, np.ndarray):
+        lo = (q[..., 0::2] & 0xF).astype(np.uint8)
+        hi = (q[..., 1::2] & 0xF).astype(np.uint8)
+        return (lo | (hi << 4)).view(np.int8)
+    import jax
+
+    lo = (q[..., 0::2] & 0xF).astype(jnp.uint8)
+    hi = (q[..., 1::2] & 0xF).astype(jnp.uint8)
+    return jax.lax.bitcast_convert_type(lo | (hi << 4), jnp.int8)
+
+
+def unpack_s4(packed: jnp.ndarray) -> jnp.ndarray:
+    """int8 carrier (..., P) -> s4 (..., 2P), inverse of :func:`pack_s4`.
+    Trace-time only (s4 cannot cross a program boundary on the axon runtime);
+    the bitcast's (..., P, 2) -> (..., 2P) reshape is bit-identical to the
+    s4 packed layout, so XLA lowers it without a relayout."""
+    import jax
+
+    u = jax.lax.bitcast_convert_type(packed, jnp.int4)  # (..., P, 2)
+    return u.reshape(*packed.shape[:-1], 2 * packed.shape[-1])
+
+
 def effective_group(in_dim: int, group: int = 128):
     """Largest usable group size for a contraction dim: the requested group
     when it divides, else the largest power-of-two divisor of ``in_dim`` that
@@ -79,15 +120,18 @@ def effective_group(in_dim: int, group: int = 128):
 
 def quantize_grouped(w, group: int = 128, bits: int = 4):
     """Group-wise symmetric quantization along the contraction (second-to-last)
-    dim: W (..., in, out) -> {"q": s4 (..., G, gs, out), "scale": f32
-    (..., G, out)} with G = in/group groups.  The group axis is materialized in storage
-    (no in-graph reshape of the weight at each decode step).  bits=4 uses the
-    symmetric range ±7 (s4 holds [-8, 7])."""
+    dim: W (..., in, out) -> {"q": packed-s4 int8 (..., G, gs, out/2), "scale":
+    f32 (..., G, out)} with G = in/group groups (bits=8 keeps an unpacked int8
+    q (..., G, gs, out)).  The group axis is materialized in storage (no
+    in-graph reshape of the weight at each decode step).  bits=4 uses the
+    symmetric range ±7 and stores the nibbles packed (see module docstring)."""
     assert bits in (4, 8)
     w = jnp.asarray(w)
     in_dim = w.shape[-2]
     if in_dim % group:
         raise ValueError(f"contraction dim {in_dim} not divisible by group {group}")
+    if bits == 4 and w.shape[-1] % 2:
+        raise ValueError(f"int4 needs an even output dim, got {w.shape}")
     g = in_dim // group
     lead = w.shape[:-2]
     wg = w.astype(jnp.float32).reshape(*lead, g, group, w.shape[-1])
@@ -95,8 +139,9 @@ def quantize_grouped(w, group: int = 128, bits: int = 4):
     absmax = jnp.max(jnp.abs(wg), axis=-2, keepdims=True)
     scale = absmax / lim
     scale = jnp.where(scale == 0, 1.0, scale)
-    q = jnp.clip(jnp.round(wg / scale), -lim, lim)
-    q = q.astype(jnp.int4 if bits == 4 else jnp.int8)
+    q = jnp.clip(jnp.round(wg / scale), -lim, lim).astype(jnp.int8)
+    if bits == 4:
+        q = pack_s4(q)
     # NOTE no static "group" leaf: grouped-ness is detected structurally
     # (q.ndim == scale.ndim + 1) so the dict survives lax.scan slicing over a
     # stacked layer axis, where every leaf must be an array.
@@ -104,14 +149,17 @@ def quantize_grouped(w, group: int = 128, bits: int = 4):
 
 
 def quantize_grouped_np(w: np.ndarray, group: int = 128, bits: int = 4) -> dict:
-    """Host-side (numpy) group-wise quantization.  numpy has no int4, so "q"
-    is int8 with values in ±7 and a "bits" marker — ``device_put_quantized``
-    (or any jnp.asarray(...).astype(jnp.int4)) narrows it on transfer."""
+    """Host-side (numpy) group-wise quantization — same packed-int8-carrier
+    layout as :func:`quantize_grouped` (bits=4), so the result transfers to
+    device as plain int8 bytes (s4 cannot cross the axon program boundary).
+    The "bits" marker records the tier for save/load tooling."""
     assert bits in (4, 8)
     wf = np.asarray(w, np.float32)
     in_dim = wf.shape[-2]
     if in_dim % group:
         raise ValueError(f"contraction dim {in_dim} not divisible by group {group}")
+    if bits == 4 and wf.shape[-1] % 2:
+        raise ValueError(f"int4 needs an even output dim, got {wf.shape}")
     g = in_dim // group
     lead = wf.shape[:-2]
     wg = wf.reshape(*lead, g, group, wf.shape[-1])
@@ -120,16 +168,15 @@ def quantize_grouped_np(w: np.ndarray, group: int = 128, bits: int = 4) -> dict:
     scale = absmax / lim
     scale[scale == 0] = 1.0
     q = np.clip(np.round(wg / scale), -lim, lim).astype(np.int8)
+    if bits == 4:
+        q = pack_s4(q)
     return {"q": q, "scale": scale[..., 0, :].astype(np.float32), "bits": bits}
 
 
 def device_put_quantized(wq: dict):
-    """Move a host-side grouped dict to device, narrowing int8-held int4."""
-    bits = wq.get("bits", 8)
-    q = jnp.asarray(wq["q"])
-    if bits == 4:
-        q = q.astype(jnp.int4)
-    return {"q": q, "scale": jnp.asarray(wq["scale"])}
+    """Move a host-side grouped dict to device (the packed int8 carrier
+    transfers as-is — never narrow to s4 outside a program)."""
+    return {"q": jnp.asarray(wq["q"]), "scale": jnp.asarray(wq["scale"])}
 
 
 def quantize_kv(x: jnp.ndarray):
@@ -146,7 +193,8 @@ def quantize_kv(x: jnp.ndarray):
 
 def dequantize(wq: dict, dtype=jnp.float32):
     if is_grouped(wq):
-        w = wq["q"].astype(jnp.float32) * wq["scale"][..., None, :]
+        q = unpack_s4(wq["q"]) if is_packed_grouped(wq) else wq["q"]
+        w = q.astype(jnp.float32) * wq["scale"][..., None, :]
         lead = w.shape[:-3]
         return w.reshape(*lead, w.shape[-3] * w.shape[-2], w.shape[-1]).astype(dtype)
     return (wq["q"].astype(jnp.float32) * wq["scale"]).astype(dtype)
@@ -161,6 +209,16 @@ def is_grouped(w) -> bool:
     (..., G, out).  Per-channel layouts have equal ndim (scale keeps a
     broadcast dim)."""
     return is_quantized(w) and w["q"].ndim == w["scale"].ndim + 1
+
+
+def is_packed_grouped(w) -> bool:
+    """Grouped-s4 layout with the packed int8 carrier: q (..., G, gs, out/2)
+    holds two nibbles per byte, scale (..., G, out) names the full output dim."""
+    return (
+        is_grouped(w)
+        and w["q"].dtype in (jnp.int8, np.int8)
+        and 2 * w["q"].shape[-1] == w["scale"].shape[-1]
+    )
 
 
 def q_matmul(x, w: Union[dict, jnp.ndarray]):
@@ -199,11 +257,15 @@ def _q_matmul_grouped(x, w: dict, out_dtype=None):
     never take this branch."""
     import jax
 
-    q, s = w["q"], w["scale"]  # (G, gs, out), (G, out)
+    q, s = w["q"], w["scale"]  # (G, gs, out) s4/s8 — or (G, gs, out/2) packed
     if q.ndim != 3:
         raise ValueError(
             f"grouped q_matmul expects an unstacked (G, gs, out) weight, got "
             f"shape {q.shape} — slice the layer dim before dispatch")
+    if is_packed_grouped(w):
+        # trace-time bitcast to s4 (bit-identical layout: no relayout, no
+        # HBM temp) — the dot's RHS is the raw s4 view of the stored bytes
+        q = unpack_s4(q)
     tokens = 1
     for d in x.shape[:-1]:
         tokens *= d
