@@ -81,13 +81,32 @@ def main():
     )
 
     try:
+        # EXPECTED TO FAIL under axon: s4 cannot cross the program boundary
+        # (jit args / transfers are UNIMPLEMENTED at the PJRT layer) — the
+        # shipped format is the packed-bitcast variant below.
         q4s4 = jnp.asarray(q4).astype(jnp.int4)
         variants["s4-native"] = (
             {"q": q4s4, "s": jnp.asarray(s4[:, 0, :])},
             lambda x, p, i: (x @ p["q"][i].astype(x.dtype)) * p["s"][i].astype(x.dtype),
         )
     except Exception as e:  # noqa: BLE001
-        print("s4 creation failed:", str(e)[:100])
+        print("s4 creation failed (expected under axon):", str(e)[:100])
+
+    # the SHIPPED path (ops/quantization.py): int8 carrier packed along the
+    # OUTPUT dim, bitcast to s4 inside the program — bit-identical layout,
+    # so the dot's RHS reads packed bytes straight from HBM
+    from visualcla_tpu.ops.quantization import pack_s4, unpack_s4
+
+    packed_out = pack_s4(q4)  # (L, H, H/2) int8
+
+    def bitcast_mm(x, p, i):
+        w = unpack_s4(p["q"][i])  # (H, H) s4, trace-time bitcast
+        return (x @ w.astype(x.dtype)) * p["s"][i].astype(x.dtype)
+
+    variants["packed-bitcast"] = (
+        {"q": jnp.asarray(packed_out), "s": jnp.asarray(s4[:, 0, :])},
+        bitcast_mm,
+    )
 
     def unpack_mm(x, p, i):
         b = p["q"][i]  # (H/2, H) uint8
@@ -126,7 +145,7 @@ def main():
     x = jnp.asarray(rng.standard_normal((B, H)).astype(np.float32) * 0.1,
                     jnp.bfloat16)
     ref = np.asarray(x, np.float32) @ (q4[0].astype(np.float32) * s4[0])
-    for name in ("s4-native", "packed-u8"):
+    for name in ("s4-native", "packed-u8", "packed-bitcast"):
         if name not in variants:
             continue
         params, mm = variants[name]
