@@ -262,22 +262,34 @@ def _q_matmul_grouped(x, w: dict, out_dtype=None):
         raise ValueError(
             f"grouped q_matmul expects an unstacked (G, gs, out) weight, got "
             f"shape {q.shape} — slice the layer dim before dispatch")
-    if is_packed_grouped(w):
-        # trace-time bitcast to s4 (bit-identical layout: no relayout, no
-        # HBM temp) — the dot's RHS is the raw s4 view of the stored bytes
-        q = unpack_s4(q)
     tokens = 1
     for d in x.shape[:-1]:
         tokens *= d
     if tokens * 4 > q.shape[1] * 2:  # fp32 partials vs x.dtype weight temp
         return (x @ dequantize(w, x.dtype)).astype(out_dtype or x.dtype)
-    g = q.shape[0]
-    xg = x.reshape(*x.shape[:-1], g, q.shape[1])  # (..., G, gs)
+    g, gs = q.shape[0], q.shape[1]
+    xg = x.reshape(*x.shape[:-1], g, gs)  # (..., G, gs)
+    packed = is_packed_grouped(w)
+    if packed:
+        # NEVER reshape the weight: bitcast the carrier to s4 and keep the
+        # nibble pair as a trailing FREE dim of the dot.  An interleaving
+        # (G, gs, P, 2) -> (G, gs, 2P) reshape on the weight breaks XLA's
+        # operand fusion — it materialized a dequantized weight temp per
+        # matmul and cost 3.4x the int8 step time on the v5e (DEVNOTES
+        # round 2 seventh window).  The pair dim is instead folded out of
+        # the token-sized OUTPUT (..., P, 2) -> (..., 2P), which is B*out
+        # elements, not weight-sized.
+        q = jax.lax.bitcast_convert_type(q, jnp.int4)  # (G, gs, P, 2)
     y = jax.lax.dot_general(
         xg, q.astype(x.dtype),
         (((xg.ndim - 1,), (1,)), ((xg.ndim - 2,), (0,))),
         preferred_element_type=jnp.float32,
-    )  # (G, ..., out)
+    )  # (G, ..., out) — packed: (G, ..., P, 2)
+    if packed:
+        y = y * s.reshape(g, *(1,) * (y.ndim - 3), s.shape[-1] // 2, 2)
+        y = jnp.sum(y, axis=0)  # (..., P, 2)
+        y = y.reshape(*y.shape[:-2], s.shape[-1])  # channel 2p+k = (p, k)
+        return y.astype(out_dtype or x.dtype)
     y = y * s.reshape(g, *(1,) * (y.ndim - 2), s.shape[-1])
     return jnp.sum(y, axis=0).astype(out_dtype or x.dtype)
 
