@@ -1,4 +1,5 @@
 """End-to-end API tests on a tiny native checkpoint: load, chat, stream, int8."""
+import dataclasses
 import json
 import os
 
@@ -170,6 +171,54 @@ def test_int8_quantization_close():
     err = np.abs(np.asarray(dense) - np.asarray(quant)).max()
     scale = np.abs(np.asarray(dense)).max()
     assert err < 0.1 * scale, (err, scale)
+
+
+def test_num_return_sequences_sampled(loaded):
+    """HF semantics (reference carries the knob in DEFAULT_GENERATION_CONFIG,
+    modeling_utils.py:44): sampled n>1 duplicates each input row n times with
+    independent draws."""
+    model, tokenizer, _, cfg = loaded
+    ids = np.asarray(tokenizer.encode("ab cd"), np.int32)[None]
+    gc = SamplingConfig(max_new_tokens=8, do_sample=True, temperature=1.0,
+                        top_k=0, top_p=1.0, repetition_penalty=1.0,
+                        no_repeat_ngram_size=0, num_return_sequences=3)
+    out = model.generate(ids, generation_config=gc, seed=0)
+    assert out.shape[0] == 3
+    # independent draws: with a near-uniform tiny model, 3 identical 8-token
+    # rows would mean the expansion shares one draw
+    assert not (np.array_equal(out[0], out[1])
+                and np.array_equal(out[1], out[2]))
+    # B=2 expansion keeps HF row order (all returns of row 0, then row 1)
+    out2 = model.generate(np.concatenate([ids, ids]), generation_config=gc,
+                          seed=0)
+    assert out2.shape[0] == 6
+
+
+def test_num_return_sequences_greedy_raises(loaded):
+    model, tokenizer, _, _ = loaded
+    ids = np.asarray(tokenizer.encode("ab"), np.int32)[None]
+    gc = SamplingConfig.greedy(max_new_tokens=4)
+    gc = dataclasses.replace(gc, num_return_sequences=2)
+    with pytest.raises(ValueError, match="num_return_sequences"):
+        model.generate(ids, generation_config=gc)
+
+
+def test_num_return_sequences_beam(loaded):
+    model, tokenizer, _, _ = loaded
+    ids = np.asarray(tokenizer.encode("ab cd"), np.int32)[None]
+    base = dict(max_new_tokens=6, do_sample=False, temperature=1.0,
+                top_k=0, top_p=1.0, repetition_penalty=1.0,
+                no_repeat_ngram_size=0, num_beams=3)
+    one = model.generate(ids, generation_config=SamplingConfig(**base))
+    two = model.generate(
+        ids, generation_config=SamplingConfig(**base, num_return_sequences=2))
+    assert two.shape[0] == 2
+    # row 0 is the best hypothesis == the n=1 result (modulo padding)
+    n = min(one.shape[1], two.shape[1])
+    np.testing.assert_array_equal(one[0][:n], two[0][:n])
+    with pytest.raises(ValueError, match="num_beams"):
+        model.generate(ids, generation_config=SamplingConfig(
+            **base, num_return_sequences=4))
 
 
 def test_hijack_samplers_noop():

@@ -226,6 +226,24 @@ def test_parse_text_code_blocks():
     assert out.endswith("<br>done")
 
 
+def test_convert_markdown_tables_latex_code():
+    """mdtex2html-equivalent response rendering (reference gradio_demo.py:30-41):
+    markdown tables + fenced code become HTML; LaTeX spans survive verbatim
+    for gradio's client-side latex_delimiters renderer."""
+    from visualcla_tpu.apps.gradio_demo import convert_markdown
+
+    md = ("| a | b |\n|---|---|\n| 1 | 2 |\n\n"
+          "inline $x_i^2$ and display\n\n$$\\sum_{i} x_i$$\n\n"
+          "```python\nprint(1)\n```")
+    out = convert_markdown(md)
+    assert "<table>" in out and "<td>1</td>" in out
+    # math spans intact — NOT mangled by markdown (x_i would become <em>)
+    assert "$x_i^2$" in out
+    assert "$$\\sum_{i} x_i$$" in out
+    assert "<em>" not in out
+    assert "<code" in out and "print(1)" in out
+
+
 def test_http_pool_chat_stream_concurrent(model_bundle):
     """/chat_stream streams per-token FROM the continuous-batching pool:
     concurrent clients each receive incremental ndjson partials and a final

@@ -110,6 +110,30 @@ class VisualCLA:
         spec_k: int = 8,
     ) -> np.ndarray:
         sampling = as_sampling_config(generation_config)
+        # HF num_return_sequences semantics (reference DEFAULT_GENERATION_CONFIG
+        # carries the knob, modeling_utils.py:44): sampled -> expand each input
+        # row n times (independent draws); beam -> top-n hypotheses per row;
+        # pure greedy -> HF raises, and so do we.
+        nrs = sampling.num_return_sequences
+        if nrs > 1:
+            if sampling.num_beams > 1:
+                if nrs > sampling.num_beams:
+                    raise ValueError(
+                        "num_return_sequences has to be smaller or equal to "
+                        f"num_beams ({nrs} > {sampling.num_beams})")
+            elif not sampling.do_sample:
+                raise ValueError(
+                    "Greedy methods without beam search do not support "
+                    "num_return_sequences different than 1 (got "
+                    f"{nrs}); set do_sample=True or num_beams>1")
+            else:
+                input_ids = np.repeat(np.asarray(input_ids), nrs, axis=0)
+                if attention_mask is not None:
+                    attention_mask = np.repeat(
+                        np.asarray(attention_mask), nrs, axis=0)
+                if pixel_values is not None:
+                    pixel_values = np.repeat(
+                        np.asarray(pixel_values), nrs, axis=0)
         img_pos = img_marker_positions(input_ids, self.tokenizer.img_start_token_id)
         # beam paths trace their own jits at call time: the model's mesh must
         # be in scope so cached_attention dispatches the shard_map'd kernel
@@ -124,11 +148,16 @@ class VisualCLA:
 
             from .engine.beam import beam_generate, beam_generate_fused
 
-            beam_fn = (beam_generate
-                       if os.environ.get("VISUALCLA_BEAM") == "host"
-                       else beam_generate_fused)
+            # top-n hypotheses need the host scorer's BeamHypotheses (the
+            # fused loop tracks only the winning hypothesis on device)
+            use_host = (os.environ.get("VISUALCLA_BEAM") == "host"
+                        or nrs > 1)
+            beam_fn = beam_generate if use_host else beam_generate_fused
 
             def one_row(ids_row, pix_row, pos_row):
+                kw = {}
+                if use_host:
+                    kw["num_return_sequences"] = nrs
                 with attention_mesh_scope(self.mesh):
                     return beam_fn(
                         self.params, self.config, ids_row,
@@ -140,6 +169,7 @@ class VisualCLA:
                         length_penalty=sampling.length_penalty,
                         early_stopping=sampling.early_stopping,
                         dtype=self.engine.dtype,
+                        **kw,
                     )
 
             return self._batched_beam(one_row, input_ids, pixel_values,
@@ -175,7 +205,9 @@ class VisualCLA:
         """HF semantics for batched beam search: every batch row runs an
         independent beam search (the scorers are single-prompt; the engine's
         caches fan a 1-row prefill out to num_beams).  Rows are decoded
-        sequentially and right-padded to the longest hypothesis."""
+        sequentially and right-padded to the longest hypothesis.  With
+        num_return_sequences>1 each row contributes n consecutive output rows
+        (HF row order: all returns of input 0, then input 1, ...)."""
         input_ids = np.asarray(input_ids)
         B = input_ids.shape[0]
         outs = []
@@ -183,9 +215,12 @@ class VisualCLA:
             pix = None
             if pixel_values is not None:
                 pix = np.asarray(pixel_values)[b:b + 1]
-            outs.append(np.asarray(one_row(
-                input_ids[b:b + 1], pix, img_pos[b:b + 1])))
-        if B == 1:
+            out = one_row(input_ids[b:b + 1], pix, img_pos[b:b + 1])
+            if isinstance(out, list):  # top-n hypotheses of this row
+                outs.extend(np.asarray(o) for o in out)
+            else:
+                outs.append(np.asarray(out))
+        if len(outs) == 1:
             return outs[0][None]
         T = max(len(o) for o in outs)
         pad = self.tokenizer.pad_token_id

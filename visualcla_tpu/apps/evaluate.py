@@ -77,8 +77,9 @@ def evaluate(
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--visualcla_model", required=True)
-    ap.add_argument("--questions", required=True,
-                    help="question set json (reference examples/ format)")
+    ap.add_argument("--questions", default="llava",
+                    help="question set json (reference examples/ format), or a "
+                         "shorthand for the vendored sets: 'llava' / 'owl'")
     ap.add_argument("--image_dir", default="",
                     help="directory holding the referenced images")
     ap.add_argument("--output", required=True)
@@ -98,7 +99,11 @@ def main(argv=None):
         visualcla_model=args.visualcla_model, load_in_8bit=args.load_in_8bit,
         load_in_4bit=args.load_in_4bit,
     )
-    with open(args.questions) as f:
+    from visualcla_tpu.assets import golden_path
+
+    questions_path = (args.questions if os.path.isfile(args.questions)
+                      else golden_path(args.questions))
+    with open(questions_path) as f:
         questions = json.load(f)
     sampling = default_sampling_config() if args.sample else SamplingConfig.greedy()
     results = evaluate(

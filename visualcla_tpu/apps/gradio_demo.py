@@ -30,6 +30,43 @@ def build_parser():
     return p
 
 
+# mdtex2html-equivalent (reference gradio_demo.py:30-41 post-processes chat
+# history through mdtex2html.convert = markdown + latex2mathml).  Here the
+# markdown pass (tables, fenced code, line breaks) runs server-side via the
+# `markdown` package and LaTeX spans are preserved verbatim for gradio's
+# client-side math renderer (gr.Chatbot latex_delimiters below) — the
+# TPU-deploy-friendly split: no mathml conversion dependency on the host.
+_LATEX_TOKEN = re.compile("\x00LATEX(\\d+)\x00")
+LATEX_DELIMITERS = [
+    {"left": "$$", "right": "$$", "display": True},
+    {"left": "$", "right": "$", "display": False},
+]
+
+
+def convert_markdown(text: str) -> str:
+    """Render a model response: markdown (tables/fenced code/newlines) to
+    HTML with ``$...$`` / ``$$...$$`` LaTeX spans protected from the markdown
+    pass (underscores inside math would otherwise become <em>)."""
+    import markdown as md
+
+    spans = []
+
+    def _stash(m, display):
+        spans.append((m.group(1), display))
+        return f"\x00LATEX{len(spans) - 1}\x00"
+
+    text = re.sub(r"\$\$(.+?)\$\$", lambda m: _stash(m, True), text,
+                  flags=re.S)
+    text = re.sub(r"\$([^$\n]+?)\$", lambda m: _stash(m, False), text)
+    out = md.markdown(text, extensions=["tables", "fenced_code", "nl2br"])
+
+    def _unstash(m):
+        body, display = spans[int(m.group(1))]
+        return f"$${body}$$" if display else f"${body}$"
+
+    return _LATEX_TOKEN.sub(_unstash, out)
+
+
 def parse_text(text: str) -> str:
     """Markdown-ish renderer: fenced code blocks -> <pre><code>, the rest
     HTML-escaped with <br> line breaks (behavioral port of reference :43-73)."""
@@ -97,14 +134,15 @@ def main(argv=None):
             response, history = chat(model, image=image, text=input_text,
                                      history=history, generation_config=gc,
                                      verbose=False)
-            chatbot[-1] = (parse_text(input_text), parse_text(response))
+            chatbot[-1] = (parse_text(input_text), convert_markdown(response))
             yield chatbot, history
         else:
             for response, history in chat_in_stream(
                 model, image=image, text=input_text, history=history,
                 generation_config=gc, verbose=False,
             ):
-                chatbot[-1] = (parse_text(input_text), parse_text(response))
+                chatbot[-1] = (parse_text(input_text),
+                               convert_markdown(response))
                 yield chatbot, history
 
     with gr.Blocks() as demo:
@@ -116,7 +154,11 @@ def main(argv=None):
         gr.HTML('<p align="center"><b>VisualCLA (TPU)</b></p>')
         with gr.Row():
             with gr.Column(scale=4):
-                chatbot = gr.Chatbot(height=400)
+                try:
+                    chatbot = gr.Chatbot(height=400,
+                                         latex_delimiters=LATEX_DELIMITERS)
+                except TypeError:  # older gradio without latex_delimiters
+                    chatbot = gr.Chatbot(height=400)
                 user_input = gr.Textbox(show_label=False,
                                         placeholder="Your Instruction here", lines=4)
                 with gr.Row():

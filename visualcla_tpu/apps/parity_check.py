@@ -8,7 +8,7 @@ per-question token agreement:
 
   python -m visualcla_tpu.apps.parity_check \
       --merged_model MERGED --native_model NATIVE(optional; else converts) \
-      --questions /root/reference/examples/llava_test_zh_questions.json \
+      --questions llava \
       --image_dir coco_val2014 --limit 10 --max_new_tokens 64
 
 The HF side rebuilds the reference pipeline from its checkpoint pieces
@@ -159,7 +159,9 @@ def main(argv=None):
     ap.add_argument("--native_model", default=None,
                     help="converted native checkpoint (defaults to converting "
                          "the merged one into a temp dir)")
-    ap.add_argument("--questions", required=True)
+    ap.add_argument("--questions", default="llava",
+                    help="question set json, or a shorthand for the vendored "
+                         "sets: 'llava' / 'owl'")
     ap.add_argument("--image_dir", default="")
     ap.add_argument("--max_new_tokens", type=int, default=64)
     ap.add_argument("--limit", type=int, default=0)
@@ -167,7 +169,11 @@ def main(argv=None):
     args = ap.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
 
-    with open(args.questions) as f:
+    from visualcla_tpu.assets import golden_path
+
+    questions_path = (args.questions if os.path.isfile(args.questions)
+                      else golden_path(args.questions))
+    with open(questions_path) as f:
         questions = json.load(f)
 
     native = args.native_model

@@ -64,6 +64,12 @@ class BeamHypotheses:
     def best(self) -> np.ndarray:
         return max(self.hyps, key=lambda h: h.score).ids
 
+    def best_n(self, n: int) -> List[np.ndarray]:
+        """Top-n finished hypotheses, best first (HF finalize with
+        num_return_sequences=n: sorted-by-score selection)."""
+        return [h.ids for h in
+                sorted(self.hyps, key=lambda h: -h.score)[:n]]
+
 
 def beam_generate(
     params,
@@ -80,9 +86,13 @@ def beam_generate(
     early_stopping: bool = False,
     max_seq_len: Optional[int] = None,
     dtype=jnp.float32,
+    num_return_sequences: int = 1,
 ) -> np.ndarray:
     """HF-equivalent beam search over the composite model.  Returns the best
-    hypothesis' generated-only ids (EOS included when it terminated one)."""
+    hypothesis' generated-only ids (EOS included when it terminated one).
+    With ``num_return_sequences`` n > 1 (HF GenerationConfig surface, the
+    reference's DEFAULT_GENERATION_CONFIG carries it at modeling_utils.py:44),
+    returns a list of the top-n hypotheses, best first."""
     if input_ids.shape[0] != 1:
         raise ValueError(
             f"beam search supports batch size 1, got {input_ids.shape[0]} "
@@ -203,6 +213,8 @@ def beam_generate(
             hyp.add(ids, s)
             if len(hyp.hyps) >= nb:
                 break
+    if num_return_sequences > 1:
+        return hyp.best_n(num_return_sequences)
     return hyp.best()
 
 
@@ -382,6 +394,9 @@ def beam_sample_generate(
             hyp.add(ids, s)
             if len(hyp.hyps) >= nb:
                 break
+    nrs = getattr(sampling, "num_return_sequences", 1)
+    if nrs > 1:
+        return hyp.best_n(nrs)
     return hyp.best()
 
 

@@ -32,6 +32,11 @@ class SamplingConfig:
     # counts generated tokens (the inputs_embeds path has no prompt in ids)
     eos_token_id: int = 2
     num_beams: int = 1  # >1 routes VisualCLA.generate through engine/beam.py
+    # HF num_return_sequences (reference DEFAULT_GENERATION_CONFIG carries it,
+    # modeling_utils.py:44).  Sampled: each input row is expanded n times and
+    # sampled independently; beam: top-n hypotheses; greedy without beams
+    # requires n == 1 (HF raises the same way).
+    num_return_sequences: int = 1
     length_penalty: float = 1.0
     early_stopping: bool = False
     do_sample: bool = True

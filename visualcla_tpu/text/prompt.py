@@ -53,8 +53,8 @@ def build_prompt(history: History, text: str) -> str:
             prompt = response_block(hist["value"]) + prompt
         else:
             raise ValueError(
-                "Except 'type' are 'instruction' and 'response', "
-                f"but get '{hist['type']}'."
+                "history entry 'type' must be 'instruction' or 'response', "
+                f"got {hist['type']!r}"
             )
     return PROMPT_TEMPLATE_MULTIMODAL + prompt
 
