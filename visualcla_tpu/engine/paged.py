@@ -788,12 +788,26 @@ class PagedServingEngine:
         need = self._params_bytes * (1 + 3 / 16) + pool_bytes + 0.5e9
         return "nested" if need < limit else "flat"
 
+    @staticmethod
+    def _snap(host_arr: np.ndarray) -> jnp.ndarray:
+        """Device view of a host-MUTATED numpy array via a private copy.
+
+        ``jnp.asarray(self.tables)`` on the CPU backend is ZERO-COPY: the
+        device array aliases the live numpy buffer, and the next host-side
+        allocator mutation (``self.ctx_len[run] += 1``, ``self.tables[row]=0``)
+        races the still-executing async step that reads it — reproduced as
+        run-to-run token flips in the CPU test suite (the round-2 "wrong
+        numerics" flake).  Snapshotting into a fresh buffer the host never
+        touches again makes any later zero-copy aliasing safe.  On TPU the
+        transfer always copies, so this costs nothing there."""
+        return jnp.asarray(np.array(host_arr))
+
     def step(self) -> None:
         run = self._host_active & ~self._host_finished
         self.ctx_len[run] += 1  # the token being appended this step
         self._state = self._step(
-            self.params, self._state, jnp.asarray(self.tables),
-            jnp.asarray(self.ctx_len), self.sampling,
+            self.params, self._state, self._snap(self.tables),
+            self._snap(self.ctx_len), self.sampling,
         )
 
     def step_n(self, n: int) -> None:
@@ -803,8 +817,8 @@ class PagedServingEngine:
         fn = (self._step_n if self._pick_chunk_loop() == "nested"
               else self._step_n_flat)
         self._state, lens = fn(
-            self.params, self._state, jnp.asarray(self.tables),
-            jnp.asarray(self.ctx_len), self.sampling, n,
+            self.params, self._state, self._snap(self.tables),
+            self._snap(self.ctx_len), self.sampling, n,
         )
         self.ctx_len = np.asarray(jax.device_get(lens)).copy()
 
