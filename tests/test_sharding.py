@@ -202,3 +202,49 @@ def test_beam_and_speculative_under_mesh_match_single_device(mesh8, tmp_path):
     got_spec = np.asarray(meshed.generate(
         ids, generation_config=gc_greedy, speculative=True, spec_k=3))
     np.testing.assert_array_equal(want_spec, got_spec)
+
+
+def test_paged_tp_b8_token_identity(mesh8):
+    """Paged serving under the full data=2 x model=4 mesh with an int8 KV
+    pool and a full B=8 row set decodes token-identically to the unsharded
+    engine, and leaves no non-aliasable donations (VERDICT r2 item 3 /
+    BASELINE config 5, continuous-batching serving on v5e-8)."""
+    import warnings
+
+    from visualcla_tpu.engine.paged import PagedServingEngine
+    from visualcla_tpu.engine.sampling import SamplingConfig
+
+    cfg = tiny_visualcla_config(vocab_size=96, hidden_size=16)
+    params = visualcla.init_params(jax.random.PRNGKey(21), cfg, jnp.float32)
+    rng = np.random.default_rng(22)
+    prompts = [rng.integers(4, 90, size=(int(n),)).astype(np.int32)
+               for n in rng.integers(6, 40, size=8)]
+
+    def run(p, mesh_):
+        eng = PagedServingEngine(
+            p, cfg, eos_token_id=2, pad_token_id=0,
+            pool_size=8, block_size=8, num_blocks=96,
+            max_seq_len=96, max_new_tokens_cap=8, prompt_buckets=(16, 32, 48),
+            sampling=SamplingConfig.greedy(max_new_tokens=8),
+            dtype=jnp.float32, kv_quant="int8", mesh=mesh_,
+        )
+        # mixed admission: even rows one-shot, odd rows chunked
+        for r, prompt in enumerate(prompts):
+            if r % 2:
+                pp = eng.begin_prefill(r, prompt, None, None, 8, chunk=16)
+                while not pp.step():
+                    pass
+            else:
+                eng.prefill_row(r, prompt, None, None, 8)
+        for _ in range(8):
+            eng.step()
+        return [list(eng.collect_row(r)) for r in range(8)]
+
+    want = run(params, None)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        got = run(sharding.shard_params(params, mesh8), mesh8)
+    assert want == got
+    bad = [str(w.message) for w in caught
+           if "donated buffers were not usable" in str(w.message)]
+    assert not bad, f"paged-TP left non-aliasable donations: {bad}"

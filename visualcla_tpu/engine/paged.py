@@ -343,9 +343,15 @@ class PagedServingEngine:
         self._chunk = scoped(jax.jit(
             self._chunk_impl, static_argnames=("chunk",),
             donate_argnames=("scratch",)))
+        # NOTE: scratch is NOT donated here — its (L, 1, Nkv, Lb, hd) buffers
+        # can never alias an output of this program (the pools have different
+        # shapes and hidden is tiny), so donating them only produced XLA's
+        # "donated buffers were not usable" warning (the float32[L,1,Nkv,Lb,hd]
+        # pair in MULTICHIP_r02).  _chunk keeps its scratch donation: there the
+        # scratch IS returned and aliases in place.
         self._finish_chunked = scoped(jax.jit(
             self._finish_chunked_impl, static_argnames=("sampling",),
-            donate_argnames=("state", "scratch")))
+            donate_argnames=("state",)))
         self._params_bytes = sum(
             int(np.prod(x.shape)) * x.dtype.itemsize
             for x in jax.tree.leaves(params))
