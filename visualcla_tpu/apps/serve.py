@@ -96,7 +96,9 @@ class PoolWorker:
             history.append({"type": "instruction", "value": text})
         gc = req.get("generation_config") or {}
         overrides = {k: gc[k] for k in
-                     ("temperature", "top_p", "repetition_penalty", "do_sample")
+                     ("temperature", "top_p", "repetition_penalty", "do_sample",
+                      "tfs", "top_a", "mirostat_mode", "mirostat_tau",
+                      "mirostat_eta")
                      if k in gc}
         return (ids, pixel_values, img_pos, history, overrides,
                 int(gc.get("max_new_tokens", 512)))

@@ -210,6 +210,11 @@ class PagedState:
     top_p: jnp.ndarray
     rep_pen: jnp.ndarray
     do_sample: jnp.ndarray  # (B,) bool
+    tfs: jnp.ndarray  # (B,) fp32 (1.0 = off)
+    top_a: jnp.ndarray  # (B,) fp32 (0.0 = off)
+    miro: jnp.ndarray  # (B,) bool — mirostat-2 rows
+    miro_tau: jnp.ndarray  # (B,) fp32
+    miro_eta: jnp.ndarray  # (B,) fp32
     key: jax.Array
 
 
@@ -218,7 +223,7 @@ jax.tree_util.register_dataclass(
     data_fields=["k_pool", "v_pool", "k_scales", "v_scales", "last_token",
                  "positions", "gen_ids", "gen_len", "max_len", "active",
                  "finished", "mu", "temp", "top_p", "rep_pen", "do_sample",
-                 "key"],
+                 "tfs", "top_a", "miro", "miro_tau", "miro_eta", "key"],
     meta_fields=[],
 )
 
@@ -312,6 +317,11 @@ class PagedServingEngine:
             top_p=jnp.full((B,), self.sampling.top_p, jnp.float32),
             rep_pen=jnp.full((B,), self.sampling.repetition_penalty, jnp.float32),
             do_sample=jnp.full((B,), self.sampling.do_sample, bool),
+            tfs=jnp.full((B,), self.sampling.tfs, jnp.float32),
+            top_a=jnp.full((B,), self.sampling.top_a, jnp.float32),
+            miro=jnp.full((B,), self.sampling.mirostat_mode == 2, bool),
+            miro_tau=jnp.full((B,), self.sampling.mirostat_tau, jnp.float32),
+            miro_eta=jnp.full((B,), self.sampling.mirostat_eta, jnp.float32),
             key=jax.random.PRNGKey(seed),
         )
         # mesh is applied as a trace-time SCOPE around each jitted call (see
@@ -427,13 +437,14 @@ class PagedServingEngine:
                    sampling: SamplingConfig) -> PagedState:
         """Sample the first token from the last REAL prompt position's hidden
         and activate the row (shared by the one-shot and chunked prefills)."""
+        from .server import _admit_knob_kwargs
+
         last_logits = llama.logits(params["text"], hidden_last)[:, 0]
         key, sub = jax.random.split(state.key)
-        token = sample_step_rowwise(
+        token, mu_row = sample_step_rowwise(
             last_logits, jnp.zeros((1, self.T), jnp.int32),
             jnp.zeros((1,), jnp.int32), sub, sampling,
-            temperature=knobs[0:1], top_p=knobs[1:2],
-            repetition_penalty=knobs[2:3], do_sample=knobs[3:4] > 0.5,
+            **_admit_knob_kwargs(knobs, 2.0 * knobs[7:8]),
         )
         tok = token[0]
         return dataclasses.replace(
@@ -448,10 +459,16 @@ class PagedServingEngine:
             max_len=state.max_len.at[row].set(max_new_tokens),
             active=state.active.at[row].set(True),
             finished=state.finished.at[row].set(tok == self.eos),
+            mu=state.mu.at[row].set(mu_row[0]),
             temp=state.temp.at[row].set(knobs[0]),
             top_p=state.top_p.at[row].set(knobs[1]),
             rep_pen=state.rep_pen.at[row].set(knobs[2]),
             do_sample=state.do_sample.at[row].set(knobs[3] > 0.5),
+            tfs=state.tfs.at[row].set(knobs[4]),
+            top_a=state.top_a.at[row].set(knobs[5]),
+            miro=state.miro.at[row].set(knobs[6] > 1.5),
+            miro_tau=state.miro_tau.at[row].set(knobs[7]),
+            miro_eta=state.miro_eta.at[row].set(knobs[8]),
             key=key,
         )
 
@@ -557,13 +574,15 @@ class PagedServingEngine:
                      sampling: SamplingConfig) -> PagedState:
         """Sample + bookkeeping tail shared by the single-step program and
         the flat fused loop.  ``state`` already carries the updated pools."""
+        from .server import _rowwise_knob_kwargs
+
         B = self.B
         key, sub = jax.random.split(state.key)
-        token = sample_step_rowwise(
+        token, new_mu = sample_step_rowwise(
             step_logits, state.gen_ids, state.gen_len, sub, sampling,
-            temperature=state.temp, top_p=state.top_p,
-            repetition_penalty=state.rep_pen, do_sample=state.do_sample,
+            **_rowwise_knob_kwargs(state),
         )
+        new_mu = jnp.where(run, new_mu, state.mu)
         token = jnp.where(run, token, jnp.int32(self.pad))
         idx = jnp.minimum(state.gen_len, self.T - 1)
         vals = jnp.where(run, token, state.gen_ids[jnp.arange(B), idx])
@@ -579,6 +598,7 @@ class PagedServingEngine:
             positions=state.positions + run.astype(jnp.int32),
             gen_ids=gen_ids, gen_len=gen_len,
             finished=state.finished | hit_eos | hit_cap,
+            mu=new_mu,
             key=key,
         )
 

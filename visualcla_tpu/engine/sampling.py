@@ -269,12 +269,13 @@ def mirostat_step(
     logits: jnp.ndarray,  # (B, V) — already temperature-warped
     mu: jnp.ndarray,  # (B,) fp32
     key: jax.Array,
-    tau: float,
-    eta: float,
+    tau,  # float or (B,) fp32 — per-row in the serving path
+    eta,  # float or (B,) fp32
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Mirostat v2 (reference MirostatLogitsWarper modeling_utils.py:316-358):
     truncate tokens with surprise (-log2 p) > mu, renormalize, sample, update mu.
-    Returns (token (B,), new_mu (B,))."""
+    Returns (token (B,), new_mu (B,)).  tau/eta broadcast, so per-row arrays
+    work unchanged (sample_step_rowwise passes (B,) knobs)."""
     order = jnp.argsort(-logits, axis=-1)
     sorted_logits = jnp.take_along_axis(logits, order, axis=-1)
     probs = jax.nn.softmax(sorted_logits, axis=-1)
@@ -284,6 +285,7 @@ def mirostat_step(
     trunc = jnp.where(keep, sorted_logits, NEG_INF)
     pick = jax.random.categorical(key, trunc, axis=-1)  # index into sorted order
     token = jnp.take_along_axis(order, pick[:, None], axis=-1)[:, 0]
+    token = token.astype(jnp.int32)  # argsort yields int64 under x64 tests
     p_pick = jnp.take_along_axis(
         jax.nn.softmax(trunc, axis=-1), pick[:, None], axis=-1
     )[:, 0]
@@ -329,6 +331,40 @@ def apply_repetition_penalty_rowwise(
     return jnp.where(seen, penalized, logits)
 
 
+def warp_tfs_rowwise(logits: jnp.ndarray, tfs: jnp.ndarray,
+                     min_tokens_to_keep: int = 1) -> jnp.ndarray:
+    """Per-row tail-free sampling (same math as :func:`warp_tfs`, reference
+    TailFreeLogitsWarper modeling_utils.py:250-287); rows with tfs >= 1 pass
+    through untouched."""
+    B, V = logits.shape
+    order = jnp.argsort(-logits, axis=-1)
+    sorted_logits = jnp.take_along_axis(logits, order, axis=-1)
+    probs = jax.nn.softmax(sorted_logits, axis=-1)
+    d2 = jnp.abs(jnp.diff(jnp.diff(probs, axis=-1), axis=-1))
+    norm_d2 = d2 / jnp.sum(d2, axis=-1, keepdims=True)
+    cdf = jnp.cumsum(norm_d2, axis=-1)
+    remove_mid = cdf > tfs[:, None]
+    remove_sorted = jnp.concatenate(
+        [jnp.zeros((B, 1), bool), remove_mid, jnp.ones((B, 1), bool)], axis=-1
+    )
+    if min_tokens_to_keep > 1:
+        remove_sorted = remove_sorted.at[..., :min_tokens_to_keep].set(False)
+    remove = jnp.zeros_like(remove_sorted)
+    remove = jnp.put_along_axis(remove, order, remove_sorted, axis=-1,
+                                inplace=False)
+    remove = remove & (tfs < 1.0)[:, None]
+    return jnp.where(remove, NEG_INF, logits)
+
+
+def warp_top_a_rowwise(logits: jnp.ndarray, top_a: jnp.ndarray) -> jnp.ndarray:
+    """Per-row top-A (reference TopALogitsWarper modeling_utils.py:290-313);
+    rows with top_a <= 0 pass through (probs < 0 is never true)."""
+    probs = jax.nn.softmax(logits, axis=-1)
+    pmax = jnp.max(probs, axis=-1, keepdims=True)
+    remove = probs < pmax * pmax * top_a[:, None]
+    return jnp.where(remove, NEG_INF, logits)
+
+
 def sample_step_rowwise(
     logits: jnp.ndarray,  # (B, V)
     gen_ids: jnp.ndarray,
@@ -340,16 +376,28 @@ def sample_step_rowwise(
     top_p: jnp.ndarray,  # (B,)
     repetition_penalty: jnp.ndarray,  # (B,)
     do_sample: jnp.ndarray,  # (B,) bool
-) -> jnp.ndarray:
-    """Serving sampler: per-row dynamic temperature/top_p/repetition penalty
-    over the engine's static processor set.  Returns (B,) token ids.
+    tfs: jnp.ndarray = None,  # (B,) fp32; None/1.0 = off
+    top_a: jnp.ndarray = None,  # (B,) fp32; None/0.0 = off
+    mirostat: jnp.ndarray = None,  # (B,) bool; mirostat-2 rows
+    miro_tau: jnp.ndarray = None,  # (B,) fp32
+    miro_eta: jnp.ndarray = None,  # (B,) fp32
+    mu: jnp.ndarray = None,  # (B,) fp32 mirostat state
+):
+    """Serving sampler: per-row dynamic knobs over the engine's static
+    processor set — the FULL hijacked-sampler surface of the reference
+    (modeling_utils.py:250-400): temperature/top-p/repetition-penalty plus
+    tail-free, top-a, and mirostat-2 (per-row mu carried in the pool state).
+    Returns ``(token (B,) int32, new_mu (B,))``.
 
     The expensive branches — the (B, V) seen-token scatter of the repetition
-    penalty and the full-vocab sorts of top-p — run under ``lax.cond`` so a
-    step whose rows are all greedy/unpenalized skips them entirely (measured
-    ~3.5 ms of a 21 ms 7B B=8 paged step when they run unconditionally)."""
+    penalty, the full-vocab sorts of top-p/tfs/mirostat — run under
+    ``lax.cond`` so a step whose rows don't use them skips them entirely
+    (measured ~3.5 ms of a 21 ms 7B B=8 paged step when unconditional)."""
     logits = logits.astype(jnp.float32)
     T = gen_ids.shape[1]
+    B = logits.shape[0]
+    if mu is None:
+        mu = jnp.full((B,), 2.0 * cfg.mirostat_tau, jnp.float32)
 
     def penalized(logits):
         gen_valid = jnp.arange(T)[None, :] < gen_len[:, None]
@@ -369,11 +417,37 @@ def sample_step_rowwise(
         if cfg.top_k > 0:
             warped = warp_top_k(warped, cfg.top_k)
         warped = warp_top_p_rowwise(warped, top_p)
+        if tfs is not None:
+            warped = jax.lax.cond(
+                jnp.any(tfs < 1.0), lambda w: warp_tfs_rowwise(w, tfs),
+                lambda w: w, warped)
+        if top_a is not None:
+            warped = jax.lax.cond(
+                jnp.any(top_a > 0.0), lambda w: warp_top_a_rowwise(w, top_a),
+                lambda w: w, warped)
         return jax.random.categorical(key, warped, axis=-1).astype(jnp.int32)
 
     sampled_tok = jax.lax.cond(jnp.any(do_sample), sampled,
                                lambda l: greedy_tok, logits)
-    return jnp.where(do_sample, sampled_tok, greedy_tok)
+    token = jnp.where(do_sample, sampled_tok, greedy_tok)
+    if mirostat is None:
+        return token, mu
+
+    miro_rows = mirostat & do_sample
+
+    def miro(args):
+        logits_, mu_ = args
+        # reference semantics: temperature applies, mirostat replaces every
+        # other warper (get_logits_warper_patch, modeling_utils.py:361-383)
+        warped = warp_temperature_rowwise(logits_, temperature)
+        tok_m, mu2 = mirostat_step(warped, mu_, key, miro_tau, miro_eta)
+        return tok_m, mu2
+
+    tok_m, mu2 = jax.lax.cond(
+        jnp.any(miro_rows), miro, lambda a: (greedy_tok, a[1]), (logits, mu))
+    token = jnp.where(miro_rows, tok_m, token)
+    new_mu = jnp.where(miro_rows, mu2, mu)
+    return token, new_mu
 
 
 # ---------------------------------------------------------------------------

@@ -35,35 +35,58 @@ logger = logging.getLogger(__name__)
 
 
 def _check_serving_sampling(s: SamplingConfig) -> SamplingConfig:
-    """The serving engines sample via ``sample_step_rowwise`` (temperature /
-    top-k / top-p / repetition-penalty / no-repeat-ngram with per-row knobs).
-    Mirostat/TFS/top-a are Engine-only — reject them loudly rather than
-    silently sampling from a different distribution."""
-    unsupported = []
-    if s.mirostat_mode:
-        unsupported.append("mirostat")
-    if s.tfs < 1.0:
-        unsupported.append("tfs")
-    if s.top_a > 0.0:
-        unsupported.append("top_a")
-    if unsupported:
+    """The serving engines sample via ``sample_step_rowwise``, which covers
+    the reference's FULL hijacked-sampler surface (modeling_utils.py:250-400):
+    temperature / top-k / top-p / repetition-penalty / no-repeat-ngram /
+    tail-free / top-a / mirostat-2, all with per-row knobs (mirostat's mu
+    lives in the pool state).  Only unknown mirostat modes are rejected."""
+    if s.mirostat_mode not in (0, 2):
         raise ValueError(
-            f"serving engines do not support {'/'.join(unsupported)} "
-            "sampling; use Engine.generate for those configs"
+            f"mirostat_mode={s.mirostat_mode} is not a thing (the reference "
+            "implements mirostat v2 only; use mirostat_mode=2)"
         )
     return s
 
 
 def sampling_knobs(sampling: SamplingConfig, overrides: Optional[dict]) -> jnp.ndarray:
     """Per-request knob vector [temperature, top_p, repetition_penalty,
-    do_sample] with engine-wide defaults (shared by both serving engines)."""
+    do_sample, tfs, top_a, mirostat_mode, mirostat_tau, mirostat_eta] with
+    engine-wide defaults (shared by both serving engines)."""
     o = overrides or {}
+    mode = int(o.get("mirostat_mode", sampling.mirostat_mode))
+    if mode not in (0, 2):
+        raise ValueError(f"mirostat_mode={mode} unsupported (0 or 2)")
     return jnp.asarray([
         float(o.get("temperature", sampling.temperature)),
         float(o.get("top_p", sampling.top_p)),
         float(o.get("repetition_penalty", sampling.repetition_penalty)),
         1.0 if o.get("do_sample", sampling.do_sample) else 0.0,
+        float(o.get("tfs", sampling.tfs)),
+        float(o.get("top_a", sampling.top_a)),
+        float(mode),
+        float(o.get("mirostat_tau", sampling.mirostat_tau)),
+        float(o.get("mirostat_eta", sampling.mirostat_eta)),
     ], jnp.float32)
+
+
+def _rowwise_knob_kwargs(state) -> dict:
+    """The per-row knob kwargs for sample_step_rowwise, from pool state."""
+    return dict(
+        temperature=state.temp, top_p=state.top_p,
+        repetition_penalty=state.rep_pen, do_sample=state.do_sample,
+        tfs=state.tfs, top_a=state.top_a, mirostat=state.miro,
+        miro_tau=state.miro_tau, miro_eta=state.miro_eta, mu=state.mu,
+    )
+
+
+def _admit_knob_kwargs(knobs: jnp.ndarray, mu_row) -> dict:
+    """Same kwargs for the (1, V) first-token sample at admission."""
+    return dict(
+        temperature=knobs[0:1], top_p=knobs[1:2],
+        repetition_penalty=knobs[2:3], do_sample=knobs[3:4] > 0.5,
+        tfs=knobs[4:5], top_a=knobs[5:6], mirostat=knobs[6:7] > 1.5,
+        miro_tau=knobs[7:8], miro_eta=knobs[8:9], mu=mu_row,
+    )
 
 
 @dataclasses.dataclass
@@ -86,6 +109,11 @@ class PoolState:
     top_p: jnp.ndarray  # (B,) fp32
     rep_pen: jnp.ndarray  # (B,) fp32
     do_sample: jnp.ndarray  # (B,) bool
+    tfs: jnp.ndarray  # (B,) fp32 (1.0 = off)
+    top_a: jnp.ndarray  # (B,) fp32 (0.0 = off)
+    miro: jnp.ndarray  # (B,) bool — mirostat-2 rows
+    miro_tau: jnp.ndarray  # (B,) fp32
+    miro_eta: jnp.ndarray  # (B,) fp32
     key: jax.Array
 
 
@@ -93,7 +121,8 @@ jax.tree_util.register_dataclass(
     PoolState,
     data_fields=["cache", "kv_valid", "cur_slot", "positions", "last_token",
                  "gen_ids", "gen_len", "max_len", "active", "finished", "mu",
-                 "temp", "top_p", "rep_pen", "do_sample", "key"],
+                 "temp", "top_p", "rep_pen", "do_sample", "tfs", "top_a",
+                 "miro", "miro_tau", "miro_eta", "key"],
     meta_fields=[],
 )
 
@@ -167,6 +196,11 @@ class ServingEngine:
             top_p=jnp.full((B,), self.sampling.top_p, jnp.float32),
             rep_pen=jnp.full((B,), self.sampling.repetition_penalty, jnp.float32),
             do_sample=jnp.full((B,), self.sampling.do_sample, bool),
+            tfs=jnp.full((B,), self.sampling.tfs, jnp.float32),
+            top_a=jnp.full((B,), self.sampling.top_a, jnp.float32),
+            miro=jnp.full((B,), self.sampling.mirostat_mode == 2, bool),
+            miro_tau=jnp.full((B,), self.sampling.mirostat_tau, jnp.float32),
+            miro_eta=jnp.full((B,), self.sampling.mirostat_eta, jnp.float32),
             key=jax.random.PRNGKey(seed),
         )
 
@@ -210,11 +244,11 @@ class ServingEngine:
         last_logits = llama.logits(params["text"], hidden[:, -1:, :])[:, 0]  # (1, V)
 
         key, sub = jax.random.split(state.key)
-        token = sample_step_rowwise(
+        mu0 = 2.0 * knobs[7:8]  # mirostat mu init = 2*tau
+        token, mu_row = sample_step_rowwise(
             last_logits, jnp.zeros((1, self.T), jnp.int32),
             jnp.zeros((1,), jnp.int32), sub, sampling,
-            temperature=knobs[0:1], top_p=knobs[1:2],
-            repetition_penalty=knobs[2:3], do_sample=knobs[3:4] > 0.5,
+            **_admit_knob_kwargs(knobs, mu0),
         )
         tok = token[0]
         gen_row = jnp.zeros((self.T,), jnp.int32).at[0].set(tok)
@@ -233,11 +267,16 @@ class ServingEngine:
             max_len=state.max_len.at[row].set(max_new_tokens),
             active=state.active.at[row].set(True),
             finished=state.finished.at[row].set(tok == self.eos),
-            mu=state.mu,
+            mu=state.mu.at[row].set(mu_row[0]),
             temp=state.temp.at[row].set(knobs[0]),
             top_p=state.top_p.at[row].set(knobs[1]),
             rep_pen=state.rep_pen.at[row].set(knobs[2]),
             do_sample=state.do_sample.at[row].set(knobs[3] > 0.5),
+            tfs=state.tfs.at[row].set(knobs[4]),
+            top_a=state.top_a.at[row].set(knobs[5]),
+            miro=state.miro.at[row].set(knobs[6] > 1.5),
+            miro_tau=state.miro_tau.at[row].set(knobs[7]),
+            miro_eta=state.miro_eta.at[row].set(knobs[8]),
             key=key,
         )
 
@@ -256,11 +295,11 @@ class ServingEngine:
         )
         step_logits = llama.logits(params["text"], hidden)[:, 0]
         key, sub = jax.random.split(state.key)
-        token = sample_step_rowwise(
+        token, new_mu = sample_step_rowwise(
             step_logits, state.gen_ids, state.gen_len, sub, sampling,
-            temperature=state.temp, top_p=state.top_p,
-            repetition_penalty=state.rep_pen, do_sample=state.do_sample,
+            **_rowwise_knob_kwargs(state),
         )
+        new_mu = jnp.where(run, new_mu, state.mu)
         token = jnp.where(run, token, jnp.int32(self.pad))
         gen_ids = state.gen_ids.at[jnp.arange(B), jnp.minimum(state.gen_len, self.T - 1)].set(
             jnp.where(run, token, state.gen_ids[jnp.arange(B), jnp.minimum(state.gen_len, self.T - 1)])
@@ -282,9 +321,10 @@ class ServingEngine:
             max_len=state.max_len,
             active=state.active,
             finished=state.finished | hit_eos | hit_cap,
-            mu=state.mu,
+            mu=new_mu,
             temp=state.temp, top_p=state.top_p, rep_pen=state.rep_pen,
-            do_sample=state.do_sample,
+            do_sample=state.do_sample, tfs=state.tfs, top_a=state.top_a,
+            miro=state.miro, miro_tau=state.miro_tau, miro_eta=state.miro_eta,
             key=key,
         )
 
