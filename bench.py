@@ -106,7 +106,17 @@ def run(max_seq_len: int, quant: str = "bf16"):
     rng = np.random.default_rng(0)
     input_ids = rng.integers(5, 30000, size=(B, S)).astype(np.int32)
     img_start_pos = np.full((B,), 2, np.int32)
-    pixel_values = rng.standard_normal((B, 3, 224, 224)).astype(np.float32)
+    # TTFT starts from a RAW camera-sized uint8 frame: the reference's
+    # TTFT-equivalent spans PIL decode + CLIPImageProcessor resize/crop/
+    # normalize (modeling_utils.py:149-154), so the measured region includes
+    # the fused on-device preprocess (processor.device_preprocess), not just
+    # the model prefill on pre-made pixel_values (VERDICT r2 item 7).
+    from visualcla_tpu.processor import device_preprocess
+
+    frame_u8 = rng.integers(0, 256, size=(B, 480, 640, 3)).astype(np.uint8)
+    preprocess = jax.jit(
+        lambda u8: device_preprocess(u8, dtype=jnp.float32))
+    pixel_values = preprocess(jnp.asarray(frame_u8))
 
     decode_tokens = max_seq_len - 128 - 8
     sampling = SamplingConfig.greedy(max_new_tokens=decode_tokens)
@@ -117,11 +127,13 @@ def run(max_seq_len: int, quant: str = "bf16"):
     st = engine._decode_loop(engine.params, st, sampling, sampling.max_new_tokens)
     _sync(st.gen_ids[:, -1])
 
-    # -- TTFT (prefill incl. image encode + first token), p50 of 5 ----------
+    # -- TTFT (raw uint8 frame -> preprocess -> prefill incl. image encode ->
+    #    first token), p50 of 5 ---------------------------------------------
     ttfts = []
     for _ in range(5):
         t0 = time.perf_counter()
-        st = engine.start(input_ids, pixel_values, img_start_pos, sampling)
+        pv = preprocess(jnp.asarray(frame_u8))
+        st = engine.start(input_ids, pv, img_start_pos, sampling)
         _sync(st.last_token)
         ttfts.append(time.perf_counter() - t0)
     ttft_ms = float(np.median(ttfts) * 1e3)

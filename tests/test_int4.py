@@ -20,31 +20,33 @@ from visualcla_tpu.ops.quantization import (
     is_grouped,
     is_packed_grouped,
     is_quantized,
-    pack_s4,
+    pack_s4_rows,
     q_matmul,
     quantize_grouped,
     quantize_grouped_np,
     quantize_llama_tree,
     quantize_tree,
-    unpack_s4,
+    unpack_s4_rows,
 )
 
 
-def test_pack_unpack_s4_roundtrip():
-    """pack_s4 (host/np and jnp) must be the exact inverse of the in-program
-    bitcast unpack — the int4 tier stores packed int8 carriers because s4
-    cannot cross the axon program boundary (jit args / transfers)."""
+def test_pack_unpack_s4_rows_roundtrip():
+    """pack_s4_rows (host/np and jnp) must be the exact inverse of
+    unpack_s4_rows — the int4 tier stores packed uint8 carriers (v2,
+    contraction-packed deinterleaved halves) because s4 cannot cross the
+    axon program boundary (jit args / transfers)."""
     rng = np.random.default_rng(7)
-    vals = rng.integers(-8, 8, size=(3, 5, 16)).astype(np.int8)
-    packed_np = pack_s4(vals)
-    assert packed_np.dtype == np.int8 and packed_np.shape == (3, 5, 8)
-    un = np.asarray(jax.jit(lambda p: unpack_s4(p).astype(jnp.int8))(
-        jnp.asarray(packed_np)))
+    vals = rng.integers(-8, 8, size=(3, 4, 16, 6)).astype(np.int8)
+    packed_np = pack_s4_rows(vals)
+    assert packed_np.dtype == np.uint8 and packed_np.shape == (3, 4, 8, 6)
+    un = np.asarray(jax.jit(
+        lambda p: unpack_s4_rows(p))(jnp.asarray(packed_np)))
     np.testing.assert_array_equal(un, vals)
-    packed_j = np.asarray(pack_s4(jnp.asarray(vals)))
+    np.testing.assert_array_equal(unpack_s4_rows(packed_np), vals)
+    packed_j = np.asarray(pack_s4_rows(jnp.asarray(vals)))
     np.testing.assert_array_equal(packed_j, packed_np)
     with pytest.raises(ValueError):
-        pack_s4(vals[..., :15])  # odd last dim
+        pack_s4_rows(vals[..., :15, :])  # odd group size
 
 
 def test_grouped_roundtrip_and_structure():
@@ -52,7 +54,7 @@ def test_grouped_roundtrip_and_structure():
     w = rng.standard_normal((64, 48)).astype(np.float32) * 0.05
     wq = quantize_grouped(w, group=16, bits=4)
     assert is_quantized(wq) and is_grouped(wq) and is_packed_grouped(wq)
-    assert wq["q"].shape == (4, 16, 24) and wq["q"].dtype == jnp.int8
+    assert wq["q"].shape == (4, 8, 48) and wq["q"].dtype == jnp.uint8
     assert wq["scale"].shape == (4, 48)
     deq = np.asarray(dequantize(wq))
     assert deq.shape == w.shape
@@ -88,7 +90,8 @@ def test_grouped_int8_variant():
     w = rng.standard_normal((32, 24)).astype(np.float32) * 0.1
     wq = quantize_grouped(w, group=8, bits=8)
     assert wq["q"].dtype == jnp.int8 and is_grouped(wq)
-    assert not is_packed_grouped(wq)  # bits=8 stays unpacked (full out dim)
+    assert not is_packed_grouped(wq)  # bits=8 stays unpacked int8
+
     x = rng.standard_normal((4, 32)).astype(np.float32)
     got = np.asarray(q_matmul(jnp.asarray(x), wq))
     want = x @ np.asarray(dequantize(wq))
@@ -102,7 +105,7 @@ def test_stacked_grouped_leaf_survives_scan():
     L = 3
     w = rng.standard_normal((L, 32, 16)).astype(np.float32) * 0.1
     wq = quantize_grouped(w, group=8, bits=4)
-    assert wq["q"].shape == (L, 4, 8, 8)  # packed: out 16 -> 8 carrier bytes
+    assert wq["q"].shape == (L, 4, 4, 16)  # v2: gs 8 -> 4 carrier rows
     x0 = jnp.asarray(rng.standard_normal((2, 32)).astype(np.float32))
 
     def body(h, p):
@@ -122,10 +125,10 @@ def test_quantize_grouped_np_matches_device():
     rng = np.random.default_rng(5)
     w = rng.standard_normal((32, 24)).astype(np.float32) * 0.1
     host = quantize_grouped_np(w, group=8, bits=4)
-    assert host["q"].dtype == np.int8 and host["bits"] == 4
+    assert host["q"].dtype == np.uint8 and host["bits"] == 4
     dev = device_put_quantized(host)
     ref = quantize_grouped(w, group=8, bits=4)
-    assert dev["q"].dtype == jnp.int8  # packed carrier transfers as-is
+    assert dev["q"].dtype == jnp.uint8  # packed carrier transfers as-is
     np.testing.assert_array_equal(np.asarray(dev["q"]), np.asarray(ref["q"]))
     np.testing.assert_allclose(np.asarray(dev["scale"]), np.asarray(ref["scale"]))
 
@@ -202,7 +205,7 @@ def test_load_checkpoint_int4_streamed_and_sharded(tmp_path):
                                     group=min(8, hidden))
     qp = qparams["text"]["layers"]["q_proj"]
     assert is_grouped(qp) and is_packed_grouped(qp)
-    assert qp["q"].dtype == jnp.int8  # packed s4 carrier
+    assert qp["q"].dtype == jnp.uint8  # packed s4 carrier (v2)
     assert is_grouped(qparams["text"]["lm_head"])
     emb = qparams["text"]["embed_tokens"]
     assert is_quantized(emb) and not is_grouped(emb)
@@ -287,3 +290,50 @@ def test_grouped_leaf_tp_specs_keep_group_inner_unsharded():
     if dp["q"].shape[1] % 4 == 0:
         assert dq_spec[1] == "model" and ds_spec[1] == "model"
     assert len(dq_spec) < 3 or dq_spec[2] is None
+
+
+def test_int4_pallas_kernel_interpret_matches_xla():
+    """The Pallas int4 decode kernel (interpret mode on CPU) must match the
+    XLA grouped fallback and the dequantized dense matmul — stacked layer
+    selection via scalar prefetch included."""
+    from visualcla_tpu.ops.pallas.int4_matmul import int4_matmul
+    from visualcla_tpu.ops.quantization import _q_matmul_grouped
+
+    rng = np.random.default_rng(9)
+    L, IN, OUT, gs, B = 3, 32, 24, 8, 2
+    w = rng.standard_normal((L, IN, OUT)).astype(np.float32) * 0.1
+    wq = quantize_grouped(w, group=gs, bits=4)
+    x = jnp.asarray(rng.standard_normal((B, IN)).astype(np.float32) * 0.5,
+                    jnp.bfloat16)
+    for layer in range(L):
+        got = np.asarray(int4_matmul(
+            x, wq["q"], wq["scale"], layer, interpret=True))
+        sliced = {"q": wq["q"][layer], "scale": wq["scale"][layer]}
+        want = np.asarray(_q_matmul_grouped(x, sliced, out_dtype=jnp.float32))
+        np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
+        dense = np.asarray(x, np.float32) @ np.asarray(dequantize(sliced))
+        np.testing.assert_allclose(got, dense, rtol=2e-2, atol=2e-2)
+    # unstacked (lm_head-style) single weight, layer=None
+    got = np.asarray(int4_matmul(
+        x, wq["q"][1], wq["scale"][1], None, interpret=True))
+    want = np.asarray(_q_matmul_grouped(
+        x, {"q": wq["q"][1], "scale": wq["scale"][1]},
+        out_dtype=jnp.float32))
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
+
+
+def test_lazy_stacked_dispatch_matches_sliced():
+    """q_matmul on a lazy {"q","scale","layer"} stacked dict (the decode
+    loops' deferred slice) must equal slicing first (CPU: XLA fallback)."""
+    rng = np.random.default_rng(10)
+    L, IN, OUT, gs = 3, 32, 24, 8
+    w = rng.standard_normal((L, IN, OUT)).astype(np.float32) * 0.1
+    wq = quantize_grouped(w, group=gs, bits=4)
+    x = jnp.asarray(rng.standard_normal((2, IN)).astype(np.float32))
+    for layer in range(L):
+        lazy = {"q": wq["q"], "scale": wq["scale"],
+                "layer": jnp.int32(layer)}
+        got = np.asarray(q_matmul(x, lazy))
+        sliced = {"q": wq["q"][layer], "scale": wq["scale"][layer]}
+        want = np.asarray(q_matmul(x, sliced))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)

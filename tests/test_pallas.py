@@ -255,3 +255,35 @@ def test_flash_stacked_cache_matches_sliced():
             interpret=True)
         np.testing.assert_allclose(np.asarray(stacked), np.asarray(sliced),
                                    atol=2e-5)
+
+
+def test_flash_vmem_guard_falls_back_to_dense(monkeypatch):
+    """When the whole-KV-row VMEM staging would overflow, cached_attention
+    must fall back to the dense dequant path and still compute the same
+    numbers (VERDICT r2 item 8: guard + fallback for long-context configs)."""
+    from visualcla_tpu.ops import attention as attn
+
+    rng = np.random.default_rng(5)
+    B, Sq, N, Nkv, Skv, H = 2, 8, 4, 2, 32, 8
+    q = jnp.asarray(rng.standard_normal((B, Sq, N, H)), jnp.float32)
+    kf = rng.standard_normal((B, Nkv, Skv, H)).astype(np.float32)
+    vf = rng.standard_normal((B, Nkv, Skv, H)).astype(np.float32)
+    from visualcla_tpu.ops.quantization import quantize_kv
+
+    kq, ks = quantize_kv(jnp.asarray(kf).transpose(0, 2, 1, 3))
+    vq, vs = quantize_kv(jnp.asarray(vf).transpose(0, 2, 1, 3))
+    kq = kq.transpose(0, 2, 1, 3); vq = vq.transpose(0, 2, 1, 3)
+    ks = ks.transpose(0, 2, 1); vs = vs.transpose(0, 2, 1)
+    kv_valid = jnp.asarray(
+        np.arange(Skv)[None, :] < np.asarray([20, 32])[:, None])
+    slot = jnp.asarray([12, 24], jnp.int32)
+
+    want = attn.cached_attention(q, kq, vq, kv_valid, slot,
+                                 k_scale=ks, v_scale=vs, impl="flash")
+    assert attn._flash_prefill_fits_vmem(q, kq, kv_valid, True)
+    monkeypatch.setattr(attn, "_FLASH_VMEM_BUDGET", 1)  # force the guard
+    assert not attn._flash_prefill_fits_vmem(q, kq, kv_valid, True)
+    got = attn.cached_attention(q, kq, vq, kv_valid, slot,
+                                k_scale=ks, v_scale=vs, impl="flash")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)

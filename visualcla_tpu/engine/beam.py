@@ -571,11 +571,18 @@ def beam_generate_fused(
             cos, sin = rope_table(
                 jnp.full((nb, 1), c["pos"], jnp.int32), text_cfg.head_dim,
                 text_cfg.rope_theta)
+            from ..ops import quantization as qz
+
+            rest_leaves, packed_leaves = qz.split_stacked_grouped(
+                text["layers"])
+            # packed-int4 leaves stay stacked (lazy layer index) — see
+            # qz.split_stacked_grouped
             p_l = jax.tree.map(
                 lambda a: jax.lax.dynamic_index_in_dim(a, li, 0,
                                                        keepdims=False),
-                text["layers"],
+                rest_leaves,
             )
+            p_l = {**p_l, **qz.attach_layer(packed_leaves, li)}
             h, cache = llama.layer_forward(
                 p_l, text_cfg, c["h"], cos, sin, c["cache"], c["kv_valid"],
                 c["slot"], li)

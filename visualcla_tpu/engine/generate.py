@@ -328,12 +328,20 @@ class Engine:
 
             act = ACT2FN[tcfg.hidden_act]
 
+        from ..ops import quantization as qz
+
+        rest_leaves, packed_leaves = qz.split_stacked_grouped(text["layers"])
+
         def slice_layer(li):
-            return jax.tree.map(
+            # packed-int4 leaves stay stacked: the Pallas kernel selects the
+            # layer's blocks via scalar prefetch; slicing here would copy the
+            # carrier per layer per step (qz.split_stacked_grouped)
+            p = jax.tree.map(
                 lambda a: jax.lax.dynamic_index_in_dim(a, li, 0,
                                                        keepdims=False),
-                text["layers"],
+                rest_leaves,
             )
+            return {**p, **qz.attach_layer(packed_leaves, li)}
 
         def cond(carry):
             s, h, li = carry

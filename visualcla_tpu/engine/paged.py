@@ -173,9 +173,16 @@ def paged_decode_forward(
     cos, sin = rope_table(positions[:, None], hd, cfg.rope_theta)
     act = _act_fn(cfg)
 
+    from ..ops import quantization as qz
+
+    rest_leaves, packed_leaves = qz.split_stacked_grouped(params["layers"])
+
     def layer(carry, xs):
         h, kp, vp, ks, vs = carry
         p, l = xs
+        # packed-int4 leaves re-enter as lazy stacked dicts (see
+        # qz.split_stacked_grouped) instead of scan-sliced copies
+        p = {**p, **qz.attach_layer(packed_leaves, l)}
         h, kp, vp, ks, vs = paged_layer_step(
             p, cfg, h, cos, sin, kp, vp, ks, vs, tables, lens, blk, off, l,
             act)
@@ -184,7 +191,7 @@ def paged_decode_forward(
     L = cfg.num_hidden_layers
     (h, k_pool, v_pool, k_scales, v_scales), _ = jax.lax.scan(
         layer, (embeds, k_pool, v_pool, k_scales, v_scales),
-        (params["layers"], jnp.arange(L, dtype=jnp.int32)),
+        (rest_leaves, jnp.arange(L, dtype=jnp.int32)),
     )
     h = rms_norm(h, params["final_norm"], cfg.rms_norm_eps)
     return h, k_pool, v_pool, k_scales, v_scales
@@ -737,11 +744,18 @@ class PagedServingEngine:
         finished0 = state.finished
         act = _act_fn(cfg)
 
+        from ..ops import quantization as qz
+
+        rest_leaves, packed_leaves = qz.split_stacked_grouped(text["layers"])
+
         def slice_layer(li):
-            return jax.tree.map(
+            # packed-int4 leaves stay stacked (lazy layer index) — see
+            # qz.split_stacked_grouped
+            p = jax.tree.map(
                 lambda a: jax.lax.dynamic_index_in_dim(a, li, 0,
                                                        keepdims=False),
-                text["layers"])
+                rest_leaves)
+            return {**p, **qz.attach_layer(packed_leaves, li)}
 
         def cond(c):
             s, lens, h, meta, i, li = c

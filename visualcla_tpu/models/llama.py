@@ -166,18 +166,26 @@ def decoder_stack(
     def layer(carry, xs):
         h, cache = carry
         p, l = xs
+        # packed-int4 leaves ride OUTSIDE the scan xs (closure) and re-enter
+        # as lazy {"q","scale","layer"} dicts: scan slicing them per layer
+        # would materialize a per-layer HBM copy of the carrier feeding the
+        # Pallas int4 kernel (ops/quantization.split_stacked_grouped)
+        p = {**p, **quantization.attach_layer(packed_leaves, l)}
         h, cache = layer_forward(
             p, cfg, h, cos, sin, cache, kv_valid, write_slot, l, act=act,
             ring_axis=ring_axis,
         )
         return (h, cache), None
 
+    from ..ops import quantization
+
+    rest_leaves, packed_leaves = quantization.split_stacked_grouped(layers)
     L = jax.tree.leaves(layers)[0].shape[0]  # local layer count (PP: L/P)
     body = jax.checkpoint(layer) if remat else layer
     (h, kv_cache), _ = jax.lax.scan(
         body,
         (inputs_embeds, kv_cache),
-        (layers, jnp.arange(L, dtype=jnp.int32)),
+        (rest_leaves, jnp.arange(L, dtype=jnp.int32)),
         unroll=L if unroll else 1,
     )
     return h, kv_cache

@@ -171,6 +171,33 @@ def attention_impl() -> str:
     return "flash" if jax.default_backend() == "tpu" else "xla"
 
 
+_FLASH_VMEM_BUDGET = 12 * 2**20  # of the 16 MB v5e VMEM; rest is Mosaic slack
+
+
+def _flash_prefill_fits_vmem(q, k, kv_valid, kv_int8: bool) -> bool:
+    """Guard for the flash kernels' whole-KV-row VMEM staging.
+
+    The prefill kernels stage one (Skv, H) K and V row per program plus —
+    for int8 caches — (Nkv, Skv) f32 scale rows and the (B, Skv) validity
+    mask (flash_attention.py in_specs).  At the reference's 2048-token
+    context that is well under 2 MB, but long-context configs (ring-CP
+    tests at 8k+, future 32k) can push the double-buffered staging past
+    VMEM: fall back to the dense dequant path instead of letting Mosaic
+    fail with a scoped-vmem OOM (VERDICT r2 item 8).  The Sq==1 decode
+    kernel blocks the KV dim and never triggers this."""
+    Skv = k.shape[-2]
+    H = k.shape[-1]
+    Nkv = k.shape[-3]
+    B = kv_valid.shape[0]
+    if q.shape[1] == 1:  # decode kernel: (Nkv, bkv) blocks, always fits
+        return True
+    per_program = 2 * Skv * H * k.dtype.itemsize  # K + V rows
+    per_program += B * Skv * 4  # kvok (full array, shared)
+    if kv_int8:
+        per_program += 2 * Nkv * Skv * 4  # scale rows
+    return 2 * per_program <= _FLASH_VMEM_BUDGET  # x2: double buffering
+
+
 def cached_attention(
     q: jnp.ndarray,  # (B, Sq, N, H)
     k: jnp.ndarray,  # (B, Nkv, Skv, H) — full cache buffer (fp or int8),
@@ -200,6 +227,9 @@ def cached_attention(
     compile rejection, bisected in tools/probe_fused_loop.py)."""
     impl = impl or attention_impl()
     mesh = current_attention_mesh()
+    if impl == "flash" and not _flash_prefill_fits_vmem(
+            q, k, kv_valid, k_scale is not None):
+        impl = "xla"  # VMEM guard: fall back to dense dequant (see helper)
     if (impl == "flash" and mesh is None and layer_index is not None):
         from .pallas.flash_attention import flash_attention
 

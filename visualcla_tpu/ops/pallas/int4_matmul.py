@@ -1,0 +1,113 @@
+"""Pallas grouped-int4 decode matmul for TPU (v5e-tuned).
+
+Replaces the XLA formulations of the int4 weight tier for decode-sized token
+counts.  Why a kernel at all: XLA cannot consume 4-bit weights efficiently on
+this chip — a plain dot with an s4 RHS measured SLOWER than the same dot with
+int8 despite half the HBM bytes (tools/probe_int4.py), and the round-2
+grouped dot_general shipped at 47.6 tok/s vs int8's 101.0 at 7B B=1
+(BENCH_r02).  Here the packed bytes stream HBM->VMEM untouched (0.5 B/param),
+nibbles unpack in VREGs with int32 shifts (Mosaic has no int8 shifts), and
+the MXU consumes bf16 halves — measured 230-570 GB/s effective weight
+bandwidth across the 7B matmul shapes in the round-3 prototype.
+
+Format (ops/quantization.py "v2"): carrier uint8 (L, G, gs/2, out) where
+byte[g, r, o] holds W4[g, r, o] (low nibble) and W4[g, r + gs/2, o] (high);
+scale f32 (L, G, out).  The kernel's grid covers output tiles only; the
+whole contraction (all G groups) for one tile is a single VMEM block, so the
+per-matmul grid is tiny (4-49 programs) and Mosaic pipelines the next tile's
+weight DMA behind the current tile's unpack+dot loop.
+
+The LAYER of a stacked weight is selected by the BlockSpec index map from a
+scalar-prefetch operand — the caller passes the full (L, G, gs/2, out)
+carrier and the traced layer index, so no per-layer slice of the weight is
+ever materialized in HBM (a dynamic_index feeding a custom call would copy
+0.5 B/param per matmul per decode step).
+
+Replaces: bitsandbytes' quantized-serving role (reference
+scripts/inference/inference.py:24-25) at the 4-bit tier the reference lacks.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# VMEM plan: double-buffered weight block 2*G*(gs/2)*TO + scale 2*G*TO*4 +
+# x (B, G, gs) bf16 + out (B, TO) f32 + two bf16 dot temps.  Budget leaves
+# ~4 MB of the 16 MB VMEM for Mosaic's own scratch (the G=86 down_proj at
+# TO=1024 measured a 22.89M scoped-vmem OOM, hence the adaptive tile).
+_VMEM_BUDGET = 10 * 2**20
+
+
+def _pick_tile(G: int, gsh: int, out: int) -> int:
+    per_lane = 2 * G * (gsh + 4)  # carrier (1B) + scale (4B), double-buffered
+    to = _VMEM_BUDGET // per_lane
+    to = min(2048, max(128, (to // 128) * 128))
+    return min(to, ((out + 127) // 128) * 128)
+
+
+def _kernel(layer_ref, xs_ref, qw_ref, s_ref, o_ref, *, n_groups):
+    # xs_ref (B, G, gs) bf16; qw_ref (1, G, gsh, TO) uint8; s_ref (1, G, TO)
+    B = xs_ref.shape[0]
+    TO = o_ref.shape[-1]
+    gsh = qw_ref.shape[2]
+    acc = jnp.zeros((B, TO), jnp.float32)
+    for g in range(n_groups):  # static unroll: G is 8..86 at 7B shapes
+        # int32 widen: Mosaic cannot legalize shifts on int8 vregs.  The
+        # zero-extended byte sign-extends per nibble: bits 0..3 -> lo,
+        # 4..7 -> hi (matches quantization.unpack_s4_rows).
+        b = qw_ref[0, g].astype(jnp.int32)  # (gsh, TO)
+        lo = jnp.right_shift(jnp.left_shift(b, 28), 28)
+        hi = jnp.right_shift(jnp.left_shift(b, 24), 28)
+        xg = xs_ref[:, g, :]  # (B, gs) — static index, loop is unrolled
+        y = jnp.dot(xg[:, :gsh], lo.astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32)
+        y = y + jnp.dot(xg[:, gsh:], hi.astype(jnp.bfloat16),
+                        preferred_element_type=jnp.float32)
+        acc = acc + y * s_ref[0, g][None, :]
+    o_ref[:] = acc
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def int4_matmul(x, qw, scale, layer=None, *, interpret: bool | None = None):
+    """x (B, in) @ v2-packed grouped int4 -> (B, out) f32.
+
+    qw uint8 (L, G, gs/2, out) stacked (pass ``layer``) or (G, gs/2, out)
+    unstacked (layer=None); scale f32 matches.  B is the token count —
+    decode-sized (the caller's crossover sends prefill to dequant-dense)."""
+    if qw.ndim == 3:
+        qw = qw[None]
+        scale = scale[None]
+        layer = jnp.int32(0) if layer is None else layer
+    B, in_dim = x.shape
+    L, G, gsh, out = qw.shape
+    gs = 2 * gsh
+    if G * gs != in_dim:
+        raise ValueError(f"x in_dim {in_dim} != G*gs {G}*{gs} of {qw.shape}")
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    to = _pick_tile(G, gsh, out)
+    xs = x.astype(jnp.bfloat16).reshape(B, G, gs)
+    grid = (pl.cdiv(out, to),)
+    return pl.pallas_call(
+        functools.partial(_kernel, n_groups=G),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((B, G, gs), lambda i, l: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, G, gsh, to), lambda i, l: (l[0], 0, 0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, G, to), lambda i, l: (l[0], 0, i),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((B, to), lambda i, l: (0, i),
+                                   memory_space=pltpu.VMEM),
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, out), jnp.float32),
+        interpret=interpret,
+    )(jnp.asarray(layer, jnp.int32).reshape(1), xs, qw, scale)

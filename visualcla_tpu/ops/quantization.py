@@ -6,31 +6,51 @@ on TPU, so each halving of weight bytes is ~2x single-stream tokens/s).
 Symmetric per-output-channel int8: W ≈ q * scale, q int8, scale = absmax/127
 per channel.  Weights live in HBM at 1 byte/param (halving the 7B decode's
 bandwidth bill vs bf16); the dequant happens in-register as part of the matmul
-(XLA fuses the convert+scale into the dot's operand).  Matches the reference's
-scope: only the **text tower** quantizes (vision/resampler stay dense).
+(XLA fuses the convert+scale into the dot's operand read).  Matches the
+reference's scope: only the **text tower** quantizes (vision/resampler dense).
 
-int4 uses XLA's s4 dtype (bit-packed 2/byte in TPU HBM) with **group-wise**
-scales along the contraction dim (default group 128, the GPTQ/AWQ
-convention) to keep quantization error acceptable at 4 bits:
-W[(g), out] ≈ q[(g), out] * scale[g, out].  The matmul is one dot_general
-batched over groups with the scale applied to the per-group partials — the
-dot still consumes raw s4 (no dequantized weight temp in HBM; see q_matmul's
-post-dot-scale note).
+int4 uses **group-wise** scales along the contraction dim (default group 128,
+the GPTQ/AWQ convention) to keep quantization error acceptable at 4 bits:
+W[(g), out] ≈ q[(g), out] * scale[g, out].
 
-**s4 never crosses a program boundary.**  The axon TPU runtime cannot accept
-s4 arrays as jit arguments or transfers (UNIMPLEMENTED at the PJRT layer;
-jax's eager fallback recurses — measured on the v5e tunnel, DEVNOTES round 2
-seventh window).  int4 weights are therefore STORED as int8 CARRIERS with two
-s4 nibbles per byte, packed along the last (output-channel) dim — element 2j
-in the low nibble, 2j+1 high, matching ``lax.bitcast_convert_type``'s
-little-endian split — and ``unpack_s4`` bitcasts them to s4 INSIDE the
-program (bit-identical layout to a native s4 array, so the bitcast+reshape
-is free).  HBM traffic stays 0.5 byte/param either way.
+**int4 storage format (v2, contraction-packed deinterleaved halves).**
+A grouped-int4 weight is a dict
+    {"q": uint8 (..., G, gs/2, out), "scale": f32 (..., G, out)}
+where byte[g, r, o] packs TWO signed 4-bit values of group g's column o:
+    low nibble  = W4[g, r,        o]
+    high nibble = W4[g, r + gs/2, o]
+i.e. the two CONTRACTION-dim halves of the group share a byte.  Why this
+layout (measured on the v5e, round 3):
+- XLA cannot consume s4 efficiently at all on this chip — a plain dot with an
+  s4 RHS measured SLOWER than the same dot with int8 despite half the HBM
+  bytes (probe_int4.py), and the round-2 column-packed bitcast format
+  measured 47.6 tok/s vs int8's 101.0 at 7B.  The decode matmul is therefore
+  a Pallas kernel (ops/pallas/int4_matmul.py) that unpacks nibbles in
+  VMEM/VREGs with integer shifts and feeds the MXU bf16 — HBM traffic stays
+  0.5 byte/param.
+- Packing along the CONTRACTION dim keeps the full ``out`` dim on the lane
+  axis: the scale (G, out) applies directly to the dot's (B, out) partials
+  (no channel interleave to undo), sharding rules put 'model' on the last
+  dim of q and scale alike, and the only requirement is an even group size
+  (the round-2 format needed an even OUTPUT dim, which the 49958-wide
+  lm_head only met by luck).
+- Deinterleaved halves (r and r+gs/2, not 2r and 2r+1) make the activation
+  split two CONTIGUOUS lane slices of x's (B, gs) group block.
+- The uint8 carrier dtype doubles as the structural marker distinguishing
+  packed int4 from unpacked grouped int8 (both would otherwise be int8
+  arrays of indistinguishable shape).  s4 never crosses a program boundary:
+  the axon runtime rejects s4 jit arguments/transfers (DEVNOTES round 2).
 
-A quantized weight is a dict {"q": int8 (..., in, out), "scale": f32 (..., 1, out)}
-(per-channel) or {"q": packed int8 (..., G, gs, out/2), "scale": f32 (..., G, out)}
-(group-wise s4; detected structurally by ``is_grouped``/``is_packed_grouped``
-so the dict survives ``lax.scan`` slicing) — model code dispatches through
+Inside a decode loop the per-layer weight slice is DEFERRED: the loops pass
+the full stacked (L, G, gs/2, out) carrier plus the layer index as a
+``{"q", "scale", "layer"}`` dict (see ``split_stacked_grouped``), and the
+Pallas kernel selects the layer's blocks via its index map — an up-front
+``dynamic_index_in_dim`` would materialize a per-layer copy of the weight in
+HBM (0.5 B/param extra traffic per matmul per step, erasing the int4 win).
+
+A per-channel int8 weight stays {"q": int8 (..., in, out), "scale": f32
+(..., 1, out)}; detection is structural (``is_grouped``/``is_packed_grouped``)
+so dicts survive ``lax.scan`` leaf slicing — model code dispatches through
 ``q_matmul``/``q_take``.
 """
 from __future__ import annotations
@@ -72,34 +92,34 @@ def quantize(w, axis: int = -2):
     return {"q": q, "scale": scale.astype(jnp.float32)}
 
 
-def pack_s4(q):
-    """Pack s4 values (int8 in [-8, 7], last dim even) into an int8 carrier,
-    two per byte: element 2j -> low nibble, 2j+1 -> high (the order
-    ``lax.bitcast_convert_type(int8, int4)`` unpacks).  Works on numpy and
-    jax arrays; the result's bit layout equals a native s4 array's HBM
-    layout, so the in-program unpack is a free bitcast."""
-    if q.shape[-1] % 2:
-        raise ValueError(f"pack_s4 needs an even last dim, got {q.shape}")
+def pack_s4_rows(q):
+    """Pack grouped s4 values (int8 in [-8, 7], shape (..., G, gs, out), gs
+    even) into the v2 uint8 carrier (..., G, gs/2, out): row r -> low nibble,
+    row r + gs/2 -> high.  Works on numpy and jax arrays."""
+    gs = q.shape[-2]
+    if gs % 2:
+        raise ValueError(f"pack_s4_rows needs an even group size, got {q.shape}")
+    gsh = gs // 2
+    lo = q[..., :gsh, :] & 0xF
+    hi = q[..., gsh:, :] & 0xF
     if isinstance(q, np.ndarray):
-        lo = (q[..., 0::2] & 0xF).astype(np.uint8)
-        hi = (q[..., 1::2] & 0xF).astype(np.uint8)
-        return (lo | (hi << 4)).view(np.int8)
-    import jax
-
-    lo = (q[..., 0::2] & 0xF).astype(jnp.uint8)
-    hi = (q[..., 1::2] & 0xF).astype(jnp.uint8)
-    return jax.lax.bitcast_convert_type(lo | (hi << 4), jnp.int8)
+        return (lo | (hi << 4)).astype(np.uint8)
+    return (lo | (hi << 4)).astype(jnp.uint8)
 
 
-def unpack_s4(packed: jnp.ndarray) -> jnp.ndarray:
-    """int8 carrier (..., P) -> s4 (..., 2P), inverse of :func:`pack_s4`.
-    Trace-time only (s4 cannot cross a program boundary on the axon runtime);
-    the bitcast's (..., P, 2) -> (..., 2P) reshape is bit-identical to the
-    s4 packed layout, so XLA lowers it without a relayout."""
-    import jax
-
-    u = jax.lax.bitcast_convert_type(packed, jnp.int4)  # (..., P, 2)
-    return u.reshape(*packed.shape[:-1], 2 * packed.shape[-1])
+def unpack_s4_rows(packed):
+    """uint8 carrier (..., G, gs/2, out) -> signed int8 values (..., G, gs, out),
+    inverse of :func:`pack_s4_rows`.  Shifts run in int32 (TPU vregs have no
+    int8 shifts — same trick the Pallas kernel uses)."""
+    if isinstance(packed, np.ndarray):
+        b = packed.astype(np.int32)
+        lo = (b << 28) >> 28
+        hi = (b << 24) >> 28
+        return np.concatenate([lo, hi], axis=-2).astype(np.int8)
+    b = packed.astype(jnp.int32)
+    lo = jnp.right_shift(jnp.left_shift(b, 28), 28)
+    hi = jnp.right_shift(jnp.left_shift(b, 24), 28)
+    return jnp.concatenate([lo, hi], axis=-2).astype(jnp.int8)
 
 
 def effective_group(in_dim: int, group: int = 128):
@@ -120,18 +140,18 @@ def effective_group(in_dim: int, group: int = 128):
 
 def quantize_grouped(w, group: int = 128, bits: int = 4):
     """Group-wise symmetric quantization along the contraction (second-to-last)
-    dim: W (..., in, out) -> {"q": packed-s4 int8 (..., G, gs, out/2), "scale":
-    f32 (..., G, out)} with G = in/group groups (bits=8 keeps an unpacked int8
-    q (..., G, gs, out)).  The group axis is materialized in storage (no
-    in-graph reshape of the weight at each decode step).  bits=4 uses the
-    symmetric range ±7 and stores the nibbles packed (see module docstring)."""
+    dim: W (..., in, out) -> {"q": uint8 v2 carrier (..., G, gs/2, out),
+    "scale": f32 (..., G, out)} with G = in/group groups (bits=8 keeps an
+    unpacked int8 q (..., G, gs, out)).  The group axis is materialized in
+    storage (no in-graph reshape of the weight at each decode step).  bits=4
+    uses the symmetric range ±7; group size must be even."""
     assert bits in (4, 8)
     w = jnp.asarray(w)
     in_dim = w.shape[-2]
     if in_dim % group:
         raise ValueError(f"contraction dim {in_dim} not divisible by group {group}")
-    if bits == 4 and w.shape[-1] % 2:
-        raise ValueError(f"int4 needs an even output dim, got {w.shape}")
+    if bits == 4 and group % 2:
+        raise ValueError(f"int4 needs an even group size, got {group}")
     g = in_dim // group
     lead = w.shape[:-2]
     wg = w.astype(jnp.float32).reshape(*lead, g, group, w.shape[-1])
@@ -141,7 +161,7 @@ def quantize_grouped(w, group: int = 128, bits: int = 4):
     scale = jnp.where(scale == 0, 1.0, scale)
     q = jnp.clip(jnp.round(wg / scale), -lim, lim).astype(jnp.int8)
     if bits == 4:
-        q = pack_s4(q)
+        q = pack_s4_rows(q)
     # NOTE no static "group" leaf: grouped-ness is detected structurally
     # (q.ndim == scale.ndim + 1) so the dict survives lax.scan slicing over a
     # stacked layer axis, where every leaf must be an array.
@@ -149,17 +169,17 @@ def quantize_grouped(w, group: int = 128, bits: int = 4):
 
 
 def quantize_grouped_np(w: np.ndarray, group: int = 128, bits: int = 4) -> dict:
-    """Host-side (numpy) group-wise quantization — same packed-int8-carrier
+    """Host-side (numpy) group-wise quantization — same v2 uint8-carrier
     layout as :func:`quantize_grouped` (bits=4), so the result transfers to
-    device as plain int8 bytes (s4 cannot cross the axon program boundary).
+    device as plain bytes (s4 cannot cross the axon program boundary).
     The "bits" marker records the tier for save/load tooling."""
     assert bits in (4, 8)
     wf = np.asarray(w, np.float32)
     in_dim = wf.shape[-2]
     if in_dim % group:
         raise ValueError(f"contraction dim {in_dim} not divisible by group {group}")
-    if bits == 4 and wf.shape[-1] % 2:
-        raise ValueError(f"int4 needs an even output dim, got {wf.shape}")
+    if bits == 4 and group % 2:
+        raise ValueError(f"int4 needs an even group size, got {group}")
     g = in_dim // group
     lead = wf.shape[:-2]
     wg = wf.reshape(*lead, g, group, wf.shape[-1])
@@ -169,12 +189,12 @@ def quantize_grouped_np(w: np.ndarray, group: int = 128, bits: int = 4) -> dict:
     scale[scale == 0] = 1.0
     q = np.clip(np.round(wg / scale), -lim, lim).astype(np.int8)
     if bits == 4:
-        q = pack_s4(q)
+        q = pack_s4_rows(q)
     return {"q": q, "scale": scale[..., 0, :].astype(np.float32), "bits": bits}
 
 
 def device_put_quantized(wq: dict):
-    """Move a host-side grouped dict to device (the packed int8 carrier
+    """Move a host-side grouped dict to device (the packed uint8 carrier
     transfers as-is — never narrow to s4 outside a program)."""
     return {"q": jnp.asarray(wq["q"]), "scale": jnp.asarray(wq["scale"])}
 
@@ -193,7 +213,7 @@ def quantize_kv(x: jnp.ndarray):
 
 def dequantize(wq: dict, dtype=jnp.float32):
     if is_grouped(wq):
-        q = unpack_s4(wq["q"]) if is_packed_grouped(wq) else wq["q"]
+        q = unpack_s4_rows(wq["q"]) if is_packed_grouped(wq) else wq["q"]
         w = q.astype(jnp.float32) * wq["scale"][..., None, :]
         lead = w.shape[:-3]
         return w.reshape(*lead, w.shape[-3] * w.shape[-2], w.shape[-1]).astype(dtype)
@@ -205,24 +225,51 @@ def is_quantized(w) -> bool:
 
 
 def is_grouped(w) -> bool:
-    """Group-wise layout: q (..., G, gs, out) has one more dim than scale
-    (..., G, out).  Per-channel layouts have equal ndim (scale keeps a
+    """Group-wise layout: q (..., G, gs[, /2], out) has one more dim than
+    scale (..., G, out).  Per-channel layouts have equal ndim (scale keeps a
     broadcast dim)."""
     return is_quantized(w) and w["q"].ndim == w["scale"].ndim + 1
 
 
 def is_packed_grouped(w) -> bool:
-    """Grouped-s4 layout with the packed int8 carrier: q (..., G, gs, out/2)
-    holds two nibbles per byte, scale (..., G, out) names the full output dim."""
-    return (
-        is_grouped(w)
-        and w["q"].dtype in (jnp.int8, np.int8)
-        and 2 * w["q"].shape[-1] == w["scale"].shape[-1]
-    )
+    """Grouped-s4 v2 layout: the uint8 carrier dtype IS the marker (unpacked
+    grouped int8 keeps int8; shapes alone cannot distinguish them)."""
+    return is_grouped(w) and w["q"].dtype in (jnp.uint8, np.uint8)
+
+
+def is_stacked_lazy(w) -> bool:
+    """A stacked grouped weight whose per-layer slice is deferred to the
+    matmul: {"q": (L, G, gs/2, out), "scale": (L, G, out), "layer": ()}."""
+    return is_quantized(w) and "layer" in w
+
+
+def split_stacked_grouped(layers: dict):
+    """Partition a stacked layer-param dict into (rest, packed): ``packed``
+    holds the packed-int4 leaves, which must NOT be sliced per layer (a
+    dynamic_index_in_dim before a Pallas call materializes a per-layer HBM
+    copy of the weight — 0.5 B/param of extra traffic per matmul per decode
+    step).  Loops scan/index ``rest`` as before and rebuild the full
+    per-layer tree with :func:`attach_layer`."""
+    rest, packed = {}, {}
+    for k, v in layers.items():
+        if is_packed_grouped(v):
+            packed[k] = v
+        else:
+            rest[k] = v
+    return rest, packed
+
+
+def attach_layer(packed: dict, layer) -> dict:
+    """name -> lazy stacked dict carrying the (traced) layer index."""
+    return {
+        k: {"q": v["q"], "scale": v["scale"],
+            "layer": jnp.asarray(layer, jnp.int32)}
+        for k, v in packed.items()
+    }
 
 
 def q_matmul(x, w: Union[dict, jnp.ndarray]):
-    """x @ W with optional int8 W: dequant fused into the dot.
+    """x @ W with optional int8/int4 W: dequant fused into the dot.
 
     The scale is per-OUTPUT-channel, so it commutes with the contraction:
     ``x @ (q * scale) == (x @ q) * scale``.  Scaling AFTER the dot keeps the
@@ -233,19 +280,65 @@ def q_matmul(x, w: Union[dict, jnp.ndarray]):
     of the 7B B=8 paged step (bitcast_multiply_fusion in the HLO)."""
     if not is_quantized(w):
         return x @ w
+    if is_stacked_lazy(w):
+        return _q_matmul_stacked(x, w)
     if is_grouped(w):
         return _q_matmul_grouped(x, w)
     y = x @ w["q"].astype(x.dtype)
     return y * w["scale"][..., 0, :].astype(x.dtype)
 
 
-def _q_matmul_grouped(x, w: dict, out_dtype=None):
-    """x (..., in) @ grouped weight {q (G, gs, out), scale (G, out)}.
+def _use_int4_kernel(tokens: int, gs: int) -> bool:
+    """The Pallas int4 kernel serves the decode regime on a real TPU with
+    unsharded weights; everything else (CPU tests, TP-sharded weights under a
+    mesh, prefill-sized token counts) takes the XLA paths."""
+    import jax
 
-    DECODE (few tokens): ONE dot_general batched over groups, scales applied
-    to the fp32 per-group partials, summed.  The dot's RHS stays raw s4/s8
-    (XLA fuses the narrow convert into the operand read — no dequantized
-    weight temp in HBM), and the scale never touches a weight-sized tensor.
+    if jax.default_backend() != "tpu":
+        return False
+    if tokens * 4 > gs * 2:  # prefill crossover: dequant-dense wins
+        return False
+    from .attention import current_attention_mesh
+    from ..parallel.sharding import MODEL
+
+    mesh = current_attention_mesh()
+    return mesh is None or mesh.shape.get(MODEL, 1) == 1
+
+
+def _q_matmul_stacked(x, w: dict, out_dtype=None):
+    """Stacked lazy grouped weight: dispatch the Pallas kernel with the FULL
+    (L, G, gs/2, out) carrier + layer index (its BlockSpec index map reads
+    layer ``l``'s blocks straight from HBM), or slice-then-fallback on the
+    XLA paths."""
+    q, s, layer = w["q"], w["scale"], w["layer"]
+    tokens = 1
+    for d in x.shape[:-1]:
+        tokens *= d
+    gs = 2 * q.shape[-2]
+    if _use_int4_kernel(tokens, gs):
+        from .pallas.int4_matmul import int4_matmul
+
+        y = int4_matmul(x.reshape(-1, x.shape[-1]), q, s, layer)
+        y = y.reshape(*x.shape[:-1], y.shape[-1])
+        return y.astype(out_dtype or x.dtype)
+    import jax
+
+    sliced = {
+        "q": jax.lax.dynamic_index_in_dim(q, layer, 0, keepdims=False),
+        "scale": jax.lax.dynamic_index_in_dim(s, layer, 0, keepdims=False),
+    }
+    return _q_matmul_grouped(x, sliced, out_dtype=out_dtype)
+
+
+def _q_matmul_grouped(x, w: dict, out_dtype=None):
+    """x (..., in) @ grouped weight {q (G, gs[, /2], out), scale (G, out)}.
+
+    DECODE (few tokens): on TPU the packed-int4 case goes through the Pallas
+    kernel (``_use_int4_kernel``); otherwise ONE dot_general batched over
+    groups (two for the packed carrier's halves), scales applied to the fp32
+    per-group partials, summed.  The unpacked dot's RHS stays raw int8 (XLA
+    fuses the narrow convert into the operand read — no dequantized weight
+    temp in HBM), and the scale never touches a weight-sized tensor.
 
     PREFILL (many tokens): the grouped form's (G, T, out) fp32 partials
     tensor scales with token count T — at T=2048, out=11008, G=32 that is
@@ -257,41 +350,59 @@ def _q_matmul_grouped(x, w: dict, out_dtype=None):
     never take this branch."""
     import jax
 
-    q, s = w["q"], w["scale"]  # (G, gs, out) s4/s8 — or (G, gs, out/2) packed
+    q, s = w["q"], w["scale"]  # (G, gs, out) int8 — or (G, gs/2, out) uint8
     if q.ndim != 3:
         raise ValueError(
             f"grouped q_matmul expects an unstacked (G, gs, out) weight, got "
             f"shape {q.shape} — slice the layer dim before dispatch")
+    packed = is_packed_grouped(w)
+    g = q.shape[0]
+    gs = (2 if packed else 1) * q.shape[1]
     tokens = 1
     for d in x.shape[:-1]:
         tokens *= d
-    if tokens * 4 > q.shape[1] * 2:  # fp32 partials vs x.dtype weight temp
+    if tokens * 4 > gs * 2:  # fp32 partials vs x.dtype weight temp
         return (x @ dequantize(w, x.dtype)).astype(out_dtype or x.dtype)
-    g, gs = q.shape[0], q.shape[1]
-    xg = x.reshape(*x.shape[:-1], g, gs)  # (..., G, gs)
-    packed = is_packed_grouped(w)
-    if packed:
-        # NEVER reshape the weight: bitcast the carrier to s4 and keep the
-        # nibble pair as a trailing FREE dim of the dot.  An interleaving
-        # (G, gs, P, 2) -> (G, gs, 2P) reshape on the weight breaks XLA's
-        # operand fusion — it materialized a dequantized weight temp per
-        # matmul and cost 3.4x the int8 step time on the v5e (DEVNOTES
-        # round 2 seventh window).  The pair dim is instead folded out of
-        # the token-sized OUTPUT (..., P, 2) -> (..., 2P), which is B*out
-        # elements, not weight-sized.
-        q = jax.lax.bitcast_convert_type(q, jnp.int4)  # (G, gs, P, 2)
-    y = jax.lax.dot_general(
-        xg, q.astype(x.dtype),
-        (((xg.ndim - 1,), (1,)), ((xg.ndim - 2,), (0,))),
-        preferred_element_type=jnp.float32,
-    )  # (G, ..., out) — packed: (G, ..., P, 2)
-    if packed:
-        y = y * s.reshape(g, *(1,) * (y.ndim - 3), s.shape[-1] // 2, 2)
-        y = jnp.sum(y, axis=0)  # (..., P, 2)
-        y = y.reshape(*y.shape[:-2], s.shape[-1])  # channel 2p+k = (p, k)
+    if packed and _use_int4_kernel(tokens, gs):
+        from .pallas.int4_matmul import int4_matmul
+
+        y = int4_matmul(x.reshape(-1, x.shape[-1]), q, s, None)
+        y = y.reshape(*x.shape[:-1], y.shape[-1])
         return y.astype(out_dtype or x.dtype)
+    xg = x.reshape(*x.shape[:-1], g, gs)  # (..., G, gs)
+    nd = xg.ndim
+    if packed:
+        # XLA fallback for the v2 carrier (CPU tests, TP-sharded weights):
+        # unpack with int32 shifts into the two int8 halves and run TWO
+        # group-batched dots — the unpacked halves total 1 B/param of HBM
+        # temps (int8-tier traffic), which is why the TPU decode path is a
+        # Pallas kernel instead.
+        gsh = q.shape[1]
+        lo, hi = _unpack_halves(q)
+        dn = (((nd - 1,), (1,)), ((nd - 2,), (0,)))
+        y = jax.lax.dot_general(
+            xg[..., :gsh], lo.astype(x.dtype), dn,
+            preferred_element_type=jnp.float32,
+        ) + jax.lax.dot_general(
+            xg[..., gsh:], hi.astype(x.dtype), dn,
+            preferred_element_type=jnp.float32,
+        )  # (G, ..., out)
+    else:
+        y = jax.lax.dot_general(
+            xg, q.astype(x.dtype),
+            (((nd - 1,), (1,)), ((nd - 2,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # (G, ..., out)
     y = y * s.reshape(g, *(1,) * (y.ndim - 2), s.shape[-1])
     return jnp.sum(y, axis=0).astype(out_dtype or x.dtype)
+
+
+def _unpack_halves(q):
+    """v2 uint8 carrier (G, gs/2, out) -> (lo, hi) int8 halves (G, gs/2, out)."""
+    b = q.astype(jnp.int32)
+    lo = jnp.right_shift(jnp.left_shift(b, 28), 28).astype(jnp.int8)
+    hi = jnp.right_shift(jnp.left_shift(b, 24), 28).astype(jnp.int8)
+    return lo, hi
 
 
 def q_take(w: Union[dict, jnp.ndarray], ids, axis: int = 0):
