@@ -64,12 +64,13 @@ def build_engine(max_seq_len: int, quant: str = "bf16"):
         for k, s in flat.items():
             if (quant == "int4" and k in INT8_TEXT_LEAVES
                     and k != "text/embed_tokens"):
-                # grouped s4: q packed int8 (..., G, gs, out/2), scale
-                # (..., G, out) — eager s4 creation recurses under axon
+                # grouped s4 v2: uint8 carrier (..., G, gs/2, out), scale
+                # (..., G, out) — contraction-packed deinterleaved halves
+                # (ops/quantization.py module docstring)
                 lead, in_dim, odim = s.shape[:-2], s.shape[-2], s.shape[-1]
                 g = in_dim // GROUP
                 out[k] = {
-                    "q": jnp.zeros((*lead, g, GROUP, odim // 2), jnp.int8),
+                    "q": jnp.zeros((*lead, g, GROUP // 2, odim), jnp.uint8),
                     "scale": jnp.ones((*lead, g, odim), jnp.float32),
                 }
             elif k in INT8_TEXT_LEAVES:

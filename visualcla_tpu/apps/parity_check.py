@@ -124,7 +124,10 @@ def run_parity(native_model: str, merged_model: str, questions, image_dir: str,
     sampling = SamplingConfig.greedy(max_new_tokens=max_new_tokens)
     results = []
     for q in questions:
-        enc = encoding_text([], q["instruction"], model.num_patch, tokenizer)
+        # llava set uses "instruction", owl uses "question" (vendored
+        # examples/*.json keep the reference's field names verbatim)
+        text = q.get("instruction") or q["question"]
+        enc = encoding_text([], text, model.num_patch, tokenizer)
         ids = enc["input_ids"]
         img_pos = img_marker_positions(ids, tokenizer.img_start_token_id)
         pix = None
