@@ -49,35 +49,60 @@ def _pick_tile(G: int, gsh: int, out: int) -> int:
     return min(to, ((out + 127) // 128) * 128)
 
 
-def _kernel(layer_ref, xs_ref, qw_ref, s_ref, o_ref, *, n_groups):
+def _kernel(layer_ref, xs_ref, qw_ref, s_ref, o_ref, *, n_groups, unpack):
     # xs_ref (B, G, gs) bf16; qw_ref (1, G, gsh, TO) uint8; s_ref (1, G, TO)
     B = xs_ref.shape[0]
     TO = o_ref.shape[-1]
     gsh = qw_ref.shape[2]
     acc = jnp.zeros((B, TO), jnp.float32)
     for g in range(n_groups):  # static unroll: G is 8..86 at 7B shapes
-        # int32 widen: Mosaic cannot legalize shifts on int8 vregs.  The
-        # zero-extended byte sign-extends per nibble: bits 0..3 -> lo,
-        # 4..7 -> hi (matches quantization.unpack_s4_rows).
-        b = qw_ref[0, g].astype(jnp.int32)  # (gsh, TO)
-        lo = jnp.right_shift(jnp.left_shift(b, 28), 28)
-        hi = jnp.right_shift(jnp.left_shift(b, 24), 28)
         xg = xs_ref[:, g, :]  # (B, gs) — static index, loop is unrolled
-        y = jnp.dot(xg[:, :gsh], lo.astype(jnp.bfloat16),
-                    preferred_element_type=jnp.float32)
-        y = y + jnp.dot(xg[:, gsh:], hi.astype(jnp.bfloat16),
+        if unpack == "shift":
+            # int32 widen: Mosaic cannot legalize shifts on int8 vregs.  The
+            # zero-extended byte sign-extends per nibble: bits 0..3 -> lo,
+            # 4..7 -> hi (matches quantization.unpack_s4_rows).
+            b = qw_ref[0, g].astype(jnp.int32)  # (gsh, TO)
+            lo = jnp.right_shift(jnp.left_shift(b, 28), 28)
+            hi = jnp.right_shift(jnp.left_shift(b, 24), 28)
+            y = jnp.dot(xg[:, :gsh], lo.astype(jnp.bfloat16),
                         preferred_element_type=jnp.float32)
+            y = y + jnp.dot(xg[:, gsh:], hi.astype(jnp.bfloat16),
+                            preferred_element_type=jnp.float32)
+        else:  # "xor": excess-8 unpack, bias folded into a correction term.
+            # v XOR 8 == v + 8 (mod 16) for a two's-complement nibble, so one
+            # uint8 XOR re-biases BOTH nibbles at once; the unsigned halves
+            # then split with one AND (stays uint8) and one logical shift
+            # (int32 widen only for the hi half).  The MXU consumes
+            # (W4 + 8) and the -8 comes back as  -8 * sum(x_g)  per group —
+            # exact integer math, two fewer VPU passes per weight byte than
+            # the arithmetic-shift form.
+            u = jnp.bitwise_xor(qw_ref[0, g], jnp.uint8(0x88))  # (gsh, TO)
+            # u8->bf16 is an unsupported Mosaic cast; the 0..15 lo half is
+            # value-identical as int8, and s8->bf16 legalizes (the int8-KV
+            # flash path relies on it).
+            lo_u = jnp.bitwise_and(u, jnp.uint8(0x0F)).astype(jnp.int8)
+            hi_u = jnp.right_shift(u.astype(jnp.int32), 4)
+            y = jnp.dot(xg[:, :gsh], lo_u.astype(jnp.bfloat16),
+                        preferred_element_type=jnp.float32)
+            y = y + jnp.dot(xg[:, gsh:], hi_u.astype(jnp.bfloat16),
+                            preferred_element_type=jnp.float32)
+            y = y - 8.0 * jnp.sum(xg, axis=-1, dtype=jnp.float32)[:, None]
         acc = acc + y * s_ref[0, g][None, :]
     o_ref[:] = acc
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def int4_matmul(x, qw, scale, layer=None, *, interpret: bool | None = None):
+@functools.partial(jax.jit, static_argnames=("interpret", "tile", "unpack"))
+def int4_matmul(x, qw, scale, layer=None, *, interpret: bool | None = None,
+                tile: int | None = None, unpack: str = "xor"):
     """x (B, in) @ v2-packed grouped int4 -> (B, out) f32.
 
     qw uint8 (L, G, gs/2, out) stacked (pass ``layer``) or (G, gs/2, out)
     unstacked (layer=None); scale f32 matches.  B is the token count —
-    decode-sized (the caller's crossover sends prefill to dequant-dense)."""
+    decode-sized (the caller's crossover sends prefill to dequant-dense).
+    ``tile`` overrides the adaptive output-tile width (probing only);
+    ``unpack`` picks the in-kernel nibble decode — "xor" (excess-8, default)
+    measured -28% on the square shapes / -17% per 7B layer vs the "shift"
+    arithmetic form on the v5e (tools/probe_int4_tile.py, 2026-08-19)."""
     if qw.ndim == 3:
         qw = qw[None]
         scale = scale[None]
@@ -89,11 +114,13 @@ def int4_matmul(x, qw, scale, layer=None, *, interpret: bool | None = None):
         raise ValueError(f"x in_dim {in_dim} != G*gs {G}*{gs} of {qw.shape}")
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    to = _pick_tile(G, gsh, out)
+    to = tile or _pick_tile(G, gsh, out)
     xs = x.astype(jnp.bfloat16).reshape(B, G, gs)
     grid = (pl.cdiv(out, to),)
+    if unpack not in ("shift", "xor"):
+        raise ValueError(f"unknown unpack mode {unpack!r}")
     return pl.pallas_call(
-        functools.partial(_kernel, n_groups=G),
+        functools.partial(_kernel, n_groups=G, unpack=unpack),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,
