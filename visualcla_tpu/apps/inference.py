@@ -72,6 +72,9 @@ def main(argv=None):
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+        from visualcla_tpu.utils import enable_cpu_compilation_cache
+
+        enable_cpu_compilation_cache()
 
     import visualcla_tpu as visualcla
     from visualcla_tpu.api import chat, chat_in_stream
