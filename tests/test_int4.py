@@ -322,6 +322,37 @@ def test_int4_pallas_kernel_interpret_matches_xla():
     np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
 
 
+def test_int4_pallas_kernel_prefill_sizes_and_unpack_modes():
+    """The kernel also serves single-prompt prefill (B up to MAX_TOKENS=256
+    tokens — what cut the int4 TTFT), with the adaptive tile budgeting the
+    whole-x VMEM block; the two nibble-decode forms agree to f32 rounding
+    (the xor form's +8-biased dot accumulates in a different order and its
+    -8 correction cancels ~two orders of magnitude, so ~1e-5 absolute)."""
+    from visualcla_tpu.ops.pallas.int4_matmul import (
+        MAX_TOKENS, _pick_tile, int4_matmul,
+    )
+
+    rng = np.random.default_rng(11)
+    IN, OUT, gs = 256, 384, 128
+    w = rng.standard_normal((IN, OUT)).astype(np.float32) * 0.1
+    wq = quantize_grouped(w, group=gs, bits=4)
+    dense = np.asarray(dequantize(wq))
+    for B in (176, MAX_TOKENS):
+        x = jnp.asarray(rng.standard_normal((B, IN)).astype(np.float32))
+        want = np.asarray(x.astype(jnp.bfloat16).astype(jnp.float32)) @ dense
+        ys = {}
+        for mode in ("shift", "xor"):
+            ys[mode] = np.asarray(int4_matmul(
+                x, wq["q"], wq["scale"], interpret=True, unpack=mode))
+            np.testing.assert_allclose(ys[mode], want, rtol=2e-2, atol=2e-2)
+        np.testing.assert_allclose(ys["shift"], ys["xor"],
+                                   rtol=1e-4, atol=1e-4)
+    # the 7B down-proj shape at prefill B shrinks the tile to fit the x block
+    assert _pick_tile(86, 64, 4096, 256) <= _pick_tile(86, 64, 4096, 1)
+    # decode-regime picks are unchanged by the prefill accounting (B <= 8)
+    assert _pick_tile(86, 64, 4096, 8) == _pick_tile(86, 64, 4096, 1)
+
+
 def test_lazy_stacked_dispatch_matches_sliced():
     """q_matmul on a lazy {"q","scale","layer"} stacked dict (the decode
     loops' deferred slice) must equal slicing first (CPU: XLA fallback)."""

@@ -36,15 +36,28 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 # VMEM plan: double-buffered weight block 2*G*(gs/2)*TO + scale 2*G*TO*4 +
-# x (B, G, gs) bf16 + out (B, TO) f32 + two bf16 dot temps.  Budget leaves
-# ~4 MB of the 16 MB VMEM for Mosaic's own scratch (the G=86 down_proj at
-# TO=1024 measured a 22.89M scoped-vmem OOM, hence the adaptive tile).
+# x (B, G, gs) bf16 (whole-block, shared by every output tile) + out (B, TO)
+# f32 + two bf16 dot temps.  Budget leaves ~4 MB of the 16 MB VMEM for
+# Mosaic's own scratch (the G=86 down_proj at TO=1024 measured a 22.89M
+# scoped-vmem OOM, hence the adaptive tile).  B above decode size (the
+# prefill regime, up to MAX_TOKENS) shrinks the tile further: the x block
+# and the f32 out/acc now count.
 _VMEM_BUDGET = 10 * 2**20
 
+# Token ceiling for the kernel: one whole-x VMEM block.  Past this (long
+# prompts, batched prefill) the caller's dequant-dense path wins anyway —
+# the weight re-reads per token tile would exceed the one-shot dequant
+# temp's traffic.
+MAX_TOKENS = 256
 
-def _pick_tile(G: int, gsh: int, out: int) -> int:
+
+def _pick_tile(G: int, gsh: int, out: int, B: int = 1) -> int:
     per_lane = 2 * G * (gsh + 4)  # carrier (1B) + scale (4B), double-buffered
-    to = _VMEM_BUDGET // per_lane
+    budget = _VMEM_BUDGET
+    if B > 8:  # prefill regime: the x block and f32 out/acc now matter
+        budget = max(budget - B * G * 2 * gsh * 2, per_lane * 128)
+        per_lane += B * 4 * 2
+    to = budget // per_lane
     to = min(2048, max(128, (to // 128) * 128))
     return min(to, ((out + 127) // 128) * 128)
 
@@ -114,7 +127,7 @@ def int4_matmul(x, qw, scale, layer=None, *, interpret: bool | None = None,
         raise ValueError(f"x in_dim {in_dim} != G*gs {G}*{gs} of {qw.shape}")
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    to = tile or _pick_tile(G, gsh, out)
+    to = tile or _pick_tile(G, gsh, out, B)
     xs = x.astype(jnp.bfloat16).reshape(B, G, gs)
     grid = (pl.cdiv(out, to),)
     if unpack not in ("shift", "xor"):

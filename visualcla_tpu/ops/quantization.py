@@ -289,14 +289,20 @@ def q_matmul(x, w: Union[dict, jnp.ndarray]):
 
 
 def _use_int4_kernel(tokens: int, gs: int) -> bool:
-    """The Pallas int4 kernel serves the decode regime on a real TPU with
-    unsharded weights; everything else (CPU tests, TP-sharded weights under a
-    mesh, prefill-sized token counts) takes the XLA paths."""
+    """The Pallas int4 kernel serves decode AND single-prompt prefill (up to
+    its whole-x VMEM block, 256 tokens) on a real TPU with unsharded
+    weights; everything else (CPU tests, TP-sharded weights under a mesh,
+    long/batched prefill) takes the XLA paths.  Serving prefill from the
+    kernel is what cut the int4 TTFT: the dequant-dense path writes+reads a
+    full bf16 weight temp (2x 13.4 GB at 7B), the kernel streams the packed
+    carrier once (3.4 GB)."""
     import jax
 
     if jax.default_backend() != "tpu":
         return False
-    if tokens * 4 > gs * 2:  # prefill crossover: dequant-dense wins
+    from .pallas.int4_matmul import MAX_TOKENS
+
+    if tokens > MAX_TOKENS:  # long/batched prefill: dequant-dense wins
         return False
     from .attention import current_attention_mesh
     from ..parallel.sharding import MODEL
