@@ -33,10 +33,12 @@ jax.config.update("jax_platforms", "cpu")
 # LLVM target features; loading one compiled on a different VM flavor
 # silently computes wrong NUMERICS (reproduced in the round-2 judge run).
 # Defense is two-layer (utils/cpu_cache_guard.py): the cache dir is keyed by
-# CPU model identity (family/model/stepping — the round-2 flags-only key
-# missed flavors that differ only there) + jax/jaxlib versions, AND a
-# known-answer canary runs at session start, wiping the cache if it ever
-# serves a mis-executing artifact anyway.
+# CPU model identity + jax/jaxlib versions, AND a session-start probe that
+# (a) runs a known-answer canary and (b) compares the loaded artifact's LLVM
+# compile-feature signature against this host's own — round 3 found two
+# flavors with IDENTICAL /proc/cpuinfo whose artifacts differ (one bakes
+# +prefer-no-gather/+prefer-no-scatter), so fingerprinting alone cannot
+# discriminate; a foreign signature wipes the dir.
 from visualcla_tpu.utils import cpu_cache_guard  # noqa: E402
 
 _cache_dir = os.path.expanduser(

@@ -6,7 +6,7 @@ Measures aggregate generated tokens/s with fused multi-step decode chunks
 dispatch costs ~10ms, so chunking is the difference between dispatch-bound
 and compute-bound serving.
 
-  python tools/bench_serving.py [n_requests] [max_new] [--bf16] [--chunk N]
+  python tools/bench_serving.py [n_requests] [max_new] [--bf16|--int4] [--chunk N]
 """
 from __future__ import annotations
 
@@ -25,22 +25,33 @@ from visualcla_tpu.utils import enable_compilation_cache
 enable_compilation_cache()
 
 
-def build_params(cfg, int8: bool):
+def build_params(cfg, quant: str):
+    """Zeros-weights text tower at the requested tier ("bf16" | "int8" |
+    "int4" grouped-v2) — timing is weight-shape-bound, content-free."""
     from visualcla_tpu.models import visualcla
 
     shapes = jax.eval_shape(
         lambda k: visualcla.init_params(k, cfg, jnp.bfloat16),
         jax.random.PRNGKey(0))
-    if not int8:
+    if quant == "bf16":
         return {"text": jax.tree.map(
             lambda s: jnp.zeros(s.shape, s.dtype), shapes["text"])}
     from visualcla_tpu.checkpoint.serialize import flatten_tree, unflatten_tree
     from visualcla_tpu.ops.quantization import INT8_TEXT_LEAVES
 
+    GROUP = 128
     out = {}
     for kk, s in flatten_tree(shapes["text"]).items():
         key = "text/" + kk
-        if key in INT8_TEXT_LEAVES:
+        if (quant == "int4" and key in INT8_TEXT_LEAVES
+                and key != "text/embed_tokens"):
+            lead, in_dim, odim = s.shape[:-2], s.shape[-2], s.shape[-1]
+            g = in_dim // GROUP
+            out[kk] = {
+                "q": jnp.zeros((*lead, g, GROUP // 2, odim), jnp.uint8),
+                "scale": jnp.ones((*lead, g, odim), jnp.float32),
+            }
+        elif key in INT8_TEXT_LEAVES:
             ax = INT8_TEXT_LEAVES[key] % len(s.shape)
             sshape = tuple(1 if i == ax else d for i, d in enumerate(s.shape))
             out[kk] = {"q": jnp.zeros(s.shape, jnp.int8),
@@ -48,6 +59,14 @@ def build_params(cfg, int8: bool):
         else:
             out[kk] = jnp.zeros(s.shape, s.dtype)
     return {"text": unflatten_tree(out)}
+
+
+def _quant_flag() -> str:
+    if "--bf16" in sys.argv:
+        return "bf16"
+    if "--int4" in sys.argv:
+        return "int4"
+    return "int8"
 
 
 def main():
@@ -66,7 +85,7 @@ def main():
     import queue
 
     cfg = _flagship_config()
-    params = build_params(cfg, int8="--bf16" not in sys.argv)
+    params = build_params(cfg, _quant_flag())
 
     eng = PagedServingEngine(
         params, cfg, eos_token_id=-7, pad_token_id=49954,
@@ -123,7 +142,7 @@ def stall():
     from visualcla_tpu.engine.server import Request, Scheduler
 
     cfg = _flagship_config()
-    params = build_params(cfg, int8="--bf16" not in sys.argv)
+    params = build_params(cfg, _quant_flag())
     long_len = 1000  # overflow-bucketed long prompt
     rng = np.random.default_rng(0)
 
