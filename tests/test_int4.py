@@ -341,11 +341,16 @@ def test_int4_pallas_kernel_prefill_sizes_and_unpack_modes():
         x = jnp.asarray(rng.standard_normal((B, IN)).astype(np.float32))
         want = np.asarray(x.astype(jnp.bfloat16).astype(jnp.float32)) @ dense
         ys = {}
-        for mode in ("shift", "xor"):
+        for mode in ("shift", "xor", "msb"):
             ys[mode] = np.asarray(int4_matmul(
                 x, wq["q"], wq["scale"], interpret=True, unpack=mode))
             np.testing.assert_allclose(ys[mode], want, rtol=2e-2, atol=2e-2)
         np.testing.assert_allclose(ys["shift"], ys["xor"],
+                                   rtol=1e-4, atol=1e-4)
+        # msb: hi consumed in place as 16*hi with 1/16 on the activations —
+        # powers of two, so each product is exact; only the lo-rebias
+        # correction differs in accumulation order from "shift".
+        np.testing.assert_allclose(ys["shift"], ys["msb"],
                                    rtol=1e-4, atol=1e-4)
     # the 7B down-proj shape at prefill B shrinks the tile to fit the x block
     assert _pick_tile(86, 64, 4096, 256) <= _pick_tile(86, 64, 4096, 1)

@@ -68,6 +68,14 @@ def _kernel(layer_ref, xs_ref, qw_ref, s_ref, o_ref, *, n_groups, unpack):
     TO = o_ref.shape[-1]
     gsh = qw_ref.shape[2]
     acc = jnp.zeros((B, TO), jnp.float32)
+    if unpack == "msb":
+        # Hoisted once per tile: the hi-half activation carries the 1/16
+        # that undoes the in-place (u & 0xF0) == 16*hi encoding (exact —
+        # powers of two), and the lo-rebias correction needs only the lo
+        # halves' sums.
+        xs_hi = xs_ref[:, :, gsh:] * jnp.bfloat16(0.0625)  # (B, G, gsh)
+        xlo_sum = jnp.sum(
+            xs_ref[:, :, :gsh].astype(jnp.float32), axis=-1)  # (B, G)
     for g in range(n_groups):  # static unroll: G is 8..86 at 7B shapes
         xg = xs_ref[:, g, :]  # (B, gs) — static index, loop is unrolled
         if unpack == "shift":
@@ -81,6 +89,25 @@ def _kernel(layer_ref, xs_ref, qw_ref, s_ref, o_ref, *, n_groups, unpack):
                         preferred_element_type=jnp.float32)
             y = y + jnp.dot(xg[:, gsh:], hi.astype(jnp.bfloat16),
                             preferred_element_type=jnp.float32)
+        elif unpack == "msb":
+            # Shift-free unpack: v ^ 0x08 adds 8 to the LOW nibble (mod 16)
+            # and leaves the high bits alone, so the lo half reads out with
+            # one AND (0..15, valid as int8); the HIGH nibble never moves —
+            # (u & 0xF0) bitcast to int8 is exactly 16*hi for hi in -8..7
+            # (two's complement, low bits zero).  No shift and no int32
+            # widen anywhere: the 1/16 rides on the hi activations (exact,
+            # prescaled above) and the lo -8 bias folds into the usual
+            # per-group correction.  Removes the three full-width int32 VPU
+            # passes that made "xor" unpack-bound on the square shapes.
+            u = jnp.bitwise_xor(qw_ref[0, g], jnp.uint8(0x08))
+            lo_u = jnp.bitwise_and(u, jnp.uint8(0x0F)).astype(jnp.int8)
+            hi16 = jax.lax.bitcast_convert_type(
+                jnp.bitwise_and(u, jnp.uint8(0xF0)), jnp.int8)
+            y = jnp.dot(xg[:, :gsh], lo_u.astype(jnp.bfloat16),
+                        preferred_element_type=jnp.float32)
+            y = y + jnp.dot(xs_hi[:, g, :], hi16.astype(jnp.bfloat16),
+                            preferred_element_type=jnp.float32)
+            y = y - 8.0 * xlo_sum[:, g][:, None]
         else:  # "xor": excess-8 unpack, bias folded into a correction term.
             # v XOR 8 == v + 8 (mod 16) for a two's-complement nibble, so one
             # uint8 XOR re-biases BOTH nibbles at once; the unsigned halves
@@ -113,9 +140,11 @@ def int4_matmul(x, qw, scale, layer=None, *, interpret: bool | None = None,
     unstacked (layer=None); scale f32 matches.  B is the token count —
     decode-sized (the caller's crossover sends prefill to dequant-dense).
     ``tile`` overrides the adaptive output-tile width (probing only);
-    ``unpack`` picks the in-kernel nibble decode — "xor" (excess-8, default)
+    ``unpack`` picks the in-kernel nibble decode — "xor" (excess-8)
     measured -28% on the square shapes / -17% per 7B layer vs the "shift"
-    arithmetic form on the v5e (tools/probe_int4_tile.py, 2026-08-19)."""
+    arithmetic form on the v5e (tools/probe_int4_tile.py, 2026-08-19);
+    "msb" (shift-free: hi nibble consumed in place as 16*hi with the 1/16
+    folded into the activations) removes the remaining int32 VPU passes."""
     if qw.ndim == 3:
         qw = qw[None]
         scale = scale[None]
@@ -130,7 +159,7 @@ def int4_matmul(x, qw, scale, layer=None, *, interpret: bool | None = None,
     to = tile or _pick_tile(G, gsh, out, B)
     xs = x.astype(jnp.bfloat16).reshape(B, G, gs)
     grid = (pl.cdiv(out, to),)
-    if unpack not in ("shift", "xor"):
+    if unpack not in ("shift", "xor", "msb"):
         raise ValueError(f"unknown unpack mode {unpack!r}")
     return pl.pallas_call(
         functools.partial(_kernel, n_groups=G, unpack=unpack),
