@@ -9,6 +9,8 @@ setup(
     name="visualcla_tpu",
     version="0.1.0",
     description="TPU-native multimodal Chinese chat framework (CLIP-ViT + visual resampler + LLaMA)",
+    license="Apache-2.0",
+    license_files=["LICENSE", "NOTICE"],
     packages=find_packages(include=["visualcla_tpu", "visualcla_tpu.*"]),
     package_data={"visualcla_tpu": ["configs/*.json"]},
     python_requires=">=3.10",
