@@ -55,13 +55,17 @@ def main():
     else:
         params = {"text": jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype),
                                        shapes["text"])}
+    S = 64
+    for a in sys.argv:
+        if a.startswith("--prompt="):
+            S = int(a.split("=")[1])
     rng = np.random.default_rng(0)
-    ids = rng.integers(5, 30000, size=(1, 64)).astype(np.int32)
+    ids = rng.integers(5, 30000, size=(1, S)).astype(np.int32)
 
     # eos_token_id=-7: unreachable, so zeros-weights runs measure a full
     # T-step loop instead of instant EOS hypotheses
     kw = dict(num_beams=nb, max_new_tokens=T, eos_token_id=-7,
-              pad_token_id=49954, max_seq_len=64 + T + 8, dtype=dtype)
+              pad_token_id=49954, max_seq_len=S + T + 8, dtype=dtype)
 
     if "--flat" in sys.argv:
         kw["structure"] = "flat"

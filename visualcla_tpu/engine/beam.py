@@ -26,6 +26,31 @@ import numpy as np
 from ..models import llama, visualcla
 
 
+def _reorder_tail(cache: dict, beam_idx, prompt_len: int) -> dict:
+    """Beam-reorder only the generated KV tail.
+
+    Every beam descends from one shared prefill, so cache slots
+    ``[0, prompt_len)`` are identical across the beam axis and slots at or
+    beyond the current write slot hold identical zeros — gathering the whole
+    ``(L, nb, Nkv, Smax, hd)`` buffer per step (the naive ``v[:, beam_idx]``)
+    pays whole-cache HBM traffic to move bytes that cannot differ.  Gather
+    the ``[prompt_len, Smax)`` tail only and write it back in place; the
+    per-step copy shrinks from O(Smax) to O(max_new_tokens) slots.
+    ``prompt_len`` is the static prompt length, so the slice shapes are
+    static and XLA updates the carry buffer in place.
+    """
+    def r(v):
+        # slot axis is 3 for every cache leaf: k/v are (L, B, Nkv, S, hd),
+        # int8-KV scales are (L, B, Nkv, S)  (models/llama.py:init_kv_cache)
+        tail = jax.lax.slice_in_dim(v, prompt_len, v.shape[3], axis=3)
+        tail = tail[:, beam_idx]
+        idx = (slice(None), slice(None), slice(None),
+               slice(prompt_len, None))
+        return v.at[idx].set(tail)
+
+    return {k: r(v) for k, v in cache.items()}
+
+
 @dataclasses.dataclass
 class _Hyp:
     ids: np.ndarray
@@ -139,7 +164,7 @@ def beam_generate(
 
     @jax.jit
     def reorder(cache, beam_idx):
-        return {k: v[:, beam_idx] for k, v in cache.items()}
+        return _reorder_tail(cache, beam_idx, S)
 
     img_pos = (jnp.asarray(img_start_pos, jnp.int32)
                if img_start_pos is not None else jnp.full((1,), -1, jnp.int32))
@@ -323,7 +348,7 @@ def beam_sample_generate(
 
     @jax.jit
     def reorder(cache, beam_idx):
-        return {k: v[:, beam_idx] for k, v in cache.items()}
+        return _reorder_tail(cache, beam_idx, S)
 
     img_pos = (jnp.asarray(img_start_pos, jnp.int32)
                if img_start_pos is not None else jnp.full((1,), -1, jnp.int32))
@@ -560,7 +585,7 @@ def beam_generate_fused(
             li = c["li"]
 
             def start(c):
-                cache = {k: v[:, c["beams"]] for k, v in c["cache"].items()}
+                cache = _reorder_tail(c["cache"], c["beams"], S)
                 return dict(
                     c, cache=cache,
                     kv_valid=c["kv_valid"].at[:, c["slot"]].set(True),
@@ -650,7 +675,7 @@ def beam_generate_fused(
 
         def body(c):
             i = c["i"]
-            cache = {k: v[:, c["beams"]] for k, v in c["cache"].items()}
+            cache = _reorder_tail(c["cache"], c["beams"], S)
             cand_s, cand_b, cand_t, cache, kv_valid = forward_step(
                 params_, cache, c["kv_valid"], c["tokens"], c["scores"],
                 c["slot"], c["pos"])
@@ -685,7 +710,12 @@ def beam_generate_fused(
         hyp_ids, hyp_len, hyp_score, count = hyp
         best = jnp.argmax(
             jnp.where(jnp.arange(nb) < count, hyp_score, -jnp.inf))
-        return hyp_ids[best], hyp_len[best]
+        # the final cache is returned (and dropped by the caller) so the
+        # donated input has an output to alias: without it the donation is
+        # unusable (JAX donation is strictly input->output aliasing) and the
+        # whole prefill cache stays live for the call — the round-3 "Some
+        # donated buffers were not usable" warning.
+        return hyp_ids[best], hyp_len[best], c["cache"]
 
     @jax.jit
     def prefill(params_, ids, img_pos, pix):
@@ -714,5 +744,6 @@ def beam_generate_fused(
     ts, bi, tk, cache = prefill(
         params, jnp.asarray(input_ids, jnp.int32), img_pos, pix
     )
-    ids, n = fused_loop(params, cache, ts, bi, tk)
+    ids, n, final_cache = fused_loop(params, cache, ts, bi, tk)
+    del final_cache  # output exists only to alias the donated input cache
     return np.asarray(ids)[: int(n)]
