@@ -277,3 +277,62 @@ def test_scheduler_chunks_while_pool_full(setup):
     assert all(c[0] == "chunk" for c in full_pool), calls
     # and at least one chunk ran while requests were still waiting
     assert any(c[0] == "chunk" and c[2] for c in calls), calls
+
+
+def test_per_request_top_k_and_ngram(setup):
+    """VERDICT r3 item 6: /chat-level requests overriding top_k and
+    no_repeat_ngram_size must be honored per row (the pool default here is
+    greedy with top_k=0 / ngram=0, so only the override can produce these
+    behaviors).
+
+    - ngram: a greedy request with no_repeat_ngram_size=2 must token-match
+      the single-stream Engine running the STATIC ngram processor.
+    - top_k: a sampled request with top_k=1 (temp=1, top_p=1, no penalties)
+      is deterministic argmax — it must token-match plain greedy.
+    """
+    import dataclasses as dc
+
+    cfg, params, single, pool = setup
+    ps = prompts(cfg)
+
+    want_ngram = single.generate(
+        ps[0][None], None, None,
+        dc.replace(SamplingConfig.greedy(max_new_tokens=8),
+                   no_repeat_ngram_size=2),
+    )[0]
+    want_greedy = single.generate(
+        ps[1][None], None, None, SamplingConfig.greedy(max_new_tokens=8)
+    )[0]
+
+    sched = Scheduler(pool)
+    try:
+        q_ngram, q_topk = queue.Queue(), queue.Queue()
+        sched.submit(Request(
+            input_ids=ps[0], pixel_values=None, img_start_pos=None,
+            max_new_tokens=8, out=q_ngram,
+            sampling_overrides={"do_sample": False,
+                                "no_repeat_ngram_size": 2},
+        ))
+        sched.submit(Request(
+            input_ids=ps[1], pixel_values=None, img_start_pos=None,
+            max_new_tokens=8, out=q_topk,
+            sampling_overrides={"do_sample": True, "top_k": 1,
+                                "temperature": 1.0, "top_p": 1.0,
+                                "repetition_penalty": 1.0},
+        ))
+        outs = {}
+        for name, q_ in (("ngram", q_ngram), ("topk", q_topk)):
+            while True:
+                kind, payload = q_.get(timeout=300)
+                if kind == "done":
+                    outs[name] = payload
+                    break
+    finally:
+        sched.stop()
+
+    def trim(x):
+        x = list(np.asarray(x))
+        return x[: x.index(EOS) + 1] if EOS in x else x
+
+    assert trim(outs["ngram"]) == trim(want_ngram)
+    assert trim(outs["topk"]) == trim(want_greedy)

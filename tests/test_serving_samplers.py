@@ -154,3 +154,74 @@ def test_unknown_mirostat_mode_rejected():
 
     with pytest.raises(ValueError, match="mirostat_mode"):
         sampling_knobs(SamplingConfig(), {"mirostat_mode": 1})
+
+
+def test_top_k_rowwise_matches_static(rng):
+    from visualcla_tpu.engine.sampling import warp_top_k_rowwise
+
+    logits = _logits(rng, 4)
+    for k in (1, 5, 40, V):
+        want = np.asarray(warp_top_k(logits, k))
+        got = np.asarray(warp_top_k_rowwise(logits, jnp.full((4,), k, jnp.int32)))
+        np.testing.assert_allclose(got, want, err_msg=f"k={k}")
+    # per-row mix incl. k=0 passthrough
+    mix = np.asarray(warp_top_k_rowwise(
+        logits[:3], jnp.asarray([3, 0, 7], jnp.int32)))
+    np.testing.assert_allclose(mix[0], np.asarray(warp_top_k(logits[:1], 3))[0])
+    np.testing.assert_allclose(mix[1], np.asarray(logits[1]))
+    np.testing.assert_allclose(mix[2], np.asarray(warp_top_k(logits[2:3], 7))[0])
+    # k above the partial cap takes the full-sort fallback branch
+    got = np.asarray(warp_top_k_rowwise(
+        logits, jnp.full((4,), 20, jnp.int32), k_cap=8))
+    np.testing.assert_allclose(got, np.asarray(warp_top_k(logits, 20)))
+
+
+def test_ngram_rowwise_matches_static(rng):
+    from visualcla_tpu.engine.sampling import (
+        apply_no_repeat_ngram, apply_no_repeat_ngram_rowwise)
+
+    B, T = 3, 12
+    # repetitive contexts so ngram bans actually fire
+    gen = jnp.asarray(rng.integers(0, 6, size=(B, T)), jnp.int32)
+    gen_len = jnp.asarray([11, 7, 4], jnp.int32)
+    logits = _logits(rng, B)
+    for n in (1, 2, 3):
+        want = np.asarray(apply_no_repeat_ngram(logits, gen, gen_len, n))
+        got = np.asarray(apply_no_repeat_ngram_rowwise(
+            logits, gen, gen_len, jnp.full((B,), n, jnp.int32)))
+        np.testing.assert_allclose(got, want, err_msg=f"n={n}")
+    # n=0 rows pass through; mixed-n rows match their own static result
+    mixed = np.asarray(apply_no_repeat_ngram_rowwise(
+        logits, gen, gen_len, jnp.asarray([2, 0, 3], jnp.int32)))
+    np.testing.assert_allclose(
+        mixed[0], np.asarray(apply_no_repeat_ngram(logits, gen, gen_len, 2))[0])
+    np.testing.assert_allclose(mixed[1], np.asarray(logits[1]))
+    np.testing.assert_allclose(
+        mixed[2], np.asarray(apply_no_repeat_ngram(logits, gen, gen_len, 3))[2])
+
+
+def test_rowwise_top_k_token_identity(rng):
+    """sample_step_rowwise with a per-row top_k vector must pick the exact
+    token the static cfg.top_k path picks (same key, same warp order)."""
+    from visualcla_tpu.engine.sampling import sample_step
+
+    logits = _logits(rng, 3)
+    key = jax.random.PRNGKey(3)
+    cfg = dataclasses.replace(SamplingConfig(), top_k=7, top_p=1.0,
+                              temperature=1.0, repetition_penalty=1.0,
+                              no_repeat_ngram_size=0)
+    B = 3
+    mu = jnp.full((B,), 10.0, jnp.float32)
+    want, _ = sample_step(
+        logits, jnp.zeros((B, 8), jnp.int32), jnp.zeros((B,), jnp.int32),
+        key, mu, cfg)
+    f32 = jnp.float32
+    got, _ = sample_step_rowwise(
+        logits, jnp.zeros((B, 8), jnp.int32), jnp.zeros((B,), jnp.int32),
+        key, dataclasses.replace(cfg, top_k=0),
+        temperature=jnp.ones((B,), f32), top_p=jnp.ones((B,), f32),
+        repetition_penalty=jnp.ones((B,), f32),
+        do_sample=jnp.ones((B,), bool),
+        top_k=jnp.full((B,), 7, jnp.int32),
+        ngram=jnp.zeros((B,), jnp.int32))
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))

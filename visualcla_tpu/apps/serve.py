@@ -98,7 +98,7 @@ class PoolWorker:
         overrides = {k: gc[k] for k in
                      ("temperature", "top_p", "repetition_penalty", "do_sample",
                       "tfs", "top_a", "mirostat_mode", "mirostat_tau",
-                      "mirostat_eta")
+                      "mirostat_eta", "top_k", "no_repeat_ngram_size")
                      if k in gc}
         return (ids, pixel_values, img_pos, history, overrides,
                 int(gc.get("max_new_tokens", 512)))

@@ -222,6 +222,8 @@ class PagedState:
     miro: jnp.ndarray  # (B,) bool — mirostat-2 rows
     miro_tau: jnp.ndarray  # (B,) fp32
     miro_eta: jnp.ndarray  # (B,) fp32
+    top_k: jnp.ndarray  # (B,) int32 (0 = off)
+    ngram: jnp.ndarray  # (B,) int32 no_repeat_ngram_size (0 = off)
     key: jax.Array
 
 
@@ -230,7 +232,8 @@ jax.tree_util.register_dataclass(
     data_fields=["k_pool", "v_pool", "k_scales", "v_scales", "last_token",
                  "positions", "gen_ids", "gen_len", "max_len", "active",
                  "finished", "mu", "temp", "top_p", "rep_pen", "do_sample",
-                 "tfs", "top_a", "miro", "miro_tau", "miro_eta", "key"],
+                 "tfs", "top_a", "miro", "miro_tau", "miro_eta",
+                 "top_k", "ngram", "key"],
     meta_fields=[],
 )
 
@@ -329,6 +332,9 @@ class PagedServingEngine:
             miro=jnp.full((B,), self.sampling.mirostat_mode == 2, bool),
             miro_tau=jnp.full((B,), self.sampling.mirostat_tau, jnp.float32),
             miro_eta=jnp.full((B,), self.sampling.mirostat_eta, jnp.float32),
+            top_k=jnp.full((B,), self.sampling.top_k, jnp.int32),
+            ngram=jnp.full((B,), self.sampling.no_repeat_ngram_size,
+                           jnp.int32),
             key=jax.random.PRNGKey(seed),
         )
         # mesh is applied as a trace-time SCOPE around each jitted call (see
@@ -476,6 +482,8 @@ class PagedServingEngine:
             miro=state.miro.at[row].set(knobs[6] > 1.5),
             miro_tau=state.miro_tau.at[row].set(knobs[7]),
             miro_eta=state.miro_eta.at[row].set(knobs[8]),
+            top_k=state.top_k.at[row].set(knobs[9].astype(jnp.int32)),
+            ngram=state.ngram.at[row].set(knobs[10].astype(jnp.int32)),
             key=key,
         )
 

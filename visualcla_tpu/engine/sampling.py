@@ -127,6 +127,42 @@ def apply_no_repeat_ngram(
     return jnp.where(ban_mask, NEG_INF, logits)
 
 
+def apply_no_repeat_ngram_rowwise(
+    logits: jnp.ndarray,  # (B, V)
+    gen_ids: jnp.ndarray,  # (B, T)
+    gen_len: jnp.ndarray,  # (B,) int32
+    n: jnp.ndarray,  # (B,) int32 per-row ngram size; n<=0 rows pass through
+) -> jnp.ndarray:
+    """Per-row :func:`apply_no_repeat_ngram` — the serving pool mixes requests
+    with different ``no_repeat_ngram_size`` (HF GenerationConfig surface; the
+    reference serves it per generate() call, modeling_utils.py:45), so the
+    ngram size is a traced (B,) vector here instead of a static int.
+
+    Same window construction as the static version, with the per-row prefix
+    length ``n-1`` masked into a fixed (B, T, T) comparison.  ``n==1``
+    degenerates to "ban every previously generated token" (HF semantics:
+    empty prefix matches every window)."""
+    B, T = gen_ids.shape
+    nm1 = jnp.clip(n - 1, 0, T)  # (B,) prefix length
+    # current prefix: the last n-1 generated tokens, right-aligned into (B, T)
+    start = gen_len[:, None] - nm1[:, None] + jnp.arange(T)[None, :]
+    cur = jnp.take_along_axis(gen_ids, jnp.clip(start, 0, T - 1), axis=1)
+    # window w's prefix position j is gen_ids[w + j]; only j < n-1 counts
+    wj = jnp.arange(T)[:, None] + jnp.arange(T)[None, :]  # (T_w, T_j)
+    pref = gen_ids[:, jnp.clip(wj, 0, T - 1)]  # (B, T, T)
+    jmask = jnp.arange(T)[None, None, :] < nm1[:, None, None]
+    match = jnp.all((pref == cur[:, None, :]) | ~jmask, axis=-1)  # (B, T)
+    # banned token = gen_ids[w + n - 1]; window valid only if that token is
+    # strictly in the past and the row has n-1 tokens of context
+    bpos = jnp.arange(T)[None, :] + nm1[:, None]  # (B, T)
+    banned = jnp.take_along_axis(gen_ids, jnp.clip(bpos, 0, T - 1), axis=1)
+    match = (match & (bpos < gen_len[:, None])
+             & (gen_len[:, None] >= nm1[:, None]) & (n > 0)[:, None])
+    ban_mask = jnp.zeros_like(logits, bool)
+    ban_mask = ban_mask.at[jnp.arange(B)[:, None], banned].max(match)
+    return jnp.where(ban_mask, NEG_INF, logits)
+
+
 # ---------------------------------------------------------------------------
 # warpers (distribution shaping)
 # ---------------------------------------------------------------------------
@@ -356,6 +392,35 @@ def warp_tfs_rowwise(logits: jnp.ndarray, tfs: jnp.ndarray,
     return jnp.where(remove, NEG_INF, logits)
 
 
+def warp_top_k_rowwise(logits: jnp.ndarray, k: jnp.ndarray,
+                       k_cap: int = 256) -> jnp.ndarray:
+    """Per-row top-k; ``k`` (B,) int32, ``k<=0`` rows pass through.
+
+    The common case (every row's k <= ``k_cap``) uses one partial
+    ``lax.top_k(logits, k_cap)`` — O(V·log k_cap), same cost class as the
+    static warper — and reads each row's k-th value from the (B, k_cap)
+    slice.  Rows requesting k > k_cap fall back to a full descending sort
+    under ``lax.cond`` (compiled once, executed only when such a request is
+    actually in the pool)."""
+    V = logits.shape[-1]
+    cap = min(k_cap, V)
+
+    def partial(w):
+        topv = jax.lax.top_k(w, cap)[0]  # (B, cap)
+        kth = jnp.take_along_axis(topv, (jnp.clip(k, 1, cap) - 1)[:, None],
+                                  axis=-1)
+        return jnp.where(w < kth, NEG_INF, w)
+
+    def full(w):
+        sorted_desc = jnp.flip(jnp.sort(w, axis=-1), axis=-1)
+        kth = jnp.take_along_axis(sorted_desc,
+                                  (jnp.clip(k, 1, V) - 1)[:, None], axis=-1)
+        return jnp.where(w < kth, NEG_INF, w)
+
+    out = jax.lax.cond(jnp.all(k <= cap), partial, full, logits)
+    return jnp.where((k > 0)[:, None], out, logits)
+
+
 def warp_top_a_rowwise(logits: jnp.ndarray, top_a: jnp.ndarray) -> jnp.ndarray:
     """Per-row top-A (reference TopALogitsWarper modeling_utils.py:290-313);
     rows with top_a <= 0 pass through (probs < 0 is never true)."""
@@ -382,11 +447,15 @@ def sample_step_rowwise(
     miro_tau: jnp.ndarray = None,  # (B,) fp32
     miro_eta: jnp.ndarray = None,  # (B,) fp32
     mu: jnp.ndarray = None,  # (B,) fp32 mirostat state
+    top_k: jnp.ndarray = None,  # (B,) int32; None = engine-wide cfg.top_k
+    ngram: jnp.ndarray = None,  # (B,) int32; None = cfg.no_repeat_ngram_size
 ):
     """Serving sampler: per-row dynamic knobs over the engine's static
     processor set — the FULL hijacked-sampler surface of the reference
     (modeling_utils.py:250-400): temperature/top-p/repetition-penalty plus
-    tail-free, top-a, and mirostat-2 (per-row mu carried in the pool state).
+    tail-free, top-a, and mirostat-2 (per-row mu carried in the pool state),
+    plus per-row top-k / no-repeat-ngram (HF GenerationConfig knobs the
+    reference honors per generate() call, modeling_utils.py:41,45).
     Returns ``(token (B,) int32, new_mu (B,))``.
 
     The expensive branches — the (B, V) seen-token scatter of the repetition
@@ -407,14 +476,24 @@ def sample_step_rowwise(
 
     logits = jax.lax.cond(jnp.any(repetition_penalty != 1.0), penalized,
                           lambda l: l, logits)
-    if cfg.no_repeat_ngram_size > 0:
+    if ngram is not None:
+        logits = jax.lax.cond(
+            jnp.any(ngram > 0),
+            lambda l: apply_no_repeat_ngram_rowwise(l, gen_ids, gen_len,
+                                                    ngram),
+            lambda l: l, logits)
+    elif cfg.no_repeat_ngram_size > 0:
         logits = apply_no_repeat_ngram(logits, gen_ids, gen_len,
                                        cfg.no_repeat_ngram_size)
     greedy_tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
     def sampled(logits):
         warped = warp_temperature_rowwise(logits, temperature)
-        if cfg.top_k > 0:
+        if top_k is not None:
+            warped = jax.lax.cond(
+                jnp.any(top_k > 0),
+                lambda w: warp_top_k_rowwise(w, top_k), lambda w: w, warped)
+        elif cfg.top_k > 0:
             warped = warp_top_k(warped, cfg.top_k)
         warped = warp_top_p_rowwise(warped, top_p)
         if tfs is not None:

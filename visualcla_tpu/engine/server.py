@@ -50,8 +50,9 @@ def _check_serving_sampling(s: SamplingConfig) -> SamplingConfig:
 
 def sampling_knobs(sampling: SamplingConfig, overrides: Optional[dict]) -> jnp.ndarray:
     """Per-request knob vector [temperature, top_p, repetition_penalty,
-    do_sample, tfs, top_a, mirostat_mode, mirostat_tau, mirostat_eta] with
-    engine-wide defaults (shared by both serving engines)."""
+    do_sample, tfs, top_a, mirostat_mode, mirostat_tau, mirostat_eta,
+    top_k, no_repeat_ngram_size] with engine-wide defaults (shared by both
+    serving engines)."""
     o = overrides or {}
     mode = int(o.get("mirostat_mode", sampling.mirostat_mode))
     if mode not in (0, 2):
@@ -66,6 +67,8 @@ def sampling_knobs(sampling: SamplingConfig, overrides: Optional[dict]) -> jnp.n
         float(mode),
         float(o.get("mirostat_tau", sampling.mirostat_tau)),
         float(o.get("mirostat_eta", sampling.mirostat_eta)),
+        float(o.get("top_k", sampling.top_k)),
+        float(o.get("no_repeat_ngram_size", sampling.no_repeat_ngram_size)),
     ], jnp.float32)
 
 
@@ -76,6 +79,7 @@ def _rowwise_knob_kwargs(state) -> dict:
         repetition_penalty=state.rep_pen, do_sample=state.do_sample,
         tfs=state.tfs, top_a=state.top_a, mirostat=state.miro,
         miro_tau=state.miro_tau, miro_eta=state.miro_eta, mu=state.mu,
+        top_k=state.top_k, ngram=state.ngram,
     )
 
 
@@ -86,6 +90,8 @@ def _admit_knob_kwargs(knobs: jnp.ndarray, mu_row) -> dict:
         repetition_penalty=knobs[2:3], do_sample=knobs[3:4] > 0.5,
         tfs=knobs[4:5], top_a=knobs[5:6], mirostat=knobs[6:7] > 1.5,
         miro_tau=knobs[7:8], miro_eta=knobs[8:9], mu=mu_row,
+        top_k=knobs[9:10].astype(jnp.int32),
+        ngram=knobs[10:11].astype(jnp.int32),
     )
 
 
@@ -114,6 +120,8 @@ class PoolState:
     miro: jnp.ndarray  # (B,) bool — mirostat-2 rows
     miro_tau: jnp.ndarray  # (B,) fp32
     miro_eta: jnp.ndarray  # (B,) fp32
+    top_k: jnp.ndarray  # (B,) int32 (0 = off)
+    ngram: jnp.ndarray  # (B,) int32 no_repeat_ngram_size (0 = off)
     key: jax.Array
 
 
@@ -122,7 +130,7 @@ jax.tree_util.register_dataclass(
     data_fields=["cache", "kv_valid", "cur_slot", "positions", "last_token",
                  "gen_ids", "gen_len", "max_len", "active", "finished", "mu",
                  "temp", "top_p", "rep_pen", "do_sample", "tfs", "top_a",
-                 "miro", "miro_tau", "miro_eta", "key"],
+                 "miro", "miro_tau", "miro_eta", "top_k", "ngram", "key"],
     meta_fields=[],
 )
 
@@ -201,6 +209,9 @@ class ServingEngine:
             miro=jnp.full((B,), self.sampling.mirostat_mode == 2, bool),
             miro_tau=jnp.full((B,), self.sampling.mirostat_tau, jnp.float32),
             miro_eta=jnp.full((B,), self.sampling.mirostat_eta, jnp.float32),
+            top_k=jnp.full((B,), self.sampling.top_k, jnp.int32),
+            ngram=jnp.full((B,), self.sampling.no_repeat_ngram_size,
+                           jnp.int32),
             key=jax.random.PRNGKey(seed),
         )
 
@@ -277,6 +288,8 @@ class ServingEngine:
             miro=state.miro.at[row].set(knobs[6] > 1.5),
             miro_tau=state.miro_tau.at[row].set(knobs[7]),
             miro_eta=state.miro_eta.at[row].set(knobs[8]),
+            top_k=state.top_k.at[row].set(knobs[9].astype(jnp.int32)),
+            ngram=state.ngram.at[row].set(knobs[10].astype(jnp.int32)),
             key=key,
         )
 
@@ -325,6 +338,7 @@ class ServingEngine:
             temp=state.temp, top_p=state.top_p, rep_pen=state.rep_pen,
             do_sample=state.do_sample, tfs=state.tfs, top_a=state.top_a,
             miro=state.miro, miro_tau=state.miro_tau, miro_eta=state.miro_eta,
+            top_k=state.top_k, ngram=state.ngram,
             key=key,
         )
 
