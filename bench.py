@@ -352,6 +352,23 @@ def main():
     if "--no-bf16" not in sys.argv and not only_int4:
         bf16_result = _run_resilient("bf16")
 
+    # -- paged continuous-batching serving (the production config:
+    #    Scheduler + PagedServingEngine, int8 weights, pool 32, chunk 16) ----
+    serving_tok_s = None
+    if "--no-serving" not in sys.argv and not only_int4:
+        try:
+            gc.collect()
+            from tools.bench_serving import measure as _serving_measure
+
+            serving_tok_s, _, _, _ = _run_with_deadline(
+                lambda: _serving_measure("int8", n_req=64, max_new=96,
+                                         chunk=16, pool=32),
+                int(os.environ.get("VISUALCLA_BENCH_DEADLINE_S", 2100)))
+            gc.collect()
+        except Exception as e:  # noqa: BLE001 — serving line is best-effort
+            print(f"# serving section failed: {str(e)[:160]}",
+                  file=sys.stderr)
+
     if int8_result is None and bf16_result is None and int4_result is None:
         raise RuntimeError("benchmark failed for int4, int8 and bf16")
 
@@ -412,6 +429,9 @@ def main():
                     round(tok_s_b8, 2) if tok_s_b8 else None)
                 out["batch8_tokens_per_s_per_chip"] = (
                     round(q_b8, 2) if q_b8 else None)
+        if serving_tok_s is not None:
+            out["paged_serving_tokens_per_s_int8_pool32"] = round(
+                serving_tok_s, 1)
     else:  # int8 unavailable this run: report bf16 as the line
         tok_s, ttft_ms, n, tok_s_b8 = bf16_result
         out = {

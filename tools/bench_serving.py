@@ -69,27 +69,26 @@ def _quant_flag() -> str:
     return "int8"
 
 
-def main():
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    n_req = int(args[0]) if args else 12
-    max_new = int(args[1]) if len(args) > 1 else 96
-    chunk = 8
-    if "--chunk" in sys.argv:
-        chunk = int(sys.argv[sys.argv.index("--chunk") + 1])
+def measure(quant: str = "int8", n_req: int = 64, max_new: int = 96,
+            chunk: int = 16, pool: int = 32, params=None):
+    """Measure end-to-end aggregate tok/s through the Scheduler + paged
+    engine (warm run after one compile run).  Returns
+    (tok_s, total_tokens, wall_seconds, stats_delta).  Shared by the CLI
+    below and bench.py's serving section."""
+    import queue
 
     from __graft_entry__ import _flagship_config
     from visualcla_tpu.engine.paged import PagedServingEngine
     from visualcla_tpu.engine.sampling import SamplingConfig
     from visualcla_tpu.engine.server import Request, Scheduler
 
-    import queue
-
     cfg = _flagship_config()
-    params = build_params(cfg, _quant_flag())
+    if params is None:
+        params = build_params(cfg, quant)
 
     eng = PagedServingEngine(
         params, cfg, eos_token_id=-7, pad_token_id=49954,
-        pool_size=8, block_size=64, num_blocks=64,
+        pool_size=pool, block_size=64, num_blocks=16 + pool * 6,
         max_seq_len=512, max_new_tokens_cap=max_new,
         prompt_buckets=(128,),
         sampling=SamplingConfig.greedy(max_new_tokens=max_new),
@@ -121,11 +120,38 @@ def main():
 
     try:
         run_batch()  # warm/compile
+        s0 = sched.stats()
         total, dt = run_batch()
-        print(f"serving[chunk={chunk}]: {total / dt:.1f} tok/s aggregate "
-              f"({total} tokens, {n_req} reqs in {dt:.2f}s)", flush=True)
+        s1 = sched.stats()
+        d = {k: s1[k] - s0[k] for k in s1}
+        return total / dt, total, dt, d
     finally:
         sched.stop()
+
+
+def main():
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    n_req = int(args[0]) if args else 12
+    max_new = int(args[1]) if len(args) > 1 else 96
+    chunk = 8
+    if "--chunk" in sys.argv:
+        chunk = int(sys.argv[sys.argv.index("--chunk") + 1])
+    pool = 8
+    if "--pool" in sys.argv:
+        pool = int(sys.argv[sys.argv.index("--pool") + 1])
+
+    tok_s, total, dt, d = measure(_quant_flag(), n_req, max_new, chunk, pool)
+    print(f"serving[chunk={chunk},{_quant_flag()}]: {tok_s:.1f} tok/s "
+          f"aggregate ({total} tokens, {n_req} reqs in {dt:.2f}s)",
+          flush=True)
+    print("loop attribution: "
+          f"step {d['t_step']:.2f}s ({d['chunk_dispatches']} chunks + "
+          f"{d['single_steps']} singles), "
+          f"snapshot {d['t_snapshot']:.2f}s, "
+          f"prefill {d['t_prefill']:.2f}s ({d['prefills']}), "
+          f"collect {d['t_collect']:.2f}s ({d['collects']}), "
+          f"stream {d['t_stream']:.2f}s, "
+          f"iters {d['iterations']} (idle {d['idle_sleeps']})", flush=True)
 
 
 def stall():

@@ -25,14 +25,14 @@ enable_compilation_cache()
 
 def main():
     from __graft_entry__ import _flagship_config
-    from tools.bench_serving import build_params
+    from tools.bench_serving import build_params, _quant_flag
     from visualcla_tpu.engine import paged as pg
     from visualcla_tpu.engine.paged import PagedServingEngine
     from visualcla_tpu.engine.sampling import SamplingConfig
     from visualcla_tpu.models import llama
 
     cfg = _flagship_config()
-    params = build_params(cfg, int8="--bf16" not in sys.argv)
+    params = build_params(cfg, _quant_flag())
     eng = PagedServingEngine(
         params, cfg, eos_token_id=-7, pad_token_id=49954,
         pool_size=8, block_size=64, num_blocks=64,

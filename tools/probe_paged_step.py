@@ -49,7 +49,7 @@ def main():
     from visualcla_tpu.engine.sampling import SamplingConfig
 
     cfg = _flagship_config()
-    params = build_params(cfg, int8="--bf16" not in sys.argv)
+    params = build_params(cfg, _quant_flag())
     eng = PagedServingEngine(
         params, cfg, eos_token_id=-7, pad_token_id=49954,
         pool_size=8, block_size=64, num_blocks=64,

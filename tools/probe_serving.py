@@ -35,13 +35,13 @@ def main():
         rows = int(sys.argv[sys.argv.index("--rows") + 1])
 
     from __graft_entry__ import _flagship_config
-    from tools.bench_serving import build_params
+    from tools.bench_serving import build_params, _quant_flag
     from visualcla_tpu.engine.paged import PagedServingEngine
     from visualcla_tpu.engine.sampling import SamplingConfig
 
     max_new = 96
     cfg = _flagship_config()
-    params = build_params(cfg, int8="--bf16" not in sys.argv)
+    params = build_params(cfg, _quant_flag())
     eng = PagedServingEngine(
         params, cfg, eos_token_id=-7, pad_token_id=49954,
         pool_size=rows, block_size=64, num_blocks=8 + rows * 4,

@@ -871,25 +871,38 @@ class PagedServingEngine:
         self.ctx_len = np.asarray(jax.device_get(lens)).copy()
 
     def snapshot(self):
+        from .server import _pack_control, _unpack_control
+
         s = self._state
-        snap = jax.device_get(
-            {"last_token": s.last_token, "gen_len": s.gen_len,
-             "active": s.active, "finished": s.finished, "gen_ids": s.gen_ids}
-        )
-        self._host_finished = np.asarray(snap["finished"]).copy()
+        snap = _unpack_control(jax.device_get(_pack_control(
+            s.last_token, s.gen_len, s.active, s.finished, s.gen_ids)))
+        self._host_finished = snap["finished"].copy()
         return snap
+
+    def release_row(self, row: int) -> None:
+        """Free a finished row without any device fetch (see
+        server.ServingEngine.release_row): deactivate on device, return its
+        KV blocks to the host allocator."""
+        self.release_rows([row])
+
+    def release_rows(self, rows) -> None:
+        """Batched no-fetch release (one device update for the whole wave)."""
+        rows = list(rows)
+        idx = jnp.asarray(rows, jnp.int32)
+        self._state = dataclasses.replace(
+            self._state,
+            active=self._state.active.at[idx].set(False),
+            finished=self._state.finished.at[idx].set(False),
+        )
+        for row in rows:
+            self._host_active[row] = False
+            self._host_finished[row] = False
+            self._free_row(row)
 
     def collect_row(self, row: int) -> np.ndarray:
         gen_len = int(jax.device_get(self._state.gen_len[row]))
         ids = np.asarray(jax.device_get(self._state.gen_ids[row, :gen_len]))
-        self._state = dataclasses.replace(
-            self._state,
-            active=self._state.active.at[row].set(False),
-            finished=self._state.finished.at[row].set(False),
-        )
-        self._host_active[row] = False
-        self._host_finished[row] = False
-        self._free_row(row)
+        self.release_row(row)
         return ids
 
     def num_active(self) -> int:
