@@ -1,10 +1,23 @@
-"""Prompt-lookup speculative decoding — greedy-exact, fused on-device.
+"""Prompt-lookup speculative decoding — greedy-exact in exact arithmetic.
 
 The reference has no speculative decoding (HF ``generate`` at
 /root/reference/models/visualcla/modeling_visualcla.py:382-391 is strictly
 one-token-per-step); this is a TPU-native performance feature on top of the
 same contract: outputs are **token-identical** to ``Engine.generate`` for any
-deterministic config (``do_sample=False``, processors allowed).
+deterministic config (``do_sample=False``, processors allowed) **in exact
+arithmetic** — proven bit-identical in the CPU f32/f64 tests.
+
+PRECISION SCOPE (measured round 3, ``tools/bench_speculative.py``): on TPU
+bf16 the Sq=K+1 verify forward and the Sq=1 plain decode forward are
+*different XLA programs* (different attention kernel shapes, different
+reduction orders), so an argmax near-tie can resolve differently — observed
+once in 192 tokens at 134M (first flip @ token 139; the repetitive-prompt
+run had none).  This is the same numerics class as batched-vs-single decode
+(``Engine.generate`` at B=8 vs B=1 also reorders reductions, see
+tests/test_serving.py's f64 note) — NOT an approximation: every emitted
+token is the verify program's own greedy choice, and within the speculative
+stream the function is deterministic.  Treat "greedy-exact" as exact per
+numeric program, not bit-exact across program shapes on bf16 hardware.
 
 Why it is nearly free on TPU: decode is HBM-bandwidth-bound — each step streams
 all weights once.  A (K+1)-token verify chunk streams the weights once too, so
