@@ -37,6 +37,17 @@ from visualcla_tpu.utils import enable_compilation_cache
 
 enable_compilation_cache()
 
+# Known-answer canary through the persistent cache BEFORE any measurement:
+# a poisoned/stale cached executable would skew every number below with no
+# exception (the round-2/3 CPU-cache lesson, applied to the TPU bench path).
+# Wipes + recompiles on mismatch; raises (no numbers reported) if even the
+# cold compile miscomputes.
+if jax.default_backend() == "tpu":
+    from visualcla_tpu.utils.cache import DEFAULT_CACHE_DIR
+    from visualcla_tpu.utils.tpu_cache_guard import ensure_clean_tpu_cache
+
+    ensure_clean_tpu_cache(DEFAULT_CACHE_DIR)
+
 HF_GPU_BASELINE_TOK_S = 30.0
 
 

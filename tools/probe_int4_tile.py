@@ -99,7 +99,7 @@ def main():
     for name, i, o in SHAPES:
         tiles = ([t for t in (256, 512, 1024, 2048) if t <= o] + [None]
                  if args.tiles else [None])
-        bench_shape(name, i, o, tiles, ("shift", "xor"), args.iters,
+        bench_shape(name, i, o, tiles, ("xor", "msb"), args.iters,
                     B=args.batch)
 
 

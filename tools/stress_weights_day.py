@@ -140,7 +140,10 @@ def fabricate(workdir: str) -> str:
 
     # resampler + projector root bin (reference merge layout)
     rh, ri, rl, nq = RES["hidden"], RES["inter"], RES["layers"], RES["queries"]
-    rsd = {"visual_resampler.query_embeds": t((1, nq, rh)),
+    # the reference registers the queries as `query_embeddding` (three d's,
+    # modeling_visual_resampler.py:587) — fabricate the same key the real
+    # merged release carries
+    rsd = {"visual_resampler.query_embeddding": t((1, nq, rh)),
            "image_projection_layer.weight": t((TEXT["hidden"], rh)),
            "image_projection_layer.bias": t((TEXT["hidden"],))}
     for i in range(rl):

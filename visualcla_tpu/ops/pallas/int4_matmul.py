@@ -131,17 +131,46 @@ def _kernel(layer_ref, xs_ref, qw_ref, s_ref, o_ref, *, n_groups, unpack):
     o_ref[:] = acc
 
 
+def _pick_unpack(in_dim: int, out: int) -> str:
+    """Nibble-decode selection.  Round-4 verdict item: the shipped-untested
+    "msb" unpack was measured on chip (tools/probe_int4_tile.py, 512
+    in-program iters, 2026-08-19).  ISOLATED, msb wins the unpack-bound
+    shapes:
+
+      qkv/o   (in  4096, out  4096): msb  84.3 us vs xor 108.3  (-22%)
+      gate/up (in  4096, out 11008): msb  94.8 us vs xor  99.3  (-4.5%)
+      down    (in 11008, out  4096): xor  98.2 us vs msb 100.5
+      lm_head (in  4096, out 50048): xor 210.1 us vs msb 215.6
+
+    IN-MODEL, however, the full 7B bench A/B (bench.py --only-int4, warm,
+    same session) measured the per-shape msb/xor mix SLOWER than all-xor —
+    B1 129.1-129.6 vs 132.1 tok/s, B8 817-837 vs 858 — the msb form's
+    hoisted activation prep (xs_hi scale + xlo_sum over the whole x block)
+    re-runs per output tile and lands in the shadow the weight-DMA wait
+    previously covered, so the microbench win does not survive composition
+    with the surrounding program.  The measured end-to-end winner ("xor")
+    is the default; VISUALCLA_INT4_UNPACK=msb|shift|xor overrides for
+    probing."""
+    import os
+
+    mode = os.environ.get("VISUALCLA_INT4_UNPACK", "auto")
+    if mode in ("xor", "msb", "shift"):
+        return mode
+    return "xor"
+
+
 @functools.partial(jax.jit, static_argnames=("interpret", "tile", "unpack"))
 def int4_matmul(x, qw, scale, layer=None, *, interpret: bool | None = None,
-                tile: int | None = None, unpack: str = "xor"):
+                tile: int | None = None, unpack: str | None = None):
     """x (B, in) @ v2-packed grouped int4 -> (B, out) f32.
 
     qw uint8 (L, G, gs/2, out) stacked (pass ``layer``) or (G, gs/2, out)
     unstacked (layer=None); scale f32 matches.  B is the token count —
     decode-sized (the caller's crossover sends prefill to dequant-dense).
     ``tile`` overrides the adaptive output-tile width (probing only);
-    ``unpack`` picks the in-kernel nibble decode — "xor" (excess-8)
-    measured -28% on the square shapes / -17% per 7B layer vs the "shift"
+    ``unpack`` picks the in-kernel nibble decode (None = the measured
+    per-shape winner, :func:`_pick_unpack`) — "xor" (excess-8) measured
+    -28% on the square shapes / -17% per 7B layer vs the "shift"
     arithmetic form on the v5e (tools/probe_int4_tile.py, 2026-08-19);
     "msb" (shift-free: hi nibble consumed in place as 16*hi with the 1/16
     folded into the activations) removes the remaining int32 VPU passes."""
@@ -159,6 +188,8 @@ def int4_matmul(x, qw, scale, layer=None, *, interpret: bool | None = None,
     to = tile or _pick_tile(G, gsh, out, B)
     xs = x.astype(jnp.bfloat16).reshape(B, G, gs)
     grid = (pl.cdiv(out, to),)
+    if unpack is None:
+        unpack = _pick_unpack(in_dim, out)
     if unpack not in ("shift", "xor", "msb"):
         raise ValueError(f"unknown unpack mode {unpack!r}")
     return pl.pallas_call(
