@@ -76,12 +76,18 @@ def main() -> int:
                     help="measure 7B-shape chunk/step cost (zeros weights) "
                          "instead of the 134M real-logits acceptance run")
     ap.add_argument("--quant", default="int4", choices=("bf16", "int8", "int4"))
+    ap.add_argument("--native", default=None,
+                    help="path to an existing native checkpoint (e.g. the "
+                         "weights-day fabricated 7B, /tmp/wday/native7b): "
+                         "runs the END-TO-END spec-vs-plain A/B at that "
+                         "scale with --quant weights — real, non-degenerate "
+                         "logits, real chunk costs, no projection")
     args = ap.parse_args()
 
     if args.cost7b:
         return cost7b(args)
 
-    native = ensure_ckpt(args.ckpt)
+    native = args.native or ensure_ckpt(args.ckpt)
 
     import jax
     import jax.numpy as jnp
@@ -91,7 +97,12 @@ def main() -> int:
     from visualcla_tpu.engine.sampling import SamplingConfig
     from visualcla_tpu.engine.speculative import SpeculativeDecoder
 
-    params, cfg = load_checkpoint(native, dtype=jnp.bfloat16)
+    if args.native:
+        quantize = None if args.quant == "bf16" else args.quant
+        params, cfg = load_checkpoint(native, dtype=jnp.bfloat16,
+                                      quantize=quantize)
+    else:
+        params, cfg = load_checkpoint(native, dtype=jnp.bfloat16)
     eng = Engine(params, cfg, eos_token_id=2, pad_token_id=0,
                  max_seq_len=args.max_seq, prompt_buckets=(128,),
                  dtype=jnp.bfloat16)
@@ -139,7 +150,9 @@ def main() -> int:
         }
         print(name, json.dumps(results[name]), flush=True)
     print(json.dumps({"speculative_bench": results,
-                      "model": "134M-rehearsal", "spec_k": args.spec_k,
+                      "model": (f"native:{args.native}:{args.quant}"
+                                if args.native else "134M-rehearsal"),
+                      "spec_k": args.spec_k,
                       "new_tokens": args.new}))
     return 0
 

@@ -292,9 +292,17 @@ class Engine:
         cfg = self.cfg
         embeds = llama.embed(params["text"], state.last_token[:, None])
         kv_valid = state.kv_valid.at[:, state.cur_slot].set(True)
+        # VISUALCLA_NESTED_UNROLL=1 unrolls the layer scan: every weight
+        # slice becomes a STATIC lax.slice (no dynamic_index relayout — the
+        # q/k/v relayout copies are what push the nested bf16 B>=2 program
+        # past HBM, see _decode_loop docstring / DEVNOTES third window).
+        import os
+
+        unroll = os.environ.get("VISUALCLA_NESTED_UNROLL", "") == "1"
         hidden, cache = llama.forward(
             params["text"], cfg.text_config, embeds,
             state.positions[:, None], state.cache, kv_valid, state.cur_slot,
+            unroll=unroll,
         )
         step_logits = llama.logits(params["text"], hidden)[:, 0]
         return self._sample_tail(state, cache, kv_valid, step_logits, sampling)
