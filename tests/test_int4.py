@@ -358,6 +358,46 @@ def test_int4_pallas_kernel_prefill_sizes_and_unpack_modes():
     assert _pick_tile(86, 64, 4096, 8) == _pick_tile(86, 64, 4096, 1)
 
 
+def test_int4_pallas_kernel_scratch_variant():
+    """The prefill "scratch" variant (unpack+scale once into a bf16 VMEM
+    scratch, one big dot) matches the dequant-dense reference bit-for-bit in
+    its numerics class, auto-dispatches above SCRATCH_MIN_TOKENS, and honors
+    stacked-layer selection via scalar prefetch."""
+    from visualcla_tpu.ops.pallas.int4_matmul import (
+        SCRATCH_MIN_TOKENS, int4_matmul,
+    )
+
+    rng = np.random.default_rng(13)
+    L, IN, OUT, gs = 2, 256, 384, 128
+    w = rng.standard_normal((L, IN, OUT)).astype(np.float32) * 0.1
+    wq = quantize_grouped(w, group=gs, bits=4)
+    B = 64
+    x = jnp.asarray(rng.standard_normal((B, IN)).astype(np.float32))
+    for layer in range(L):
+        got = np.asarray(int4_matmul(
+            x, wq["q"], wq["scale"], layer, interpret=True,
+            variant="scratch"))
+        sliced = {"q": wq["q"][layer], "scale": wq["scale"][layer]}
+        # same numerics class as the dequant-dense path: f32 dequant
+        # rounded once to bf16, bf16 x, f32 accumulate
+        dense = np.asarray(
+            x.astype(jnp.bfloat16).astype(jnp.float32)
+            @ dequantize(sliced, jnp.bfloat16).astype(jnp.float32))
+        np.testing.assert_allclose(got, dense, rtol=2e-2, atol=2e-2)
+        # auto-dispatch: B >= SCRATCH_MIN_TOKENS with no explicit unpack
+        # takes the scratch path — identical output
+        assert B >= SCRATCH_MIN_TOKENS
+        auto = np.asarray(int4_matmul(
+            x, wq["q"], wq["scale"], layer, interpret=True))
+        np.testing.assert_array_equal(got, auto)
+    # below the crossover the auto path is the per-group decode form
+    x1 = x[:1]
+    a = np.asarray(int4_matmul(x1, wq["q"], wq["scale"], 0, interpret=True))
+    g = np.asarray(int4_matmul(x1, wq["q"], wq["scale"], 0, interpret=True,
+                               variant="group"))
+    np.testing.assert_array_equal(a, g)
+
+
 def test_lazy_stacked_dispatch_matches_sliced():
     """q_matmul on a lazy {"q","scale","layer"} stacked dict (the decode
     loops' deferred slice) must equal slicing first (CPU: XLA fallback)."""

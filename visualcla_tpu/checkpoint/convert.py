@@ -53,20 +53,24 @@ def _copy_side_files(src_dirs, out_dir):
 def convert_merged(merged_dir: str, out_dir: str, dtype: str = "bfloat16") -> None:
     """Merged reference checkpoint -> native format."""
     cfg = VisualCLAConfig.from_pretrained(merged_dir)
+    # consume/del as we go: at 7B the text state dict alone is ~13.5 GB; a
+    # non-consuming build would hold it AND the stacked tree at once
+    # (stress_weights_day.py measured the convert stage past 20 GB RSS)
     text_sd = load_state_dict(os.path.join(merged_dir, "text_encoder"))
+    params = {"text": llama_tree_from_sd(text_sd, consume=True)}
+    del text_sd
     vision_sd = load_state_dict(os.path.join(merged_dir, "vision_encoder"))
+    params["vision"] = vit_tree_from_sd(vision_sd)
+    del vision_sd
     root_sd = load_state_dict(merged_dir)
-    params = {
-        "text": llama_tree_from_sd(text_sd),
-        "vision": vit_tree_from_sd(vision_sd),
-        "projection": projection_tree_from_sd(root_sd),
-    }
+    params["projection"] = projection_tree_from_sd(root_sd)
     if cfg.use_visual_resampler:
         params["resampler"] = resampler_tree_from_sd(root_sd)
+    del root_sd
     # trust the actual tensor shapes over the stored config (mirrors
     # from_merged_pretrained rebuilding configs from submodels, :163-165)
     cfg = _sync_config(cfg, params)
-    save_checkpoint(out_dir, params, cfg, dtype)
+    save_checkpoint(out_dir, params, cfg, dtype, consume=True)
     _copy_side_files([merged_dir], out_dir)
     logger.info("converted merged checkpoint %s -> %s", merged_dir, out_dir)
 
@@ -130,16 +134,17 @@ def convert_unmerged(
         # vocab_size (len(tokenizer) incl. added specials) with no LoRA
         text_sd = lora_lib.resize_embeddings(text_sd, vocab_size)
     params = {
-        "text": llama_tree_from_sd(text_sd),
+        "text": llama_tree_from_sd(text_sd, consume=True),
         "vision": vit_tree_from_sd(vision_sd),
     }
+    del text_sd, vision_sd
     if projection_sd:
         params["projection"] = projection_tree_from_sd(projection_sd)
     if resampler_sd and cfg.use_visual_resampler:
         params["resampler"] = resampler_tree_from_sd(resampler_sd)
     cfg = _sync_config(cfg, params)
     params, cfg = _init_missing_heads(params, cfg)
-    save_checkpoint(out_dir, params, cfg, dtype)
+    save_checkpoint(out_dir, params, cfg, dtype, consume=True)
     _copy_side_files(lora_models + [text_model, vision_model], out_dir)
     logger.info("converted unmerged %s + %s + %s -> %s",
                 text_model, vision_model, lora_models, out_dir)

@@ -27,18 +27,22 @@ def _num_layers(sd: SD, fmt: str) -> int:
     return n
 
 
-def llama_tree_from_sd(sd: SD, prefix: str = "") -> dict:
+def llama_tree_from_sd(sd: SD, prefix: str = "", consume: bool = False) -> dict:
+    """``consume=True`` pops tensors out of ``sd`` as they are stacked, so a
+    7B conversion's peak memory is ~one state dict plus ONE stacked leaf
+    instead of two full copies (stress_weights_day.py, round 4)."""
     p = prefix
     L = _num_layers(sd, p + "model.layers.{}.input_layernorm.weight")
+    get = sd.pop if consume else sd.__getitem__
 
     def stack(fmt, transpose=True):
-        ws = [sd[p + fmt.format(l)] for l in range(L)]
+        ws = [get(p + fmt.format(l)) for l in range(L)]
         if transpose:
             ws = [w.T for w in ws]
         return np.stack(ws)
 
     return {
-        "embed_tokens": sd[p + "model.embed_tokens.weight"],
+        "embed_tokens": get(p + "model.embed_tokens.weight"),
         "layers": {
             "input_norm": stack("model.layers.{}.input_layernorm.weight", False),
             "q_proj": stack("model.layers.{}.self_attn.q_proj.weight"),
@@ -50,8 +54,8 @@ def llama_tree_from_sd(sd: SD, prefix: str = "") -> dict:
             "up_proj": stack("model.layers.{}.mlp.up_proj.weight"),
             "down_proj": stack("model.layers.{}.mlp.down_proj.weight"),
         },
-        "final_norm": sd[p + "model.norm.weight"],
-        "lm_head": sd[p + "lm_head.weight"].T,
+        "final_norm": get(p + "model.norm.weight"),
+        "lm_head": get(p + "lm_head.weight").T,
     }
 
 

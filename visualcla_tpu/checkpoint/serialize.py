@@ -54,33 +54,88 @@ def _config_to_dict(cfg: VisualCLAConfig) -> dict:
     return d
 
 
+# safetensors dtype tags for the hand-rolled streaming writer
+_SAFETENSORS_TAGS = {
+    "float64": "F64", "float32": "F32", "float16": "F16", "bfloat16": "BF16",
+    "int64": "I64", "int32": "I32", "int16": "I16", "int8": "I8",
+    "uint8": "U8", "bool": "BOOL",
+}
+
+
+def _leaf_target_dtype(key: str, src: np.dtype, target: np.dtype) -> np.dtype:
+    """Conversion rule shared by the header pass and the data pass:
+    quantization scales stay fp32 (the dequant precision contract);
+    floating leaves convert to ``target``; everything else passes through."""
+    if key.endswith("/scale"):
+        return np.dtype(src)
+    if np.issubdtype(src, np.floating) and src != target:
+        return np.dtype(target)
+    return np.dtype(src)
+
+
 def save_checkpoint(
     out_dir: str,
     params: dict,
     cfg: VisualCLAConfig,
     dtype: str = "bfloat16",
+    consume: bool = False,
 ) -> None:
-    from safetensors.numpy import save_file
+    """Write the native checkpoint, STREAMING one leaf at a time.
+
+    The safetensors file is written by hand (8-byte length + JSON header +
+    contiguous data section, the format safe_open reads) so peak host memory
+    during a 7B conversion is the params tree plus ONE converted leaf —
+    `safetensors.numpy.save_file` would require a second full converted copy
+    of every tensor at once, which is what pushed the weights-day convert
+    stage past its address-space budget (stress_weights_day.py, round 4).
+    ``consume=True`` additionally pops leaves from ``params`` as they are
+    written, so memory FALLS over the save instead of holding steady.
+
+    bf16 goes through ml_dtypes (numpy-native round-to-nearest-even — the
+    same rounding jnp.astype applies) with no jax/XLA allocation at all."""
+    import ml_dtypes
 
     os.makedirs(out_dir, exist_ok=True)
     flat = flatten_tree(params)
-    target = jnp.dtype(dtype)
-    tensors = {}
+    if consume:
+        # flat now holds the only references we need; drop the tree's so the
+        # per-leaf pops below actually free memory
+        params.clear()
+    target = (np.dtype(ml_dtypes.bfloat16) if dtype == "bfloat16"
+              else np.dtype(dtype))
+
+    # pass 1 (no copies): header with final dtypes/shapes/offsets
+    header = {}
+    offset = 0
     for k, v in flat.items():
-        # safetensors writes the raw buffer: non-C-contiguous arrays (e.g.
-        # np.stack over transposed torch weights) silently corrupt without this
-        arr = np.ascontiguousarray(v)
-        if k.endswith("/scale"):  # int8 quantization scales stay fp32
-            tensors[k] = arr
-            continue
-        if np.issubdtype(arr.dtype, np.floating) and arr.dtype != target:
-            # numpy can't hold bf16 — round-trip through jnp and view as u16
-            if target == jnp.bfloat16:
-                arr = np.asarray(jnp.asarray(arr).astype(jnp.bfloat16))
+        tdt = _leaf_target_dtype(k, v.dtype, target)
+        tag = _SAFETENSORS_TAGS.get(tdt.name)
+        if tag is None:
+            raise ValueError(f"cannot serialize dtype {tdt} (leaf {k!r})")
+        nbytes = int(np.prod(v.shape, dtype=np.int64)) * tdt.itemsize
+        header[k] = {"dtype": tag, "shape": list(v.shape),
+                     "data_offsets": [offset, offset + nbytes]}
+        offset += nbytes
+
+    # pass 2: convert + append one leaf at a time
+    header_bytes = json.dumps(header).encode("utf-8")
+    # pad the header with spaces to 8-byte alignment (what the official
+    # writer does — readers mmap the data section at this offset)
+    if len(header_bytes) % 8:
+        header_bytes += b" " * (8 - len(header_bytes) % 8)
+    with open(os.path.join(out_dir, "params.safetensors"), "wb") as f:
+        f.write(len(header_bytes).to_bytes(8, "little"))
+        f.write(header_bytes)
+        for k in list(header.keys()):
+            v = flat.pop(k) if consume else flat[k]
+            tdt = _leaf_target_dtype(k, v.dtype, target)
+            if v.dtype != tdt:
+                arr = np.asarray(v).astype(tdt)  # astype output is contiguous
             else:
-                arr = arr.astype(target)
-        tensors[k] = arr
-    save_file(tensors, os.path.join(out_dir, "params.safetensors"))
+                arr = np.ascontiguousarray(v)
+            del v
+            arr.tofile(f)
+            del arr
     with open(os.path.join(out_dir, "config.json"), "w") as f:
         json.dump(_config_to_dict(cfg), f, indent=2)
 

@@ -131,6 +131,57 @@ def _kernel(layer_ref, xs_ref, qw_ref, s_ref, o_ref, *, n_groups, unpack):
     o_ref[:] = acc
 
 
+def _kernel_scratch(layer_ref, xs_ref, qw_ref, s_ref, o_ref, w_ref, *,
+                    n_groups):
+    """Prefill variant: unpack + scale the weight tile ONCE into a bf16 VMEM
+    scratch, then one large MXU dot over the full contraction.
+
+    The decode kernel's per-group accumulate does ~4 VPU passes over a
+    (B, TO) f32 accumulator per group (correction + scale + add); at B = 1
+    that is nothing, but at prefill token counts it scales with B x G and
+    dominates (measured: the decode form at T=128 costs ~2x int8's plain
+    dot, the whole int4-vs-int8 TTFT gap).  Here the per-byte unpack work is
+    identical but touches only weight-shaped data, and the MXU consumes the
+    scratch in one (B, in) @ (in, TO) dot — the same numerics class as the
+    dequant-dense path (f32 dequant rounded once to bf16), which this
+    replaces at 0.5 B/param HBM traffic instead of 2 full bf16 weight
+    temps."""
+    gsh = qw_ref.shape[2]
+    gs = 2 * gsh
+    for g in range(n_groups):  # static unroll
+        u = jnp.bitwise_xor(qw_ref[0, g], jnp.uint8(0x88))  # (gsh, TO)
+        lo = jnp.bitwise_and(u, jnp.uint8(0x0F)).astype(jnp.int8)
+        hi = jnp.right_shift(u.astype(jnp.int32), 4)
+        s = s_ref[0, g][None, :]  # (1, TO) f32
+        w_ref[g * gs:g * gs + gsh, :] = (
+            (lo.astype(jnp.float32) - 8.0) * s).astype(jnp.bfloat16)
+        w_ref[g * gs + gsh:(g + 1) * gs, :] = (
+            (hi.astype(jnp.float32) - 8.0) * s).astype(jnp.bfloat16)
+    B = xs_ref.shape[0]
+    x2d = xs_ref[:].reshape(B, n_groups * gs)
+    o_ref[:] = jnp.dot(x2d, w_ref[:],
+                       preferred_element_type=jnp.float32)
+
+
+def _pick_tile_scratch(G: int, gsh: int, out: int, B: int) -> int:
+    """Tile width for the scratch variant: carrier+scale double-buffered,
+    plus the bf16 (in, TO) scratch and f32 (B, TO) out per lane; the (B, in)
+    x block is lane-independent and comes off the budget."""
+    in_dim = 2 * gsh * G
+    budget = _VMEM_BUDGET - B * in_dim * 2  # x block
+    per_lane = 2 * G * (gsh + 4) + 2 * in_dim + 4 * B
+    to = max(budget, per_lane * 128) // per_lane
+    to = min(2048, max(128, (to // 128) * 128))
+    return min(to, ((out + 127) // 128) * 128)
+
+
+# Token count at which the scratch (one-dot) variant takes over from the
+# per-group decode form.  The decode form's accumulator work scales with
+# B x G; the scratch form pays a fixed bf16 materialization per tile.
+# Measured crossover on v5e: decode form wins to B~16, scratch above.
+SCRATCH_MIN_TOKENS = 17
+
+
 def _pick_unpack(in_dim: int, out: int) -> str:
     """Nibble-decode selection.  Round-4 verdict item: the shipped-untested
     "msb" unpack was measured on chip (tools/probe_int4_tile.py, 512
@@ -159,9 +210,11 @@ def _pick_unpack(in_dim: int, out: int) -> str:
     return "xor"
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "tile", "unpack"))
+@functools.partial(jax.jit,
+                   static_argnames=("interpret", "tile", "unpack", "variant"))
 def int4_matmul(x, qw, scale, layer=None, *, interpret: bool | None = None,
-                tile: int | None = None, unpack: str | None = None):
+                tile: int | None = None, unpack: str | None = None,
+                variant: str | None = None):
     """x (B, in) @ v2-packed grouped int4 -> (B, out) f32.
 
     qw uint8 (L, G, gs/2, out) stacked (pass ``layer``) or (G, gs/2, out)
@@ -185,15 +238,28 @@ def int4_matmul(x, qw, scale, layer=None, *, interpret: bool | None = None,
         raise ValueError(f"x in_dim {in_dim} != G*gs {G}*{gs} of {qw.shape}")
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    to = tile or _pick_tile(G, gsh, out, B)
+    if variant is None:
+        # explicit unpack= pins the per-group form (probing/tests)
+        variant = ("scratch" if B >= SCRATCH_MIN_TOKENS and unpack is None
+                   else "group")
+    if variant not in ("group", "scratch"):
+        raise ValueError(f"unknown variant {variant!r}")
     xs = x.astype(jnp.bfloat16).reshape(B, G, gs)
+    if variant == "scratch":
+        to = tile or _pick_tile_scratch(G, gsh, out, B)
+        kern = functools.partial(_kernel_scratch, n_groups=G)
+        scratch = [pltpu.VMEM((in_dim, to), jnp.bfloat16)]
+    else:
+        to = tile or _pick_tile(G, gsh, out, B)
+        if unpack is None:
+            unpack = _pick_unpack(in_dim, out)
+        if unpack not in ("shift", "xor", "msb"):
+            raise ValueError(f"unknown unpack mode {unpack!r}")
+        kern = functools.partial(_kernel, n_groups=G, unpack=unpack)
+        scratch = []
     grid = (pl.cdiv(out, to),)
-    if unpack is None:
-        unpack = _pick_unpack(in_dim, out)
-    if unpack not in ("shift", "xor", "msb"):
-        raise ValueError(f"unknown unpack mode {unpack!r}")
     return pl.pallas_call(
-        functools.partial(_kernel, n_groups=G, unpack=unpack),
+        kern,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,
@@ -207,6 +273,7 @@ def int4_matmul(x, qw, scale, layer=None, *, interpret: bool | None = None,
             ],
             out_specs=pl.BlockSpec((B, to), lambda i, l: (0, i),
                                    memory_space=pltpu.VMEM),
+            scratch_shapes=scratch,
         ),
         out_shape=jax.ShapeDtypeStruct((B, out), jnp.float32),
         interpret=interpret,
