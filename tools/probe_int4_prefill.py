@@ -69,7 +69,10 @@ def main():
     from visualcla_tpu.ops.pallas.int4_matmul import int4_matmul
 
     def kernel_path(x, w4):
-        return int4_matmul(x, w4["q"], w4["scale"], None)
+        return int4_matmul(x, w4["q"], w4["scale"], None, variant="group")
+
+    def scratch_path(x, w4):
+        return int4_matmul(x, w4["q"], w4["scale"], None, variant="scratch")
 
     def dequant_path(x, w4):
         return x @ q.dequantize(w4, x.dtype)
@@ -92,6 +95,7 @@ def main():
 
         paths = {
             "kernel": functools.partial(kernel_path, w4=w4),
+            "scratch": functools.partial(scratch_path, w4=w4),
             "dequant": functools.partial(dequant_path, w4=w4),
             "int8": functools.partial(int8_path, w8=w8),
             "bf16": functools.partial(bf16_path, wb=wb),

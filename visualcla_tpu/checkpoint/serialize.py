@@ -201,14 +201,38 @@ def load_checkpoint(
         k for k in INT8_TEXT_LEAVES if k != "text/embed_tokens"
     }
 
+    def read_quantized(f, k, quant_fn):
+        """Quantize a stored leaf, streaming stacked (>=3-d) leaves one
+        leading-axis slice at a time into preallocated outputs: get_tensor
+        would copy the full bf16 leaf (2.7 GB for a 7B down_proj) out of the
+        mmap before quantization even starts (weights-day RSS trace,
+        round 4)."""
+        sl = f.get_slice(k)
+        shape = tuple(sl.get_shape())
+        if len(shape) < 3:
+            return quant_fn(f.get_tensor(k))
+        first = quant_fn(sl[0])
+        out = {kk: np.empty((shape[0],) + v.shape, v.dtype)
+               for kk, v in first.items() if kk != "bits"}
+        for kk in out:
+            out[kk][0] = first[kk]
+        for i in range(1, shape[0]):
+            qd = quant_fn(sl[i])
+            for kk in out:
+                out[kk][i] = qd[kk]
+        return out
+
     flat = {}
     with safe_open(path, framework="np") as f:
         for k in f.keys():
-            arr = f.get_tensor(k)
-            eff = (effective_group(arr.shape[-2], group)
+            shape = tuple(f.get_slice(k).get_shape())
+            eff = (effective_group(shape[-2], group)
                    if quantize == "int4" and k in int4_grouped else None)
             if eff is not None:
-                qd = quantize_grouped_np(arr, group=eff, bits=4)
+                qd = read_quantized(
+                    f, k,
+                    lambda a, eff=eff: quantize_grouped_np(a, group=eff,
+                                                           bits=4))
                 # packed int8 carrier transfers as-is (s4 cannot cross the
                 # axon program boundary — ops/quantization.py module note)
                 q4 = jnp.asarray(qd["q"])
@@ -218,7 +242,7 @@ def load_checkpoint(
                     # spec's in-dim axis on G, never on gs (a 'model'-divisible
                     # gs would otherwise silently shard inside a group)
                     base = tuple(shd._lookup_flat(k))
-                    base = base + (None,) * (arr.ndim - len(base))
+                    base = base + (None,) * (len(shape) - len(base))
                     from jax.sharding import PartitionSpec as P
                     spec = P(*base[:-1], None, base[-1])
                 flat[k] = {
@@ -226,12 +250,14 @@ def load_checkpoint(
                     "scale": place(qd["scale"], k + "/scale"),
                 }
             elif quantize in ("int8", "int4") and k in INT8_TEXT_LEAVES:
-                qd = quantize_np(arr, axis=INT8_TEXT_LEAVES[k])
+                qd = read_quantized(
+                    f, k,
+                    lambda a, ax=INT8_TEXT_LEAVES[k]: quantize_np(a, axis=ax))
                 flat[k] = {
                     "q": place(qd["q"], k),
                     "scale": place(qd["scale"], k + "/scale"),
                 }
             else:
-                flat[k] = place(arr, k)
+                flat[k] = place(f.get_tensor(k), k)
     params = unflatten_tree(flat)
     return params, cfg

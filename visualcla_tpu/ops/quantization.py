@@ -63,13 +63,28 @@ import numpy as np
 
 def quantize_np(w: np.ndarray, axis: int = -2) -> dict:
     """Host-side (numpy) per-channel symmetric int8 — used while streaming a
-    checkpoint so the bf16 original never occupies device HBM."""
-    wf = np.asarray(w, np.float32)
+    checkpoint so the bf16 original never occupies device HBM.
+
+    Stacked (>=3-d) leaves quantize one leading-axis slice at a time with
+    in-place f32 ops: the naive whole-leaf form allocates ~4 leaf-sized f32
+    temporaries (copy/abs/div/round/clip), which pushed the weights-day
+    int8 load to 35.6 GB RSS at 7B (stress_weights_day.py, round 4).
+    Requires a negative ``axis`` so it is stable under slicing."""
+    w = np.asarray(w)
+    if axis >= 0:
+        axis -= w.ndim
+    if w.ndim >= 3:
+        parts = [quantize_np(w[i], axis=axis) for i in range(w.shape[0])]
+        return {"q": np.stack([p["q"] for p in parts]),
+                "scale": np.stack([p["scale"] for p in parts])}
+    wf = w.astype(np.float32)  # the one required copy
     absmax = np.max(np.abs(wf), axis=axis, keepdims=True)
     scale = absmax / 127.0
     scale[scale == 0] = 1.0
-    q = np.clip(np.round(wf / scale), -127, 127).astype(np.int8)
-    return {"q": q, "scale": scale.astype(np.float32)}
+    np.divide(wf, scale, out=wf)
+    np.rint(wf, out=wf)
+    np.clip(wf, -127, 127, out=wf)
+    return {"q": wf.astype(np.int8), "scale": scale.astype(np.float32)}
 
 
 # text-tower leaves that quantize, keyed by flat path suffix -> contraction axis
@@ -174,12 +189,21 @@ def quantize_grouped_np(w: np.ndarray, group: int = 128, bits: int = 4) -> dict:
     device as plain bytes (s4 cannot cross the axon program boundary).
     The "bits" marker records the tier for save/load tooling."""
     assert bits in (4, 8)
-    wf = np.asarray(w, np.float32)
-    in_dim = wf.shape[-2]
+    w = np.asarray(w)
+    in_dim = w.shape[-2]
     if in_dim % group:
         raise ValueError(f"contraction dim {in_dim} not divisible by group {group}")
     if bits == 4 and group % 2:
         raise ValueError(f"int4 needs an even group size, got {group}")
+    if w.ndim >= 3:
+        # one leading-axis slice at a time: whole-leaf f32 temporaries at 7B
+        # cost ~4x the leaf (see quantize_np) — weights-day RSS measurement
+        parts = [quantize_grouped_np(w[i], group=group, bits=bits)
+                 for i in range(w.shape[0])]
+        return {"q": np.stack([p["q"] for p in parts]),
+                "scale": np.stack([p["scale"] for p in parts]),
+                "bits": bits}
+    wf = w.astype(np.float32)
     g = in_dim // group
     lead = wf.shape[:-2]
     wg = wf.reshape(*lead, g, group, wf.shape[-1])
@@ -187,7 +211,10 @@ def quantize_grouped_np(w: np.ndarray, group: int = 128, bits: int = 4) -> dict:
     absmax = np.max(np.abs(wg), axis=-2, keepdims=True)
     scale = absmax / lim
     scale[scale == 0] = 1.0
-    q = np.clip(np.round(wg / scale), -lim, lim).astype(np.int8)
+    np.divide(wg, scale, out=wg)
+    np.rint(wg, out=wg)
+    np.clip(wg, -lim, lim, out=wg)
+    q = wg.astype(np.int8)
     if bits == 4:
         q = pack_s4_rows(q)
     return {"q": q, "scale": scale[..., 0, :].astype(np.float32), "bits": bits}
