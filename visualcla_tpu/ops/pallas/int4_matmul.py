@@ -239,9 +239,15 @@ def int4_matmul(x, qw, scale, layer=None, *, interpret: bool | None = None,
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     if variant is None:
-        # explicit unpack= pins the per-group form (probing/tests)
-        variant = ("scratch" if B >= SCRATCH_MIN_TOKENS and unpack is None
-                   else "group")
+        import os
+
+        env = os.environ.get("VISUALCLA_INT4_VARIANT")
+        if env in ("group", "scratch"):
+            variant = env  # A/B probing override
+        else:
+            # explicit unpack= pins the per-group form (probing/tests)
+            variant = ("scratch" if B >= SCRATCH_MIN_TOKENS and unpack is None
+                       else "group")
     if variant not in ("group", "scratch"):
         raise ValueError(f"unknown variant {variant!r}")
     xs = x.astype(jnp.bfloat16).reshape(B, G, gs)

@@ -331,6 +331,13 @@ def _use_int4_kernel(tokens: int, gs: int) -> bool:
 
     if tokens > MAX_TOKENS:  # long/batched prefill: dequant-dense wins
         return False
+    import os
+
+    # probing/A-B override: route prefill-sized token counts (decode stays
+    # on the kernel) to the XLA dequant-dense path instead of the kernel
+    if (tokens > 8
+            and os.environ.get("VISUALCLA_INT4_PREFILL") == "dequant"):
+        return False
     from .attention import current_attention_mesh
     from ..parallel.sharding import MODEL
 
