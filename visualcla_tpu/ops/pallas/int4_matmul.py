@@ -62,20 +62,21 @@ def _pick_tile(G: int, gsh: int, out: int, B: int = 1) -> int:
     return min(to, ((out + 127) // 128) * 128)
 
 
-def _kernel(layer_ref, xs_ref, qw_ref, s_ref, o_ref, *, n_groups, unpack):
-    # xs_ref (B, G, gs) bf16; qw_ref (1, G, gsh, TO) uint8; s_ref (1, G, TO)
+def _kernel(layer_ref, xs_ref, *rest, n_groups, unpack):
+    # xs_ref (B, G, gs) bf16; qw_ref (1, G, gsh, TO) uint8; s_ref (1, G, TO);
+    # msb additionally gets xs_hi (B, G, gsh) bf16 and xlo_sum (B, G) f32,
+    # PRE-COMPUTED OUTSIDE the kernel: the round-4 in-model A/B measured the
+    # in-kernel prep a net loss (129.6 vs 132.1 tok/s B1) because it re-ran
+    # per output tile in the slot the weight-DMA wait used to cover; hoisted
+    # to XLA it runs once per matmul.
+    if unpack == "msb":
+        xs_hi_ref, xlo_ref, qw_ref, s_ref, o_ref = rest
+    else:
+        qw_ref, s_ref, o_ref = rest
     B = xs_ref.shape[0]
     TO = o_ref.shape[-1]
     gsh = qw_ref.shape[2]
     acc = jnp.zeros((B, TO), jnp.float32)
-    if unpack == "msb":
-        # Hoisted once per tile: the hi-half activation carries the 1/16
-        # that undoes the in-place (u & 0xF0) == 16*hi encoding (exact —
-        # powers of two), and the lo-rebias correction needs only the lo
-        # halves' sums.
-        xs_hi = xs_ref[:, :, gsh:] * jnp.bfloat16(0.0625)  # (B, G, gsh)
-        xlo_sum = jnp.sum(
-            xs_ref[:, :, :gsh].astype(jnp.float32), axis=-1)  # (B, G)
     for g in range(n_groups):  # static unroll: G is 8..86 at 7B shapes
         xg = xs_ref[:, g, :]  # (B, gs) — static index, loop is unrolled
         if unpack == "shift":
@@ -105,9 +106,9 @@ def _kernel(layer_ref, xs_ref, qw_ref, s_ref, o_ref, *, n_groups, unpack):
                 jnp.bitwise_and(u, jnp.uint8(0xF0)), jnp.int8)
             y = jnp.dot(xg[:, :gsh], lo_u.astype(jnp.bfloat16),
                         preferred_element_type=jnp.float32)
-            y = y + jnp.dot(xs_hi[:, g, :], hi16.astype(jnp.bfloat16),
+            y = y + jnp.dot(xs_hi_ref[:, g, :], hi16.astype(jnp.bfloat16),
                             preferred_element_type=jnp.float32)
-            y = y - 8.0 * xlo_sum[:, g][:, None]
+            y = y - 8.0 * xlo_ref[:, g][:, None]
         else:  # "xor": excess-8 unpack, bias folded into a correction term.
             # v XOR 8 == v + 8 (mod 16) for a two's-complement nibble, so one
             # uint8 XOR re-biases BOTH nibbles at once; the unsigned halves
@@ -264,23 +265,41 @@ def int4_matmul(x, qw, scale, layer=None, *, interpret: bool | None = None,
         kern = functools.partial(_kernel, n_groups=G, unpack=unpack)
         scratch = []
     grid = (pl.cdiv(out, to),)
+    in_specs = [
+        pl.BlockSpec((B, G, gs), lambda i, l: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    operands = [xs]
+    if variant == "group" and unpack == "msb":
+        # Hoisted msb prep (once per matmul, fused into the surrounding XLA
+        # program): hi-half activations prescaled by 1/16 (exact — undoes the
+        # in-place (u & 0xF0) == 16*hi encoding) and the lo-rebias sums.
+        in_specs += [
+            pl.BlockSpec((B, G, gsh), lambda i, l: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, G), lambda i, l: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        operands += [
+            xs[:, :, gsh:] * jnp.bfloat16(0.0625),
+            jnp.sum(xs[:, :, :gsh].astype(jnp.float32), axis=-1),
+        ]
+    in_specs += [
+        pl.BlockSpec((1, G, gsh, to), lambda i, l: (l[0], 0, 0, i),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, G, to), lambda i, l: (l[0], 0, i),
+                     memory_space=pltpu.VMEM),
+    ]
     return pl.pallas_call(
         kern,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,
-            in_specs=[
-                pl.BlockSpec((B, G, gs), lambda i, l: (0, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, G, gsh, to), lambda i, l: (l[0], 0, 0, i),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, G, to), lambda i, l: (l[0], 0, i),
-                             memory_space=pltpu.VMEM),
-            ],
+            in_specs=in_specs,
             out_specs=pl.BlockSpec((B, to), lambda i, l: (0, i),
                                    memory_space=pltpu.VMEM),
             scratch_shapes=scratch,
         ),
         out_shape=jax.ShapeDtypeStruct((B, out), jnp.float32),
         interpret=interpret,
-    )(jnp.asarray(layer, jnp.int32).reshape(1), xs, qw, scale)
+    )(jnp.asarray(layer, jnp.int32).reshape(1), *operands, qw, scale)
