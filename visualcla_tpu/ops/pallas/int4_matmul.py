@@ -197,12 +197,15 @@ def _pick_unpack(in_dim: int, out: int) -> str:
     IN-MODEL, however, the full 7B bench A/B (bench.py --only-int4, warm,
     same session) measured the per-shape msb/xor mix SLOWER than all-xor —
     B1 129.1-129.6 vs 132.1 tok/s, B8 817-837 vs 858 — the msb form's
-    hoisted activation prep (xs_hi scale + xlo_sum over the whole x block)
-    re-runs per output tile and lands in the shadow the weight-DMA wait
-    previously covered, so the microbench win does not survive composition
-    with the surrounding program.  The measured end-to-end winner ("xor")
-    is the default; VISUALCLA_INT4_UNPACK=msb|shift|xor overrides for
-    probing."""
+    activation prep (xs_hi scale + xlo_sum over the whole x block)
+    re-ran per output tile and landed in the shadow the weight-DMA wait
+    previously covered.  HOISTING that prep out of the kernel (computed
+    once per matmul in XLA, passed as operands) did NOT recover the win:
+    re-A/B on chip (2026-08-19) measured hoisted-msb 124.6 tok/s B1 /
+    797.0 B8 vs all-xor 132.5 / 846.9 — the two extra VMEM operand
+    streams per tile cost more than the saved int32 widen+shift passes.
+    The measured end-to-end winner ("xor") is the default;
+    VISUALCLA_INT4_UNPACK=msb|shift|xor overrides for probing."""
     import os
 
     mode = os.environ.get("VISUALCLA_INT4_UNPACK", "auto")
