@@ -333,3 +333,37 @@ def test_api_batched_beam_matches_per_row(tmp_path):
         got = list(batched[b])
         want = list(rows[b]) + [pad] * (len(got) - len(rows[b]))
         assert got == want
+
+
+def test_reorder_tail_matches_full_gather():
+    """_reorder_tail's invariant: because all beams share one prefill (slots
+    [0, prompt_len) identical across the beam axis) and slots past the write
+    slot are zeros, gathering ONLY the generated tail must equal the naive
+    whole-cache gather v[:, beam_idx]."""
+    import jax
+    from visualcla_tpu.engine.beam import _reorder_tail
+
+    rng = np.random.default_rng(0)
+    L, nb, Nkv, S, hd = 2, 3, 2, 10, 4
+    P, W = 4, 8  # prompt_len, current write slot
+
+    def leaf(shape):
+        v = rng.standard_normal(shape).astype(np.float32)
+        v[:, :] = v[:, :1]  # start beam-invariant everywhere...
+        gen = rng.standard_normal(shape).astype(np.float32)
+        v[:, :, :, P:W] = gen[:, :, :, P:W]  # ...then diverge the gen tail
+        v[:, :, :, W:] = 0.0  # unwritten slots are zeros
+        return jnp.asarray(v)
+
+    cache = {
+        "k": leaf((L, nb, Nkv, S, hd)),
+        "v": leaf((L, nb, Nkv, S, hd)),
+        "k_scale": leaf((L, nb, Nkv, S)),  # int8-KV scale rank (slot axis 3)
+    }
+    beam_idx = jnp.asarray([2, 0, 0], jnp.int32)
+
+    got = jax.jit(lambda c, b: _reorder_tail(c, b, P))(cache, beam_idx)
+    for name, v in cache.items():
+        want = np.asarray(v)[:, np.asarray(beam_idx)]
+        np.testing.assert_array_equal(np.asarray(got[name]), want,
+                                      err_msg=name)

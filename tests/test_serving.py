@@ -336,3 +336,61 @@ def test_per_request_top_k_and_ngram(setup):
 
     assert trim(outs["ngram"]) == trim(want_ngram)
     assert trim(outs["topk"]) == trim(want_greedy)
+
+
+def test_pack_control_round_trip():
+    """snapshot()'s one-fetch packing must round-trip every control field
+    bit-exactly (the five fields used to be five tunnel fetches)."""
+    from visualcla_tpu.engine.server import _pack_control, _unpack_control
+
+    rng = np.random.default_rng(3)
+    B, T = 5, 7
+    last_token = jnp.asarray(rng.integers(0, 90, B), jnp.int32)
+    gen_len = jnp.asarray(rng.integers(0, T, B), jnp.int32)
+    active = jnp.asarray(rng.integers(0, 2, B).astype(bool))
+    finished = jnp.asarray(rng.integers(0, 2, B).astype(bool))
+    gen_ids = jnp.asarray(rng.integers(0, 90, (B, T)), jnp.int32)
+
+    snap = _unpack_control(
+        jax.device_get(_pack_control(last_token, gen_len, active, finished,
+                                     gen_ids)))
+    np.testing.assert_array_equal(snap["last_token"], np.asarray(last_token))
+    np.testing.assert_array_equal(snap["gen_len"], np.asarray(gen_len))
+    np.testing.assert_array_equal(snap["active"], np.asarray(active))
+    np.testing.assert_array_equal(snap["finished"], np.asarray(finished))
+    np.testing.assert_array_equal(snap["gen_ids"], np.asarray(gen_ids))
+    assert snap["active"].dtype == bool and snap["finished"].dtype == bool
+
+
+def test_release_rows_batched_matches_sequential(setup):
+    """The fetch-free batched release must clear exactly the released rows'
+    flags (and their kv_valid) and leave every other row untouched."""
+    import copy
+    import dataclasses
+
+    _, _, _, pool = setup
+    base = pool._state
+    on = dataclasses.replace(
+        base,
+        active=jnp.ones_like(base.active),
+        finished=jnp.ones_like(base.finished),
+        kv_valid=jnp.ones_like(base.kv_valid),
+    )
+
+    pool._state = on
+    pool.release_rows([0, 2])
+    batched = pool._state
+
+    pool._state = on
+    pool.release_row(0)
+    pool.release_row(2)
+    seq = pool._state
+
+    for name in ("active", "finished", "kv_valid"):
+        np.testing.assert_array_equal(np.asarray(getattr(batched, name)),
+                                      np.asarray(getattr(seq, name)))
+    assert not bool(batched.active[0]) and not bool(batched.active[2])
+    assert bool(batched.active[1])
+    assert bool(np.asarray(batched.kv_valid[1]).any())
+    assert not bool(np.asarray(batched.kv_valid[0]).any())
+    pool._state = base  # restore for other tests sharing the fixture
