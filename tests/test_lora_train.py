@@ -85,7 +85,6 @@ def test_lora_training_updates_only_adapters(cfg, base_params, batch):
         np.asarray(state.params["vision"]["layers"]["q_proj"]["w"]),
         np.asarray(base_params["vision"]["layers"]["q_proj"]),
     )
-    return state
 
 
 def test_merge_lora_matches_adapter_forward(cfg, base_params, batch):

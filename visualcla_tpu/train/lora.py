@@ -173,7 +173,10 @@ def export_adapter(params: dict, out_dir: str, *, r: int, alpha: float) -> None:
 
     os.makedirs(out_dir, exist_ok=True)
     torch.save(
-        {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()},
+        # .copy(): jax arrays arrive as non-writable numpy views; torch warns
+        # (and UB on write) when wrapping read-only memory
+        {k: torch.from_numpy(np.ascontiguousarray(v).copy())
+         for k, v in sd.items()},
         os.path.join(out_dir, "adapter_model.bin"),
     )
     with open(os.path.join(out_dir, "adapter_config.json"), "w") as f:
