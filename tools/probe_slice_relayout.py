@@ -8,8 +8,10 @@ relayout" theory was incomplete: the copy is a layout transpose, not a
 gather artifact).  {1,2,0} = contraction dim minormost, i.e. XLA wants the
 B=8 dot's rhs TRANSPOSED relative to the stacked (L, in, out) storage.
 
-This probe isolates that: a while_loop over L static slices of a stacked
-weight, h = h @ W_l, in two storage orientations:
+This probe isolates that: a while_loop over a fori_loop of L
+dynamic_slice'd layers of a stacked weight (the traced-index form the real
+decode loop uses — NOT unrolled static slices), h = h @ W_l, in two
+storage orientations:
 
   a) stacked (L, I, O), dot contracting h's last with W's dim 1 (as stored
      by models/llama.py init);

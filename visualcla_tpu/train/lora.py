@@ -173,9 +173,10 @@ def export_adapter(params: dict, out_dir: str, *, r: int, alpha: float) -> None:
 
     os.makedirs(out_dir, exist_ok=True)
     torch.save(
-        # .copy(): jax arrays arrive as non-writable numpy views; torch warns
-        # (and UB on write) when wrapping read-only memory
-        {k: torch.from_numpy(np.ascontiguousarray(v).copy())
+        # np.array(): one writable contiguous copy — jax arrays arrive as
+        # non-writable numpy views; torch warns (and UB on write) when
+        # wrapping read-only memory
+        {k: torch.from_numpy(np.array(v))
          for k, v in sd.items()},
         os.path.join(out_dir, "adapter_model.bin"),
     )
