@@ -51,7 +51,8 @@ if jax.default_backend() == "tpu":
 HF_GPU_BASELINE_TOK_S = 30.0
 
 
-def build_engine(max_seq_len: int, quant: str = "bf16"):
+def build_engine(max_seq_len: int, quant: str = "bf16",
+                 prompt_buckets=(128,)):
     from __graft_entry__ import _flagship_config
     from visualcla_tpu.engine.generate import Engine
     from visualcla_tpu.models import visualcla
@@ -99,7 +100,7 @@ def build_engine(max_seq_len: int, quant: str = "bf16"):
     return Engine(
         params, cfg,
         eos_token_id=2, pad_token_id=49954,
-        max_seq_len=max_seq_len, prompt_buckets=(128,), dtype=dtype,
+        max_seq_len=max_seq_len, prompt_buckets=prompt_buckets, dtype=dtype,
     ), cfg
 
 

@@ -129,6 +129,133 @@ def measure(quant: str = "int8", n_req: int = 64, max_new: int = 96,
         sched.stop()
 
 
+def measure_slo(quant: str = "int8", pool: int = 8, ctx: int = 512,
+                max_new: int = 96, n_req: int = 0, step_chunk: int = 8,
+                prefill_chunk: int = 256, kv_quant: str = "int8",
+                params=None, eng=None):
+    """Per-request latency SLOs under load (VERDICT r4 item 2).
+
+    Closed-loop at concurrency == pool: `pool` client threads each submit a
+    ctx-token request, timestamp every ('token', ...) arrival on their own
+    queue, and immediately submit the next — the pool stays saturated, and a
+    new request's TTFT includes the admission path through busy decode
+    (chunked-prefill interleave when prefill_chunk > 0).  All stamps are
+    client-side (queue arrival), so inter-token gaps include the scheduler's
+    step_chunk batching — the fused-dispatch latency/throughput trade is IN
+    the number, not hidden.
+
+    Returns (metrics dict, engine) — pass the engine back in to reuse its
+    compiled programs across Scheduler variants (chunk A/Bs)."""
+    import queue
+    import threading
+
+    from __graft_entry__ import _flagship_config
+    from visualcla_tpu.engine.paged import PagedServingEngine
+    from visualcla_tpu.engine.sampling import SamplingConfig
+    from visualcla_tpu.engine.server import Request, Scheduler
+
+    cfg = _flagship_config()
+    n_req = n_req or 3 * pool
+    if eng is None:
+        if params is None:
+            params = build_params(cfg, quant)
+        blocks_per_row = (ctx + max_new + 63) // 64 + 1
+        eng = PagedServingEngine(
+            params, cfg, eos_token_id=-7, pad_token_id=49954,
+            pool_size=pool, block_size=64,
+            num_blocks=1 + pool * blocks_per_row,
+            max_seq_len=ctx + max_new + 64, max_new_tokens_cap=max_new,
+            prompt_buckets=(min(256, ctx), ctx),
+            sampling=SamplingConfig.greedy(max_new_tokens=max_new),
+            dtype=jnp.bfloat16, kv_quant=kv_quant,
+        )
+    sched = Scheduler(eng, step_chunk=step_chunk, prefill_chunk=prefill_chunk)
+    rng = np.random.default_rng(0)
+    prompts = [rng.integers(5, 30000, size=(ctx,)).astype(np.int32)
+               for _ in range(8)]
+    lock = threading.Lock()
+    results = []  # (submit_t, [token_ts...])
+    remaining = [n_req]
+
+    def client():
+        while True:
+            with lock:
+                if remaining[0] <= 0:
+                    return
+                remaining[0] -= 1
+                i = remaining[0]
+            q: queue.Queue = queue.Queue()
+            t0 = time.perf_counter()
+            sched.submit(Request(
+                input_ids=prompts[i % len(prompts)], pixel_values=None,
+                img_start_pos=None, max_new_tokens=max_new, out=q))
+            stamps = []
+            while True:
+                kind, payload = q.get(timeout=1200)
+                if kind == "token":
+                    stamps.append(time.perf_counter())
+                elif kind == "done":
+                    break
+                else:
+                    raise RuntimeError(payload)
+            with lock:
+                results.append((t0, stamps))
+
+    def run_wave():
+        results.clear()
+        remaining[0] = n_req
+        threads = [threading.Thread(target=client) for _ in range(pool)]
+        t0 = time.perf_counter()
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        return time.perf_counter() - t0
+
+    try:
+        run_wave()  # warm/compile every program (prefill buckets, chunks)
+        wall = run_wave()
+        ttfts = np.array([s[0] - t0 for t0, s in results if s]) * 1e3
+        gaps = np.concatenate([np.diff(s) for _, s in results
+                               if len(s) > 1]) * 1e3
+        total = sum(len(s) for _, s in results)
+        return {
+            "quant": quant, "pool": pool, "ctx": ctx, "max_new": max_new,
+            "n_req": len(results), "step_chunk": step_chunk,
+            "prefill_chunk": prefill_chunk, "kv_quant": kv_quant,
+            "ttft_ms_p50": round(float(np.percentile(ttfts, 50)), 1),
+            "ttft_ms_p95": round(float(np.percentile(ttfts, 95)), 1),
+            "intertok_ms_p50": round(float(np.percentile(gaps, 50)), 2),
+            "intertok_ms_p95": round(float(np.percentile(gaps, 95)), 2),
+            "agg_tok_s": round(total / wall, 1),
+        }, eng
+    finally:
+        sched.stop()
+
+
+def slo_main():
+    """--slo [--pool N] [--ctx N] [--int4]: print the SLO table rows for one
+    engine config, A/B-ing chunked admission and step_chunk."""
+    import json
+
+    pool = 8
+    if "--pool" in sys.argv:
+        pool = int(sys.argv[sys.argv.index("--pool") + 1])
+    ctx = 512
+    if "--ctx" in sys.argv:
+        ctx = int(sys.argv[sys.argv.index("--ctx") + 1])
+    quant = _quant_flag()
+    eng = None
+    variants = [dict(step_chunk=8, prefill_chunk=256),
+                dict(step_chunk=8, prefill_chunk=0),
+                dict(step_chunk=1, prefill_chunk=256)]
+    if "--quick" in sys.argv:
+        variants = variants[:1]
+    for v in variants:
+        m, eng = measure_slo(quant, pool=pool, ctx=ctx, eng=eng, **v)
+        print(json.dumps(m), flush=True)
+
+
 def main():
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     n_req = int(args[0]) if args else 12

@@ -20,7 +20,7 @@ from .engine.generate import Engine
 from .engine.sampling import SamplingConfig, default_sampling_config
 from .processor import ImageProcessor, VisualCLAProcessor
 from .text import VisualCLATokenizer, encoding_text
-from .text.prompt import img_marker_positions
+from .text.prompt import all_img_marker_positions, img_marker_positions
 
 logger = logging.getLogger(__name__)
 
@@ -134,7 +134,31 @@ class VisualCLA:
                 if pixel_values is not None:
                     pixel_values = np.repeat(
                         np.asarray(pixel_values), nrs, axis=0)
-        img_pos = img_marker_positions(input_ids, self.tokenizer.img_start_token_id)
+        multi_image = pixel_values is not None and np.asarray(pixel_values).ndim == 5
+        if multi_image:
+            # (B, K) marker positions for the (B, K) splice — one per image,
+            # prompt order (multi-image turns, text/prompt.py)
+            img_pos = all_img_marker_positions(
+                input_ids, self.tokenizer.img_start_token_id)
+            K = np.asarray(pixel_values).shape[1]
+            n_markers = int((img_pos >= 0).sum(axis=1).max())
+            if n_markers > K:
+                raise ValueError(
+                    f"prompt carries {n_markers} <img> markers but only "
+                    f"{K} images were provided")
+            if img_pos.shape[1] < K:  # fewer marker columns than images:
+                # unplaced images' slots are -1 (skipped by the splice)
+                img_pos = np.concatenate([
+                    img_pos,
+                    np.full((img_pos.shape[0], K - img_pos.shape[1]), -1,
+                            np.int32)], axis=1)
+            img_pos = img_pos[:, :K]
+            if sampling.num_beams > 1:
+                raise NotImplementedError(
+                    "beam search over multi-image prompts is not supported; "
+                    "use greedy/sampling")
+        else:
+            img_pos = img_marker_positions(input_ids, self.tokenizer.img_start_token_id)
         # beam paths trace their own jits at call time: the model's mesh must
         # be in scope so cached_attention dispatches the shard_map'd kernel
         # (the engine's own programs are scoped by Engine._scoped)
@@ -234,7 +258,17 @@ class VisualCLA:
                         chunk_size: int = 1, speculative: bool = False,
                         spec_k: int = 8):
         sampling = as_sampling_config(generation_config)
-        img_pos = img_marker_positions(input_ids, self.tokenizer.img_start_token_id)
+        if pixel_values is not None and np.asarray(pixel_values).ndim == 5:
+            img_pos = all_img_marker_positions(
+                input_ids, self.tokenizer.img_start_token_id)
+            K = np.asarray(pixel_values).shape[1]
+            if img_pos.shape[1] < K:
+                img_pos = np.concatenate([
+                    img_pos, np.full((img_pos.shape[0], K - img_pos.shape[1]),
+                                     -1, np.int32)], axis=1)
+            img_pos = img_pos[:, :K]
+        else:
+            img_pos = img_marker_positions(input_ids, self.tokenizer.img_start_token_id)
         if speculative and sampling.mirostat_mode != 2:
             return self.speculative_decoder(spec_k).stream(
                 input_ids, pixel_values, img_pos, sampling, seed=seed
@@ -478,19 +512,56 @@ def _place(params, dtype, mesh):
 # chat (reference modeling_utils.py:143-178)
 # ---------------------------------------------------------------------------
 
+def _one_pixel_values(model: VisualCLA, image) -> np.ndarray:
+    """str path / PIL / premade array -> (1, 3, H, W) pixel_values."""
+    if isinstance(image, str) or hasattr(image, "convert"):
+        return np.asarray(model.image_processor(image)["pixel_values"])
+    pv = np.asarray(image)
+    return pv if pv.ndim == 4 else pv[None]
+
+
 def _prepare_inputs(model: VisualCLA, image, text, history):
-    if isinstance(image, str):
-        pixel_values = model.image_processor(image)["pixel_values"]
-    elif hasattr(image, "convert"):  # PIL
-        pixel_values = model.image_processor(image)["pixel_values"]
-    else:
-        pixel_values = np.asarray(image) if image is not None else None
-    test_input = encoding_text(history, text, model.num_patch, model.tokenizer)
+    """Build (encoded prompt, pixel_values) for a chat turn and record the
+    instruction in ``history``.
+
+    SINGLE-image mode (reference semantics, modeling_utils.py:143-165): the
+    placeholder lives only in the conversation's first instruction, and the
+    caller re-passes the one conversation image each turn.
+
+    MULTI-image mode (the reference webui plugin's capability,
+    README_EN.md:294-296, brought to the native surfaces): pass a LIST of
+    images with any turn — that turn's instruction gets one placeholder per
+    image, the history entry stores the encoded pixels (``images_pv``) so
+    later turns can replay every marker, and pixel_values stacks to
+    (1, K, 3, H, W) for the (B, K) splice."""
+    multi = isinstance(image, (list, tuple)) or any(
+        h.get("images_pv") for h in history)
+    if not multi:
+        if image is not None:
+            pixel_values = _one_pixel_values(model, image)
+        else:
+            pixel_values = None
+        test_input = encoding_text(history, text, model.num_patch, model.tokenizer)
+        if len(history) == 0:
+            history.append({"type": "instruction", "value": text, "first_instruction": True})
+        else:
+            history.append({"type": "instruction", "value": text})
+        return test_input, pixel_values
+    imgs = [] if image is None else (
+        list(image) if isinstance(image, (list, tuple)) else [image])
+    turn_pv = [_one_pixel_values(model, im) for im in imgs]
+    test_input = encoding_text(history, text, model.num_patch,
+                               model.tokenizer, num_images=len(turn_pv))
+    all_pv = [pv for h in history for pv in (h.get("images_pv") or [])]
+    all_pv += turn_pv
+    entry = {"type": "instruction", "value": text,
+             "images": len(turn_pv), "images_pv": turn_pv}
     if len(history) == 0:
-        history.append({"type": "instruction", "value": text, "first_instruction": True})
-    else:
-        history.append({"type": "instruction", "value": text})
-    return test_input, pixel_values
+        entry["first_instruction"] = True
+    history.append(entry)
+    if not all_pv:
+        return test_input, None
+    return test_input, np.stack(all_pv, axis=1)  # (1, K, 3, H, W)
 
 
 def chat(

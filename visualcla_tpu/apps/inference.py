@@ -57,6 +57,7 @@ Start Inference with instruction mode.
 You can enter instruction or special control commands after '>'. Below are the usage of the control commands
 
 change image:[image_path]\tload the image from [image_path]
+add image:[image_path]\t\tATTACH another image to your NEXT message (multi-image turn; repeatable)
 clear\t\t\t\tClear chat history. This command will not change the image.
 exit\t\t\t\tExit Inference
 """
@@ -92,6 +93,7 @@ def main(argv=None):
     print(USAGE)
     seed = args.seed if args.seed != -1 else 0
     history = []
+    pending_images = []  # images queued by `add image:` for the next turn
     image_path = args.image_file
     if image_path is not None:
         print(f"Image: {image_path}")
@@ -109,12 +111,41 @@ def main(argv=None):
         if text.startswith("change image:"):
             image_path = text.split("change image:")[-1].strip()
             history = []
+            pending_images = []
             continue
+        if text.startswith("add image:"):
+            # multi-image turn (the reference webui plugin's capability on
+            # the native REPL): the image rides the NEXT instruction; the
+            # api layer replays every turn's images on later turns
+            pending_images.append(text.split("add image:")[-1].strip())
+            print(f"{len(pending_images)} image(s) attached to your next "
+                  "message.")
+            continue
+        if pending_images:
+            # a list opts into per-turn image markers (api._prepare_inputs);
+            # include the conversation image on the first turn only
+            turn_image = list(pending_images)
+            if not history and image_path is not None:
+                turn_image = [image_path] + turn_image
+            elif history and image_path is not None:
+                # legacy->multi transition: the single-image turns replayed
+                # in history carry a marker but no stored pixels — backfill
+                # the conversation image so every marker has an embedding
+                first = history[0]
+                if ("first_instruction" in first
+                        and not first.get("images_pv")):
+                    import numpy as np
+
+                    first["images"] = 1
+                    first["images_pv"] = [np.asarray(
+                        model.image_processor(image_path)["pixel_values"])]
+        else:
+            turn_image = image_path
         try:
             if args.stream:
                 printed = 0
                 for response, history in chat_in_stream(
-                    model, image=image_path, text=text, history=history,
+                    model, image=turn_image, text=text, history=history,
                     verbose=False, seed=seed, chunk_size=args.stream_chunk,
                     speculative=args.speculative,
                 ):
@@ -123,12 +154,14 @@ def main(argv=None):
                 print()
             else:
                 response, history = chat(
-                    model, image=image_path, text=text, history=history,
+                    model, image=turn_image, text=text, history=history,
                     seed=seed, speculative=args.speculative,
                 )
+            pending_images = []
         except FileNotFoundError:
             print(f"Cannot find file {image_path}. Clear history")
             history = []
+            pending_images = []
 
     logger.info("*** Exit Inference ***")
 

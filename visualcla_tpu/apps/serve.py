@@ -75,25 +75,64 @@ class PoolWorker:
         the (mutated) history, extract sampling overrides.  One code path so
         /chat and /chat_stream can never drift."""
         from visualcla_tpu.text import encoding_text
-        from visualcla_tpu.text.prompt import img_marker_positions
+        from visualcla_tpu.text.prompt import (all_img_marker_positions,
+                                               img_marker_positions)
 
         model = self.model
         history = req.get("history") or []
         text = req["text"]
-        pixel_values = None
-        if req.get("image_b64"):
+
+        def decode_pv(b64: str):
             from PIL import Image
 
-            img = Image.open(io.BytesIO(base64.b64decode(req["image_b64"])))
-            pixel_values = model.image_processor(img)["pixel_values"]
-        enc = encoding_text(history, text, model.num_patch, model.tokenizer)
-        ids = enc["input_ids"]
-        img_pos = img_marker_positions(ids, model.tokenizer.img_start_token_id)
-        if len(history) == 0:
-            history.append({"type": "instruction", "value": text,
-                            "first_instruction": True})
+            img = Image.open(io.BytesIO(base64.b64decode(b64)))
+            return model.image_processor(img)["pixel_values"]
+
+        # MULTI-image protocol (reference webui capability,
+        # README_EN.md:294-296): "images_b64": [...] attaches K images to
+        # THIS turn; history instruction entries echo their own images back
+        # ("images_b64" per entry) so every replayed marker has pixels.
+        multi = ("images_b64" in req
+                 or any(h.get("images_b64") for h in history))
+        if multi:
+            turn_b64 = list(req.get("images_b64") or [])
+            if req.get("image_b64"):
+                turn_b64.append(req["image_b64"])
+            import numpy as np
+
+            all_pv = [decode_pv(b) for h in history
+                      for b in (h.get("images_b64") or [])]
+            all_pv += [decode_pv(b) for b in turn_b64]
+            enc = encoding_text(history, text, model.num_patch,
+                                model.tokenizer, num_images=len(turn_b64))
+            ids = enc["input_ids"]
+            pixel_values = (np.stack(all_pv, axis=1) if all_pv else None)
+            img_pos_full = all_img_marker_positions(
+                ids, model.tokenizer.img_start_token_id)[0]
+            img_pos = [int(p) for p in img_pos_full if p >= 0]
+            K = 0 if pixel_values is None else pixel_values.shape[1]
+            if len(img_pos) != K:
+                raise ValueError(
+                    f"prompt has {len(img_pos)} <img> markers but "
+                    f"{K} images were provided")
+            entry = {"type": "instruction", "value": text,
+                     "images": len(turn_b64), "images_b64": turn_b64}
+            if len(history) == 0:
+                entry["first_instruction"] = True
+            history.append(entry)
         else:
-            history.append({"type": "instruction", "value": text})
+            pixel_values = None
+            if req.get("image_b64"):
+                pixel_values = decode_pv(req["image_b64"])
+            enc = encoding_text(history, text, model.num_patch, model.tokenizer)
+            ids = enc["input_ids"]
+            img_pos = img_marker_positions(
+                ids, model.tokenizer.img_start_token_id)
+            if len(history) == 0:
+                history.append({"type": "instruction", "value": text,
+                                "first_instruction": True})
+            else:
+                history.append({"type": "instruction", "value": text})
         gc = req.get("generation_config") or {}
         overrides = {k: gc[k] for k in
                      ("temperature", "top_p", "repetition_penalty", "do_sample",
@@ -111,7 +150,8 @@ class PoolWorker:
             self._prepare_request(req))
         out = generate_sync(
             self.scheduler, ids[0], pixel_values=pixel_values,
-            img_start_pos=int(img_pos[0]),
+            img_start_pos=(img_pos or None) if isinstance(img_pos, list)
+            else int(img_pos[0]),
             max_new_tokens=max_new,
             sampling_overrides=overrides or None,
             timeout=timeout,
@@ -134,7 +174,8 @@ class PoolWorker:
         response = ""
         for kind, payload in generate_stream(
             self.scheduler, ids[0], pixel_values=pixel_values,
-            img_start_pos=int(img_pos[0]),
+            img_start_pos=(img_pos or None) if isinstance(img_pos, list)
+            else int(img_pos[0]),
             max_new_tokens=max_new,
             sampling_overrides=overrides or None, timeout=timeout,
         ):

@@ -662,13 +662,22 @@ class PagedServingEngine:
         mask = np.zeros((1, L), np.int32)
         ids[0, :S] = input_ids
         mask[0, :S] = 1
-        img_pos = np.asarray(
-            [-1 if img_start_pos is None or img_start_pos < 0 else img_start_pos],
-            np.int32,
-        )
+        if img_start_pos is not None and np.ndim(img_start_pos) > 0:
+            # multi-image admission: (K,) marker positions paired with
+            # (1, K, 3, H, W) pixel_values (the (B, K) splice,
+            # models/visualcla.py multimodal_embeds)
+            img_pos = np.asarray(img_start_pos, np.int32).reshape(1, -1)
+        else:
+            img_pos = np.asarray(
+                [-1 if img_start_pos is None or img_start_pos < 0
+                 else img_start_pos],
+                np.int32,
+            )
         visualcla.check_img_start_pos(img_pos, self.cfg.num_image_tokens, L)
         if pixel_values is not None:
             pixel_values = jnp.asarray(pixel_values, self.dtype)
+            if img_pos.ndim == 2 and pixel_values.ndim == 4:
+                pixel_values = pixel_values[None]  # (1, K, 3, H, W)
         self._free_row(row)
         # blocks for the whole padded prompt + headroom for decode
         nb_prompt = L // self.BS if L % self.BS == 0 else L // self.BS + 1

@@ -395,13 +395,21 @@ class ServingEngine:
         mask = np.zeros((1, L), np.int32)
         ids[0, L - S:] = np.asarray(input_ids).reshape(-1)
         mask[0, L - S:] = 1
-        img_pos = np.asarray(
-            [-1 if img_start_pos is None or img_start_pos < 0
-             else img_start_pos + (L - S)], np.int32,
-        )
+        if img_start_pos is not None and np.ndim(img_start_pos) > 0:
+            # multi-image: (K,) marker positions, left-pad-shifted like the
+            # scalar path; -1 slots stay -1 (skipped by the splice)
+            ip = np.asarray(img_start_pos, np.int32).reshape(1, -1)
+            img_pos = np.where(ip < 0, -1, ip + (L - S)).astype(np.int32)
+        else:
+            img_pos = np.asarray(
+                [-1 if img_start_pos is None or img_start_pos < 0
+                 else img_start_pos + (L - S)], np.int32,
+            )
         visualcla.check_img_start_pos(img_pos, self.cfg.num_image_tokens, L)
         if pixel_values is not None:
             pixel_values = jnp.asarray(pixel_values, self.dtype)
+            if img_pos.ndim == 2 and pixel_values.ndim == 4:
+                pixel_values = pixel_values[None]  # (1, K, 3, H, W)
         knobs = sampling_knobs(self.sampling, overrides)
         self._state = self._prefill(
             self.params, self._state, jnp.int32(row),

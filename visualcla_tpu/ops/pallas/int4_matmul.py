@@ -44,10 +44,16 @@ from jax.experimental.pallas import tpu as pltpu
 # and the f32 out/acc now count.
 _VMEM_BUDGET = 10 * 2**20
 
-# Token ceiling for the kernel: one whole-x VMEM block.  Past this (long
-# prompts, batched prefill) the caller's dequant-dense path wins anyway —
-# the weight re-reads per token tile would exceed the one-shot dequant
-# temp's traffic.
+# Token ceiling for the WHOLE-X kernel forms: one x VMEM block.  Past this
+# (long prompts, batched prefill) the TILED scratch variant takes over —
+# grid (out_tiles, token_tiles) with the token dim minor, so the unpacked
+# bf16 weight tile in VMEM scratch is built once per output tile (the qw
+# BlockSpec ignores the token index; Mosaic re-fetches nothing) and every
+# token tile consumes it with one MXU dot.  Weight HBM traffic stays
+# 0.5 B/param for the whole matmul at ANY token count — the dequant-dense
+# fallback this replaces wrote+read a full bf16 weight temp (2+2 B/param)
+# plus the per-layer carrier slice, measured +49 ms on a 7B S=2048 prefill
+# (int4 282.8 ms vs int8 233.4, tools/probe_prefill.py round 5).
 MAX_TOKENS = 256
 
 
