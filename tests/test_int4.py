@@ -398,6 +398,55 @@ def test_int4_pallas_kernel_scratch_variant():
     np.testing.assert_array_equal(a, g)
 
 
+def test_int4_pallas_kernel_tiled_variant_long_prefill():
+    """The token-tiled scratch variant (grid (out_tiles, token_tiles), weight
+    tile unpacked once per out tile into persistent VMEM scratch) serves
+    token counts past MAX_TOKENS — the reference's 2048-context prefill —
+    with identical numerics to the whole-x scratch form, auto-dispatches
+    above MAX_TOKENS, handles stacked-layer selection, a ragged final token
+    tile (padding), and out widths that don't divide the out tile."""
+    from visualcla_tpu.ops.pallas.int4_matmul import (
+        MAX_TOKENS, _pick_tiles_tiled, int4_matmul,
+    )
+
+    rng = np.random.default_rng(17)
+    L, IN, OUT, gs = 2, 256, 384, 128
+    w = rng.standard_normal((L, IN, OUT)).astype(np.float32) * 0.1
+    wq = quantize_grouped(w, group=gs, bits=4)
+    B = MAX_TOKENS + 64
+    x = jnp.asarray(rng.standard_normal((B, IN)).astype(np.float32))
+    for layer in range(L):
+        got = np.asarray(int4_matmul(
+            x, wq["q"], wq["scale"], layer, interpret=True,
+            variant="tiled", tile=256))
+        sliced = {"q": wq["q"][layer], "scale": wq["scale"][layer]}
+        dense = np.asarray(
+            x.astype(jnp.bfloat16).astype(jnp.float32)
+            @ dequantize(sliced, jnp.bfloat16).astype(jnp.float32))
+        np.testing.assert_allclose(got, dense, rtol=2e-2, atol=2e-2)
+        # auto-dispatch past MAX_TOKENS takes the tiled path
+        auto = np.asarray(int4_matmul(
+            x, wq["q"], wq["scale"], layer, interpret=True))
+        np.testing.assert_allclose(auto, dense, rtol=2e-2, atol=2e-2)
+    # ragged token count: pad-and-slice keeps exact rows
+    x_rag = x[:MAX_TOKENS + 17]
+    got = np.asarray(int4_matmul(
+        x_rag, wq["q"], wq["scale"], 0, interpret=True, variant="tiled"))
+    assert got.shape == (MAX_TOKENS + 17, OUT)
+    full = np.asarray(int4_matmul(
+        x, wq["q"], wq["scale"], 0, interpret=True, variant="tiled"))
+    np.testing.assert_array_equal(got, full[:MAX_TOKENS + 17])
+    # tile planner: 7B shapes fit the VMEM budget with >=128-lane tiles
+    for (G, gsh, out) in ((32, 64, 4096), (32, 64, 11008),
+                          (86, 64, 4096), (32, 64, 50048)):
+        tb, to = _pick_tiles_tiled(G, gsh, out)
+        in_dim = 2 * gsh * G
+        use = (2 * tb * in_dim * 2 + 2 * G * (gsh + 4) * to
+               + 2 * in_dim * to + 2 * 4 * tb * to)
+        assert to >= 128 and tb >= 64
+        assert use <= 10 * 2**20, (G, gsh, out, tb, to, use)
+
+
 def test_lazy_stacked_dispatch_matches_sliced():
     """q_matmul on a lazy {"q","scale","layer"} stacked dict (the decode
     loops' deferred slice) must equal slicing first (CPU: XLA fallback)."""

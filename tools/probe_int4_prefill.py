@@ -74,6 +74,10 @@ def main():
     def scratch_path(x, w4):
         return int4_matmul(x, w4["q"], w4["scale"], None, variant="scratch")
 
+    def tiled_path(x, w4, tile=None):
+        return int4_matmul(x, w4["q"], w4["scale"], None, variant="tiled",
+                           tile=tile)
+
     def dequant_path(x, w4):
         return x @ q.dequantize(w4, x.dtype)
 
@@ -96,10 +100,17 @@ def main():
         paths = {
             "kernel": functools.partial(kernel_path, w4=w4),
             "scratch": functools.partial(scratch_path, w4=w4),
+            "tiled": functools.partial(tiled_path, w4=w4),
             "dequant": functools.partial(dequant_path, w4=w4),
             "int8": functools.partial(int8_path, w8=w8),
             "bf16": functools.partial(bf16_path, wb=wb),
         }
+        if T > 256:  # whole-x forms exceed their VMEM block past MAX_TOKENS
+            paths.pop("kernel")
+            paths.pop("scratch")
+            for to in (256, 384, 512, 768):
+                paths[f"tiled{to}"] = functools.partial(
+                    tiled_path, w4=w4, tile=to)
         row = {}
         for pname, fn in paths.items():
             try:

@@ -138,6 +138,23 @@ def _kernel(layer_ref, xs_ref, *rest, n_groups, unpack):
     o_ref[:] = acc
 
 
+def _unpack_weight_tile(qw_ref, s_ref, w_ref, n_groups):
+    """Unpack + scale one (in, TO) weight tile into the bf16 VMEM scratch
+    (excess-8 xor nibble decode; f32 dequant rounded once to bf16 — the same
+    numerics class as the dequant-dense path this replaces)."""
+    gsh = qw_ref.shape[2]
+    gs = 2 * gsh
+    for g in range(n_groups):  # static unroll
+        u = jnp.bitwise_xor(qw_ref[0, g], jnp.uint8(0x88))  # (gsh, TO)
+        lo = jnp.bitwise_and(u, jnp.uint8(0x0F)).astype(jnp.int8)
+        hi = jnp.right_shift(u.astype(jnp.int32), 4)
+        s = s_ref[0, g][None, :]  # (1, TO) f32
+        w_ref[g * gs:g * gs + gsh, :] = (
+            (lo.astype(jnp.float32) - 8.0) * s).astype(jnp.bfloat16)
+        w_ref[g * gs + gsh:(g + 1) * gs, :] = (
+            (hi.astype(jnp.float32) - 8.0) * s).astype(jnp.bfloat16)
+
+
 def _kernel_scratch(layer_ref, xs_ref, qw_ref, s_ref, o_ref, w_ref, *,
                     n_groups):
     """Prefill variant: unpack + scale the weight tile ONCE into a bf16 VMEM
@@ -153,19 +170,32 @@ def _kernel_scratch(layer_ref, xs_ref, qw_ref, s_ref, o_ref, w_ref, *,
     dequant-dense path (f32 dequant rounded once to bf16), which this
     replaces at 0.5 B/param HBM traffic instead of 2 full bf16 weight
     temps."""
-    gsh = qw_ref.shape[2]
-    gs = 2 * gsh
-    for g in range(n_groups):  # static unroll
-        u = jnp.bitwise_xor(qw_ref[0, g], jnp.uint8(0x88))  # (gsh, TO)
-        lo = jnp.bitwise_and(u, jnp.uint8(0x0F)).astype(jnp.int8)
-        hi = jnp.right_shift(u.astype(jnp.int32), 4)
-        s = s_ref[0, g][None, :]  # (1, TO) f32
-        w_ref[g * gs:g * gs + gsh, :] = (
-            (lo.astype(jnp.float32) - 8.0) * s).astype(jnp.bfloat16)
-        w_ref[g * gs + gsh:(g + 1) * gs, :] = (
-            (hi.astype(jnp.float32) - 8.0) * s).astype(jnp.bfloat16)
+    _unpack_weight_tile(qw_ref, s_ref, w_ref, n_groups)
     B = xs_ref.shape[0]
-    x2d = xs_ref[:].reshape(B, n_groups * gs)
+    x2d = xs_ref[:].reshape(B, -1)
+    o_ref[:] = jnp.dot(x2d, w_ref[:],
+                       preferred_element_type=jnp.float32)
+
+
+def _kernel_scratch_tiled(layer_ref, xs_ref, qw_ref, s_ref, o_ref, w_ref, *,
+                          n_groups):
+    """Long/batched-prefill variant: grid (out_tiles, token_tiles), token
+    minor.  The unpacked bf16 weight tile is built into VMEM scratch once
+    per OUTPUT tile (j == 0; the scratch persists across grid steps and the
+    qw BlockSpec ignores the token index, so Mosaic neither re-fetches nor
+    re-unpacks) and every token tile consumes it with one MXU dot.  Weight
+    HBM traffic stays 0.5 B/param for the whole matmul at ANY token count —
+    the dequant-dense fallback this replaces wrote + read a full bf16
+    weight temp (2+2 B/param) plus the per-layer carrier slice, measured
+    +49 ms on a 7B S=2048 prefill (tools/probe_prefill.py round 5)."""
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _build():
+        _unpack_weight_tile(qw_ref, s_ref, w_ref, n_groups)
+
+    TB = xs_ref.shape[0]
+    x2d = xs_ref[:].reshape(TB, -1)
     o_ref[:] = jnp.dot(x2d, w_ref[:],
                        preferred_element_type=jnp.float32)
 
@@ -180,6 +210,24 @@ def _pick_tile_scratch(G: int, gsh: int, out: int, B: int) -> int:
     to = max(budget, per_lane * 128) // per_lane
     to = min(2048, max(128, (to // 128) * 128))
     return min(to, ((out + 127) // 128) * 128)
+
+
+def _pick_tiles_tiled(G: int, gsh: int, out: int) -> tuple[int, int]:
+    """(token_tile, out_tile) for the tiled scratch variant.  Both the x
+    block (varies over j) and the carrier+scale (vary over i) are
+    double-buffered by Mosaic; the bf16 (in, TO) scratch and the f32
+    (TB, TO) out block complete the plan.  Prefer the largest token tile
+    that still leaves a >=128-lane output tile (a wider token tile
+    amortizes the per-out-tile scratch rebuild over more MXU work)."""
+    in_dim = 2 * gsh * G
+    for tb in (512, 256, 128, 64):
+        budget = _VMEM_BUDGET - 2 * tb * in_dim * 2  # x, double-buffered
+        per_lane = 2 * G * (gsh + 4) + 2 * in_dim + 2 * 4 * tb
+        to = budget // per_lane
+        to = min(2048, (to // 128) * 128)
+        if to >= 128:
+            return tb, min(to, ((out + 127) // 128) * 128)
+    return 64, 128
 
 
 # Token count at which the scratch (one-dot) variant takes over from the
@@ -228,8 +276,10 @@ def int4_matmul(x, qw, scale, layer=None, *, interpret: bool | None = None,
     """x (B, in) @ v2-packed grouped int4 -> (B, out) f32.
 
     qw uint8 (L, G, gs/2, out) stacked (pass ``layer``) or (G, gs/2, out)
-    unstacked (layer=None); scale f32 matches.  B is the token count —
-    decode-sized (the caller's crossover sends prefill to dequant-dense).
+    unstacked (layer=None); scale f32 matches.  B is the token count — any
+    size: decode takes the per-group form, short prefill the whole-x scratch
+    form, and past MAX_TOKENS the token-tiled scratch form (one weight pass
+    at 0.5 B/param regardless of token count).
     ``tile`` overrides the adaptive output-tile width (probing only);
     ``unpack`` picks the in-kernel nibble decode (None = the measured
     per-shape winner, :func:`_pick_unpack`) — "xor" (excess-8) measured
@@ -252,14 +302,46 @@ def int4_matmul(x, qw, scale, layer=None, *, interpret: bool | None = None,
         import os
 
         env = os.environ.get("VISUALCLA_INT4_VARIANT")
-        if env in ("group", "scratch"):
+        if env in ("group", "scratch", "tiled"):
             variant = env  # A/B probing override
+        elif B > MAX_TOKENS:
+            variant = "tiled"  # long/batched prefill: token-tiled scratch
         else:
             # explicit unpack= pins the per-group form (probing/tests)
             variant = ("scratch" if B >= SCRATCH_MIN_TOKENS and unpack is None
                        else "group")
-    if variant not in ("group", "scratch"):
+    if variant not in ("group", "scratch", "tiled"):
         raise ValueError(f"unknown variant {variant!r}")
+    if variant == "tiled":
+        tb, to = _pick_tiles_tiled(G, gsh, out)
+        if tile:
+            to = tile
+        pad = (-B) % tb
+        if pad:  # ragged final token tile: pad x, slice the result
+            x = jnp.pad(x, ((0, pad), (0, 0)))
+        xs = x.astype(jnp.bfloat16).reshape(-1, G, gs)
+        Bp = xs.shape[0]
+        y = pl.pallas_call(
+            functools.partial(_kernel_scratch_tiled, n_groups=G),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(pl.cdiv(out, to), Bp // tb),
+                in_specs=[
+                    pl.BlockSpec((tb, G, gs), lambda i, j, l: (j, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, G, gsh, to), lambda i, j, l: (l[0], 0, 0, i),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, G, to), lambda i, j, l: (l[0], 0, i),
+                                 memory_space=pltpu.VMEM),
+                ],
+                out_specs=pl.BlockSpec((tb, to), lambda i, j, l: (j, i),
+                                       memory_space=pltpu.VMEM),
+                scratch_shapes=[pltpu.VMEM((in_dim, to), jnp.bfloat16)],
+            ),
+            out_shape=jax.ShapeDtypeStruct((Bp, out), jnp.float32),
+            interpret=interpret,
+        )(jnp.asarray(layer, jnp.int32).reshape(1), xs, qw, scale)
+        return y[:B] if pad else y
     xs = x.astype(jnp.bfloat16).reshape(B, G, gs)
     if variant == "scratch":
         to = tile or _pick_tile_scratch(G, gsh, out, B)

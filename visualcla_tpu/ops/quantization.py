@@ -316,20 +316,17 @@ def q_matmul(x, w: Union[dict, jnp.ndarray]):
 
 
 def _use_int4_kernel(tokens: int, gs: int) -> bool:
-    """The Pallas int4 kernel serves decode AND single-prompt prefill (up to
-    its whole-x VMEM block, 256 tokens) on a real TPU with unsharded
-    weights; everything else (CPU tests, TP-sharded weights under a mesh,
-    long/batched prefill) takes the XLA paths.  Serving prefill from the
+    """The Pallas int4 kernel serves decode AND prefill at ANY token count
+    on a real TPU with unsharded weights (decode: per-group form; short
+    prefill: whole-x scratch form; long/batched prefill: token-tiled scratch
+    form — int4_matmul picks by token count); CPU tests and TP-sharded
+    weights under a mesh take the XLA paths.  Serving prefill from the
     kernel is what cut the int4 TTFT: the dequant-dense path writes+reads a
     full bf16 weight temp (2x 13.4 GB at 7B), the kernel streams the packed
     carrier once (3.4 GB)."""
     import jax
 
     if jax.default_backend() != "tpu":
-        return False
-    from .pallas.int4_matmul import MAX_TOKENS
-
-    if tokens > MAX_TOKENS:  # long/batched prefill: dequant-dense wins
         return False
     import os
 
@@ -401,14 +398,14 @@ def _q_matmul_grouped(x, w: dict, out_dtype=None):
     tokens = 1
     for d in x.shape[:-1]:
         tokens *= d
-    if tokens * 4 > gs * 2:  # fp32 partials vs x.dtype weight temp
-        return (x @ dequantize(w, x.dtype)).astype(out_dtype or x.dtype)
     if packed and _use_int4_kernel(tokens, gs):
         from .pallas.int4_matmul import int4_matmul
 
         y = int4_matmul(x.reshape(-1, x.shape[-1]), q, s, None)
         y = y.reshape(*x.shape[:-1], y.shape[-1])
         return y.astype(out_dtype or x.dtype)
+    if tokens * 4 > gs * 2:  # fp32 partials vs x.dtype weight temp
+        return (x @ dequantize(w, x.dtype)).astype(out_dtype or x.dtype)
     xg = x.reshape(*x.shape[:-1], g, gs)  # (..., G, gs)
     nd = xg.ndim
     if packed:
