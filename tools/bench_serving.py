@@ -355,5 +355,7 @@ def stall():
 if __name__ == "__main__":
     if "--stall" in sys.argv:
         stall()
+    elif "--slo" in sys.argv:
+        slo_main()
     else:
         main()

@@ -315,15 +315,43 @@ def q_matmul(x, w: Union[dict, jnp.ndarray]):
     return y * w["scale"][..., 0, :].astype(x.dtype)
 
 
-def _use_int4_kernel(tokens: int, gs: int) -> bool:
-    """The Pallas int4 kernel serves decode AND prefill at ANY token count
-    on a real TPU with unsharded weights (decode: per-group form; short
-    prefill: whole-x scratch form; long/batched prefill: token-tiled scratch
-    form — int4_matmul picks by token count); CPU tests and TP-sharded
-    weights under a mesh take the XLA paths.  Serving prefill from the
-    kernel is what cut the int4 TTFT: the dequant-dense path writes+reads a
-    full bf16 weight temp (2x 13.4 GB at 7B), the kernel streams the packed
-    carrier once (3.4 GB)."""
+def _tiled_prefill_wins(tokens: int, gs: int, in_dim: int, out: int) -> bool:
+    """Per-shape cost model: token-tiled kernel vs XLA dequant-dense for
+    long prefill (tokens > MAX_TOKENS).
+
+    The tiled kernel keeps weight traffic at 0.5 B/param but re-reads the
+    x block once per OUTPUT tile (the weight scratch persists across token
+    tiles; x cannot): refetch = ceil(out/to) * T * 2 * in bytes.  The
+    dequant-dense path writes+reads one bf16 weight temp: 4 * in * out
+    bytes.  Shapes whose VMEM plan forces narrow output tiles (the 7B
+    down_proj: in=11008, G=86 -> to=128, 32 output tiles) drown in x
+    refetch at T=2048 while qkv/gate-up (to=384) stay cheap — routing all
+    shapes one way measured 302.3 ms (all-tiled) vs 282.8 (all-dequant) at
+    S=2048 but 167.3 vs 184.1 at S=1024 (tools/probe_prefill.py round 5).
+    C calibrated end-to-end on those runs; override via
+    VISUALCLA_INT4_TILED_C for A/B probing."""
+    import os
+
+    from .pallas.int4_matmul import _pick_tiles_tiled
+
+    G = in_dim // gs
+    _, to = _pick_tiles_tiled(G, gs // 2, out)
+    refetch = -(-out // to) * tokens * 2 * in_dim
+    temp = 4 * in_dim * out
+    c = float(os.environ.get("VISUALCLA_INT4_TILED_C", "3.0"))
+    return refetch <= c * temp
+
+
+def _use_int4_kernel(tokens: int, gs: int, in_dim: int = 0,
+                     out: int = 0) -> bool:
+    """The Pallas int4 kernel serves decode AND prefill on a real TPU with
+    unsharded weights (decode: per-group form; short prefill: whole-x
+    scratch form; long/batched prefill: token-tiled scratch form — subject
+    to the per-shape cost model :func:`_tiled_prefill_wins`); CPU tests and
+    TP-sharded weights under a mesh take the XLA paths.  Serving prefill
+    from the kernel is what cut the int4 TTFT: the dequant-dense path
+    writes+reads a full bf16 weight temp (2x 13.4 GB at 7B), the kernel
+    streams the packed carrier once (3.4 GB)."""
     import jax
 
     if jax.default_backend() != "tpu":
@@ -334,6 +362,11 @@ def _use_int4_kernel(tokens: int, gs: int) -> bool:
     # on the kernel) to the XLA dequant-dense path instead of the kernel
     if (tokens > 8
             and os.environ.get("VISUALCLA_INT4_PREFILL") == "dequant"):
+        return False
+    from .pallas.int4_matmul import MAX_TOKENS
+
+    if (tokens > MAX_TOKENS and in_dim and out
+            and not _tiled_prefill_wins(tokens, gs, in_dim, out)):
         return False
     from .attention import current_attention_mesh
     from ..parallel.sharding import MODEL
@@ -352,7 +385,7 @@ def _q_matmul_stacked(x, w: dict, out_dtype=None):
     for d in x.shape[:-1]:
         tokens *= d
     gs = 2 * q.shape[-2]
-    if _use_int4_kernel(tokens, gs):
+    if _use_int4_kernel(tokens, gs, x.shape[-1], q.shape[-1]):
         from .pallas.int4_matmul import int4_matmul
 
         y = int4_matmul(x.reshape(-1, x.shape[-1]), q, s, layer)
@@ -398,7 +431,7 @@ def _q_matmul_grouped(x, w: dict, out_dtype=None):
     tokens = 1
     for d in x.shape[:-1]:
         tokens *= d
-    if packed and _use_int4_kernel(tokens, gs):
+    if packed and _use_int4_kernel(tokens, gs, x.shape[-1], q.shape[-1]):
         from .pallas.int4_matmul import int4_matmul
 
         y = int4_matmul(x.reshape(-1, x.shape[-1]), q, s, None)
