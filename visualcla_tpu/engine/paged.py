@@ -209,6 +209,8 @@ class PagedState:
     positions: jnp.ndarray  # (B,)
     gen_ids: jnp.ndarray  # (B, T)
     gen_len: jnp.ndarray  # (B,)
+    all_ids: jnp.ndarray  # (B, Smax) — prompt + generated token history per
+    #   row (valid length = positions+1); the speculative draft source
     max_len: jnp.ndarray  # (B,)
     active: jnp.ndarray  # (B,) bool
     finished: jnp.ndarray  # (B,) bool
@@ -230,9 +232,9 @@ class PagedState:
 jax.tree_util.register_dataclass(
     PagedState,
     data_fields=["k_pool", "v_pool", "k_scales", "v_scales", "last_token",
-                 "positions", "gen_ids", "gen_len", "max_len", "active",
-                 "finished", "mu", "temp", "top_p", "rep_pen", "do_sample",
-                 "tfs", "top_a", "miro", "miro_tau", "miro_eta",
+                 "positions", "gen_ids", "gen_len", "all_ids", "max_len",
+                 "active", "finished", "mu", "temp", "top_p", "rep_pen",
+                 "do_sample", "tfs", "top_a", "miro", "miro_tau", "miro_eta",
                  "top_k", "ngram", "key"],
     meta_fields=[],
 )
@@ -259,6 +261,13 @@ class PagedServingEngine:
         kv_quant: str = "none",  # "int8": halve KV pool bytes (per-token scales)
         seed: int = 0,
         mesh=None,  # TP: pools shard kv heads on 'model'; params via GSPMD
+        spec_k: int = 0,  # >0: per-row prompt-lookup speculative decoding
+        #   (engine/paged_spec.py) — draft spec_k tokens, verify in one
+        #   (B, k+1) forward; greedy rows token-identical to plain stepping
+        spec_max_active: int = 4,  # Scheduler uses spec dispatches only at
+        #   or below this occupancy (verify compute scales with B*(k+1);
+        #   decode stops being weight-bound as the pool fills)
+        spec_max_ngram: int = 3,
     ):
         self.params = params
         self.cfg = cfg
@@ -319,6 +328,7 @@ class PagedServingEngine:
             positions=jnp.zeros((B,), jnp.int32),
             gen_ids=jnp.zeros((B, T), jnp.int32),
             gen_len=jnp.zeros((B,), jnp.int32),
+            all_ids=jnp.zeros((B, max_seq_len), jnp.int32),
             max_len=jnp.zeros((B,), jnp.int32),
             active=jnp.zeros((B,), bool),
             finished=jnp.zeros((B,), bool),
@@ -375,6 +385,13 @@ class PagedServingEngine:
         self._finish_chunked = scoped(jax.jit(
             self._finish_chunked_impl, static_argnames=("sampling",),
             donate_argnames=("state",)))
+        self.spec_k = int(spec_k)
+        self.spec_max_active = int(spec_max_active)
+        self.spec_max_ngram = int(spec_max_ngram)
+        if self.spec_k > 0:
+            self._spec_step_n = scoped(jax.jit(
+                self._spec_step_n_impl, static_argnames=("sampling", "k"),
+                donate_argnames=("state",)))
         self._params_bytes = sum(
             int(np.prod(x.shape)) * x.dtype.itemsize
             for x in jax.tree.leaves(params))
@@ -447,9 +464,11 @@ class PagedServingEngine:
 
     def _admit_row(self, params, state: PagedState, row, hidden_last,
                    last_idx, max_new_tokens, knobs,
-                   sampling: SamplingConfig) -> PagedState:
+                   sampling: SamplingConfig, ids=None) -> PagedState:
         """Sample the first token from the last REAL prompt position's hidden
-        and activate the row (shared by the one-shot and chunked prefills)."""
+        and activate the row (shared by the one-shot and chunked prefills).
+        ``ids`` (1, L) right-padded prompt seeds the row's ``all_ids`` token
+        history (the speculative draft source)."""
         from .server import _admit_knob_kwargs
 
         last_logits = llama.logits(params["text"], hidden_last)[:, 0]
@@ -460,8 +479,17 @@ class PagedServingEngine:
             **_admit_knob_kwargs(knobs, 2.0 * knobs[7:8]),
         )
         tok = token[0]
+        all_ids = state.all_ids
+        if ids is not None:
+            # prompt history [0, last_idx], first token at last_idx+1
+            all_ids = jax.lax.dynamic_update_slice(
+                all_ids, ids.astype(jnp.int32), (row, jnp.int32(0)))
+            all_ids = all_ids.at[
+                row, jnp.minimum(last_idx.astype(jnp.int32) + 1,
+                                 self.Smax - 1)].set(tok)
         return dataclasses.replace(
             state,
+            all_ids=all_ids,
             last_token=state.last_token.at[row].set(tok),
             positions=state.positions.at[row].set(last_idx.astype(jnp.int32) + 1),
             gen_ids=jax.lax.dynamic_update_index_in_dim(
@@ -471,7 +499,10 @@ class PagedServingEngine:
             gen_len=state.gen_len.at[row].set(1),
             max_len=state.max_len.at[row].set(max_new_tokens),
             active=state.active.at[row].set(True),
-            finished=state.finished.at[row].set(tok == self.eos),
+            # the admission itself commits token 1 — a max_new_tokens=1
+            # request is already complete (pre-round-5 this overshot to 2)
+            finished=state.finished.at[row].set(
+                (tok == self.eos) | (max_new_tokens <= 1)),
             mu=state.mu.at[row].set(mu_row[0]),
             temp=state.temp.at[row].set(knobs[0]),
             top_p=state.top_p.at[row].set(knobs[1]),
@@ -513,7 +544,7 @@ class PagedServingEngine:
             hidden, last_idx[:, None, None].astype(jnp.int32), axis=1
         )  # (1, 1, H)
         return self._admit_row(params, state, row, hidden_last, last_idx[0],
-                               max_new_tokens, knobs, sampling)
+                               max_new_tokens, knobs, sampling, ids=input_ids)
 
     # -- chunked prefill (admission interleaved with decode) ------------------
 
@@ -545,7 +576,7 @@ class PagedServingEngine:
     def _finish_chunked_impl(self, params, state: PagedState, scratch,
                              hidden_chunk, last_idx_in_chunk, last_idx, row,
                              block_ids, max_new_tokens, knobs,
-                             sampling: SamplingConfig):
+                             sampling: SamplingConfig, ids=None):
         """Scatter the fully-written scratch into the pool and activate the
         row, sampling from the chunk that held the last real token."""
         nb = scratch["k"].shape[3] // self.BS
@@ -554,7 +585,7 @@ class PagedServingEngine:
             hidden_chunk, last_idx_in_chunk[None, None, None].astype(jnp.int32),
             axis=1)  # (1, 1, H)
         return self._admit_row(params, state, row, hidden_last, last_idx,
-                               max_new_tokens, knobs, sampling)
+                               max_new_tokens, knobs, sampling, ids=ids)
 
     def begin_prefill(self, row: int, input_ids: np.ndarray, pixel_values,
                       img_start_pos, max_new_tokens: int,
@@ -603,6 +634,12 @@ class PagedServingEngine:
         vals = jnp.where(run, token, state.gen_ids[jnp.arange(B), idx])
         gen_ids = state.gen_ids.at[jnp.arange(B), idx].set(vals)
         gen_len = state.gen_len + run.astype(jnp.int32)
+        # token history (speculative draft source): next free index is
+        # positions+1 (invariant: valid length == positions+1)
+        aidx = jnp.minimum(state.positions + 1, self.Smax - 1)
+        avals = jnp.where(run & (state.positions + 1 < self.Smax), token,
+                          state.all_ids[jnp.arange(B), aidx])
+        all_ids = state.all_ids.at[jnp.arange(B), aidx].set(avals)
         hit_eos = run & (token == self.eos)
         hit_cap = run & (
             (gen_len >= state.max_len) | (lens + 1 >= self.Smax)
@@ -611,7 +648,7 @@ class PagedServingEngine:
             state,
             last_token=jnp.where(run, token, state.last_token),
             positions=state.positions + run.astype(jnp.int32),
-            gen_ids=gen_ids, gen_len=gen_len,
+            gen_ids=gen_ids, gen_len=gen_len, all_ids=all_ids,
             finished=state.finished | hit_eos | hit_cap,
             mu=new_mu,
             key=key,
@@ -824,6 +861,134 @@ class PagedServingEngine:
             (state, lens, h0, meta0, jnp.int32(0), jnp.int32(0)))
         return state, lens
 
+    # -- speculative decoding inside the pool (engine/paged_spec.py) ----------
+
+    def _spec_finish(self, state: PagedState, run, lens, logits, drafts,
+                     sampling: SamplingConfig, k: int) -> tuple:
+        """Acceptance + bookkeeping for one verify step.
+
+        logits (B, k+1, V) from the verify forward; drafts (B, k).  Greedy
+        rows (spec_eligible) commit the longest draft prefix matching the
+        model's own argmax chain plus one model token; every other running
+        row commits exactly ONE token from logits[:, 0] via the same
+        rowwise sampler as the plain step.  Returns (state, new lens)."""
+        from .server import _rowwise_knob_kwargs
+        from .paged_spec import spec_eligible
+
+        B, Sq = self.B, k + 1
+        jj = jnp.arange(Sq, dtype=jnp.int32)[None, :]
+        lf = logits.astype(jnp.float32)
+        p = jnp.argmax(lf, axis=-1).astype(jnp.int32)  # (B, Sq) argmax chain
+        key, sub = jax.random.split(state.key)
+        tok0, new_mu = sample_step_rowwise(
+            lf[:, 0], state.gen_ids, state.gen_len, sub, sampling,
+            **_rowwise_knob_kwargs(state),
+        )
+        clean = spec_eligible(state)
+        # leading draft/argmax matches: draft[j] must equal the model's
+        # prediction AT the previous position (p[:, j])
+        match = (drafts == p[:, :k]).astype(jnp.int32)
+        # leading-match count (jnp.sum mirrors numpy's promote-to-default-int
+        # under x64 test mode — pin int32 for the while-loop carry)
+        a = jnp.sum(jnp.cumprod(match, axis=1), axis=1,
+                    dtype=jnp.int32)  # (B,) in [0, k]
+        n_new = jnp.where(clean, a + 1, 1)
+        # caps: never commit past max_new_tokens or the pool's Smax (the
+        # plain step's hit_cap bounds, applied before the commit instead of
+        # after so multi-token steps can't overshoot)
+        cap = jnp.maximum(jnp.minimum(state.max_len - state.gen_len,
+                                      self.Smax - 1 - lens), 1)
+        n_allowed = jnp.minimum(n_new, cap)
+        toks = jnp.where(clean[:, None], p,
+                         jnp.broadcast_to(tok0[:, None], (B, Sq)))
+        # truncate at the first committed EOS (it is committed, like the
+        # plain step commits its EOS token, then the row finishes)
+        eos_pos = jnp.min(
+            jnp.where(toks == self.eos, jnp.broadcast_to(jj, (B, Sq)), Sq),
+            axis=1)
+        n_commit = jnp.minimum(n_allowed, eos_pos + 1)
+        n_commit = jnp.where(run, n_commit, 0)
+        commit = jj < n_commit[:, None]  # (B, Sq)
+        gidx = jnp.minimum(state.gen_len[:, None] + jj, self.T - 1)
+        rows = jnp.arange(B)[:, None]
+        cur = jnp.take_along_axis(state.gen_ids, gidx, axis=1)
+        gen_ids = state.gen_ids.at[rows, gidx].set(
+            jnp.where(commit, toks, cur))
+        gen_len = state.gen_len + n_commit
+        apos = state.positions[:, None] + 1 + jj
+        aidx = jnp.minimum(apos, self.Smax - 1)
+        cura = jnp.take_along_axis(state.all_ids, aidx, axis=1)
+        all_ids = state.all_ids.at[rows, aidx].set(
+            jnp.where(commit & (apos < self.Smax), toks, cura))
+        last = toks[jnp.arange(B), jnp.maximum(n_commit - 1, 0)]
+        lens2 = lens + n_commit
+        hit_eos = run & (eos_pos < n_commit)
+        hit_cap = run & ((gen_len >= state.max_len)
+                         | (lens2 + 1 >= self.Smax))
+        state = dataclasses.replace(
+            state,
+            last_token=jnp.where(run, last, state.last_token),
+            positions=state.positions + n_commit,
+            gen_ids=gen_ids, gen_len=gen_len, all_ids=all_ids,
+            finished=state.finished | hit_eos | hit_cap,
+            mu=jnp.where(run, new_mu, state.mu),
+            key=key,
+        )
+        return state, lens2
+
+    def _spec_step_n_impl(self, params, state: PagedState, tables, lens,
+                          sampling: SamplingConfig, n, k: int):
+        """Up to ``n`` fused SPECULATIVE decode iterations: draft k tokens
+        per row from its token history, verify all rows in one (B, k+1)
+        forward, commit per-row accepted prefixes.  Same early-exit contract
+        as _step_n_impl.  ``lens`` is the committed context per row (the
+        pre-increment convention of step()/step_n())."""
+        from .paged_spec import draft_all_rows, paged_verify_forward
+
+        cfg = self.cfg.text_config
+        text = params["text"]
+        act = _act_fn(cfg)
+        n = jnp.asarray(n, jnp.int32)
+        finished0 = state.finished
+
+        def cond(c):
+            s, lens, i = c
+            run = s.active & ~s.finished
+            newly_done = s.finished & ~finished0
+            return (i < n) & jnp.any(run) & ~jnp.any(newly_done)
+
+        def body(c):
+            s, lens, i = c
+            run = s.active & ~s.finished
+            drafts = draft_all_rows(s.all_ids, s.positions + 1, k,
+                                    self.spec_max_ngram)  # (B, k)
+            toks_in = jnp.concatenate([s.last_token[:, None], drafts], axis=1)
+            embeds = llama.embed(text, toks_in)
+            pos = s.positions[:, None] + jnp.arange(k + 1,
+                                                    dtype=jnp.int32)[None, :]
+            hidden, kp, vp, ks, vs = paged_verify_forward(
+                text, cfg, embeds, pos, s.k_pool, s.v_pool,
+                s.k_scales, s.v_scales, tables, lens, run, self.BS, act)
+            logits = llama.logits(text, hidden)  # (B, k+1, V)
+            s = dataclasses.replace(
+                s, k_pool=kp, v_pool=vp, k_scales=ks, v_scales=vs)
+            s, lens = self._spec_finish(s, run, lens, logits, drafts,
+                                        sampling, k)
+            return s, lens, i + 1
+
+        state, lens, _ = jax.lax.while_loop(
+            cond, body, (state, lens, jnp.int32(0)))
+        return state, lens
+
+    def spec_step_n(self, n: int) -> None:
+        """Fused speculative multi-iteration decode (requires spec_k > 0);
+        each iteration commits 1..spec_k+1 tokens per running row."""
+        self._state, lens = self._spec_step_n(
+            self.params, self._state, self._snap(self.tables),
+            self._snap(self.ctx_len), self.sampling, n, self.spec_k,
+        )
+        self.ctx_len = np.asarray(jax.device_get(lens)).copy()
+
     def _pick_chunk_loop(self) -> str:
         """'nested' (~15% faster per step: XLA pipelines the scan's weight
         slices) when params + the nested loop's relayouted q/k/v copies
@@ -996,6 +1161,7 @@ class PendingPrefill:
                 jnp.int32(self.row),
                 jnp.asarray(self.blocks[: self.nb_prompt], jnp.int32),
                 jnp.int32(self.max_new), self.knobs, eng.sampling,
+                ids=jnp.asarray(self.ids),
             )
             eng.ctx_len[self.row] = self.S
             eng._host_active[self.row] = True

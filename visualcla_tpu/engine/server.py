@@ -530,6 +530,7 @@ class Scheduler:
         # decompose aggregate tok/s
         self._stats = {
             "iterations": 0, "prefills": 0, "chunk_dispatches": 0,
+            "spec_dispatches": 0,
             "single_steps": 0, "idle_sleeps": 0, "collects": 0,
             "t_prefill": 0.0, "t_step": 0.0, "t_snapshot": 0.0,
             "t_collect": 0.0, "t_stream": 0.0,
@@ -686,9 +687,19 @@ class Scheduler:
                         and self._pending is None  # single-step between stages
                         and (nothing_waiting or pool_full or block_bound)):
                     # fused chunk (stops early when any row finishes — see
-                    # _step_n_impl — so retirement/admission isn't delayed)
-                    step_n(self.step_chunk)
-                    st["chunk_dispatches"] += 1
+                    # _step_n_impl — so retirement/admission isn't delayed).
+                    # At low occupancy, speculative dispatches commit
+                    # 1..spec_k+1 tokens per row per iteration (decode is
+                    # weight-bound there — the verify forward rides free);
+                    # past spec_max_active rows the plain chunk wins.
+                    if (getattr(eng, "spec_k", 0) > 0
+                            and len(self._rows)
+                            <= getattr(eng, "spec_max_active", 0)):
+                        eng.spec_step_n(self.step_chunk)
+                        st["spec_dispatches"] = st.get("spec_dispatches", 0) + 1
+                    else:
+                        step_n(self.step_chunk)
+                        st["chunk_dispatches"] += 1
                 else:
                     eng.step()
                     st["single_steps"] += 1
