@@ -340,3 +340,157 @@ def test_dense_append_matches_kernel():
                                atol=2e-5)
     np.testing.assert_allclose(np.asarray(kp_k), np.asarray(kp_d), atol=0)
     np.testing.assert_allclose(np.asarray(vp_k), np.asarray(vp_d), atol=0)
+
+
+# ---------------------------------------------------------------------------
+# Sq>1 verify kernel (speculative decoding's batched verify step)
+# ---------------------------------------------------------------------------
+
+def _build_verify(rng, L, NB, BS, Nkv, H, B, lens_total, Sq):
+    """Pool + tables where lens_total INCLUDES the Sq new tokens; every
+    block a row's post-append context touches is allocated."""
+    kp = rng.standard_normal((L, NB, BS, Nkv, H)).astype(np.float32)
+    vp = rng.standard_normal((L, NB, BS, Nkv, H)).astype(np.float32)
+    max_blocks = max((ln + BS - 1) // BS for ln in lens_total)
+    tables = np.zeros((B, max_blocks), np.int32)
+    nxt = 1
+    for b in range(B):
+        nb = (lens_total[b] + BS - 1) // BS
+        for i in range(nb):
+            tables[b, i] = nxt
+            nxt += 1
+    return kp, vp, tables
+
+
+@pytest.mark.parametrize("lens_old,Sq", [([24, 17], 3), ([30, 13], 4)])
+def test_verify_attention_matches_sequential_append(lens_old, Sq):
+    """One (B, Sq) verify call == Sq sequential single-token append+attend
+    calls (the causality + append contract, checked against the audited
+    single-token kernel)."""
+    from visualcla_tpu.ops.pallas.paged_attention import (
+        paged_append_attention, paged_verify_attention)
+
+    rng = np.random.default_rng(6)
+    L, NB, BS, Nkv, H, B, N = 2, 12, 16, 4, 64, 2, 4
+    layer = 1
+    lens_total = [ln + Sq for ln in lens_old]
+    kp, vp, tables = _build_verify(rng, L, NB, BS, Nkv, H, B, lens_total, Sq)
+    q = rng.standard_normal((B, Sq, N, H)).astype(np.float32)
+    kn = rng.standard_normal((B, Sq, Nkv, H)).astype(np.float32)
+    vn = rng.standard_normal((B, Sq, Nkv, H)).astype(np.float32)
+
+    o, kp2, vp2, _, _ = paged_verify_attention(
+        jnp.asarray(q), jnp.asarray(kn), jnp.asarray(vn),
+        jnp.asarray(kp.reshape(L, NB, BS, -1)),
+        jnp.asarray(vp.reshape(L, NB, BS, -1)), jnp.asarray(tables),
+        jnp.asarray(lens_total, jnp.int32), jnp.int32(layer),
+    )
+    # sequential reference over the single-token kernel
+    rkp = jnp.asarray(kp.reshape(L, NB, BS, -1))
+    rvp = jnp.asarray(vp.reshape(L, NB, BS, -1))
+    refs = []
+    for j in range(Sq):
+        lens_j = np.asarray(lens_old, np.int32) + j + 1  # incl. new token
+        blk = np.array([tables[b, (lens_j[b] - 1) // BS] for b in range(B)],
+                       np.int32)
+        off = np.array([(lens_j[b] - 1) % BS for b in range(B)], np.int32)
+        oj, rkp, rvp, _, _ = paged_append_attention(
+            jnp.asarray(q[:, j]), jnp.asarray(kn[:, j]), jnp.asarray(vn[:, j]),
+            rkp, rvp, jnp.asarray(tables), jnp.asarray(lens_j),
+            jnp.asarray(blk), jnp.asarray(off), jnp.int32(layer),
+        )
+        refs.append(np.asarray(oj))
+    ref = np.stack(refs, axis=1)  # (B, Sq, N, H)
+    np.testing.assert_allclose(np.asarray(o), ref, atol=3e-5)
+    np.testing.assert_allclose(np.asarray(kp2), np.asarray(rkp), atol=0)
+    np.testing.assert_allclose(np.asarray(vp2), np.asarray(rvp), atol=0)
+
+
+def test_verify_attention_block_split_append():
+    """New tokens spanning TWO pool blocks (base%BS + Sq > BS) write both
+    correctly; matches the dense reference."""
+    from visualcla_tpu.ops.pallas.paged_attention import (
+        _dense_verify, paged_verify_attention)
+
+    rng = np.random.default_rng(7)
+    L, NB, BS, Nkv, H, B, N, Sq = 2, 10, 16, 4, 64, 2, 4, 5
+    lens_old = [14, 30]  # base offsets 14, 30 -> both split across blocks
+    lens_total = [ln + Sq for ln in lens_old]
+    kp, vp, tables = _build_verify(rng, L, NB, BS, Nkv, H, B, lens_total, Sq)
+    q = rng.standard_normal((B, Sq, N, H)).astype(np.float32)
+    kn = rng.standard_normal((B, Sq, Nkv, H)).astype(np.float32)
+    vn = rng.standard_normal((B, Sq, Nkv, H)).astype(np.float32)
+    args = (jnp.asarray(q), jnp.asarray(kn), jnp.asarray(vn),
+            jnp.asarray(kp.reshape(L, NB, BS, -1)),
+            jnp.asarray(vp.reshape(L, NB, BS, -1)), jnp.asarray(tables),
+            jnp.asarray(lens_total, jnp.int32), jnp.int32(0))
+    o, kp2, vp2, _, _ = paged_verify_attention(*args)
+    ro, rkp, rvp, _, _ = _dense_verify(*args, None, None, None, None,
+                                       1.0 / np.sqrt(H))
+    np.testing.assert_allclose(np.asarray(o), np.asarray(ro), atol=3e-5)
+    np.testing.assert_allclose(np.asarray(kp2), np.asarray(rkp), atol=0)
+    np.testing.assert_allclose(np.asarray(vp2), np.asarray(rvp), atol=0)
+
+
+def test_verify_attention_int8():
+    from visualcla_tpu.ops.pallas.paged_attention import (
+        _dense_verify, paged_verify_attention)
+    from visualcla_tpu.ops.quantization import quantize_kv
+
+    rng = np.random.default_rng(8)
+    L, NB, BS, Nkv, H, B, N, Sq = 2, 10, 32, 2, 64, 2, 4, 3
+    lens_old = [40, 30]
+    lens_total = [ln + Sq for ln in lens_old]
+    kpf, vpf, tables = _build_verify(rng, L, NB, BS, Nkv, H, B, lens_total, Sq)
+    kp, ks = quantize_kv(jnp.asarray(kpf))
+    vp, vs = quantize_kv(jnp.asarray(vpf))
+    q = rng.standard_normal((B, Sq, N, H)).astype(np.float32)
+    kn, ksn = quantize_kv(jnp.asarray(
+        rng.standard_normal((B, Sq, Nkv, H)).astype(np.float32)))
+    vn, vsn = quantize_kv(jnp.asarray(
+        rng.standard_normal((B, Sq, Nkv, H)).astype(np.float32)))
+    args = (jnp.asarray(q), kn, vn, kp.reshape(L, NB, BS, -1),
+            vp.reshape(L, NB, BS, -1), jnp.asarray(tables),
+            jnp.asarray(lens_total, jnp.int32), jnp.int32(1),
+            ksn, vsn, ks, vs)
+    o, kp2, vp2, ks2, vs2 = paged_verify_attention(*args)
+    ro, rkp, rvp, rks, rvs = _dense_verify(*args, 1.0 / np.sqrt(H))
+    # kernel dots run bf16 (pool compute dtype), dense reference f32
+    np.testing.assert_allclose(np.asarray(o), np.asarray(ro), atol=6e-3)
+    np.testing.assert_array_equal(np.asarray(kp2), np.asarray(rkp))
+    np.testing.assert_array_equal(np.asarray(vp2), np.asarray(rvp))
+    np.testing.assert_allclose(np.asarray(ks2), np.asarray(rks), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(vs2), np.asarray(rvs), atol=1e-6)
+
+
+def test_verify_attention_parked_rows_only_dirty_dummy():
+    """A parked row (lens_total == Sq, zeroed table) must only write dummy
+    block 0 even though other rows append normally."""
+    from visualcla_tpu.ops.pallas.paged_attention import (
+        paged_verify_attention)
+
+    rng = np.random.default_rng(9)
+    L, NB, BS, Nkv, H, B, N, Sq = 2, 8, 16, 4, 64, 2, 4, 3
+    lens_total = [24 + Sq, Sq]  # row 1 parked
+    kp, vp, tables = _build_verify(rng, L, NB, BS, Nkv, H, B,
+                                   [lens_total[0], 1], Sq)
+    tables = tables.copy()
+    tables[1, :] = 0
+    q = rng.standard_normal((B, Sq, N, H)).astype(np.float32)
+    kn = rng.standard_normal((B, Sq, Nkv, H)).astype(np.float32)
+    vn = rng.standard_normal((B, Sq, Nkv, H)).astype(np.float32)
+    o, kp2, vp2, _, _ = paged_verify_attention(
+        jnp.asarray(q), jnp.asarray(kn), jnp.asarray(vn),
+        jnp.asarray(kp.reshape(L, NB, BS, -1)),
+        jnp.asarray(vp.reshape(L, NB, BS, -1)), jnp.asarray(tables),
+        jnp.asarray(lens_total, jnp.int32), jnp.int32(0),
+    )
+    kp2 = np.asarray(kp2).reshape(kp.shape)
+    # all non-dummy blocks intact except row 0's append range
+    base0 = lens_total[0] - Sq
+    exp = kp.copy()
+    for j in range(Sq):
+        s = base0 + j
+        exp[0, tables[0, s // BS], s % BS] = kn[0, j]
+    np.testing.assert_allclose(kp2[:, 1:], exp[:, 1:], atol=0)
+    assert np.isfinite(np.asarray(o)[0]).all()

@@ -53,39 +53,6 @@ def draft_all_rows(all_ids: jnp.ndarray, total_len: jnp.ndarray, k: int,
     )(all_ids, total_len.astype(jnp.int32))
 
 
-def _dense_verify_attention(q, kp_l, vp_l, tables, base, run, ks_l, vs_l,
-                            scale, block_size):
-    """Causal paged attention for Sq queries per row, XLA dense gather.
-
-    q: (B, Sq, N, hd) rope'd queries; kp_l/vp_l: (NB, BS, Nkv*hd) the
-    layer's pool (new tokens already scattered); base: (B,) pool slot of
-    query 0 (== lens-1).  Query j attends slots <= base+j.  Parked rows
-    (run=False) attend slot 0 only (output unused)."""
-    B, Sq, N, hd = q.shape
-    NB, BS, KVL = kp_l.shape
-    Nkv = KVL // hd
-    rep = N // Nkv
-
-    def row(qb, tb, bs, rn):
-        k = kp_l[tb].reshape(-1, Nkv, hd).astype(jnp.float32)  # (S, Nkv, hd)
-        v = vp_l[tb].reshape(-1, Nkv, hd).astype(jnp.float32)
-        if ks_l is not None:
-            k = k * ks_l[tb].reshape(-1, Nkv)[..., None].astype(jnp.float32)
-            v = v * vs_l[tb].reshape(-1, Nkv)[..., None].astype(jnp.float32)
-        if rep > 1:
-            k = jnp.repeat(k, rep, axis=1)
-            v = jnp.repeat(v, rep, axis=1)
-        s = jnp.einsum("jnh,snh->njs", qb.astype(jnp.float32) * scale, k)
-        slot = jnp.arange(k.shape[0])[None, None, :]
-        lim = jnp.where(rn, bs + jnp.arange(Sq), 0)[None, :, None]
-        s = jnp.where(slot <= lim, s, -1e30)
-        p = jax.nn.softmax(s, axis=-1)
-        return jnp.einsum("njs,snh->jnh", p, v).astype(qb.dtype)
-
-    return jax.vmap(row)(q, tables.astype(jnp.int32), base.astype(jnp.int32),
-                         run)
-
-
 def paged_verify_forward(params, cfg, embeds, positions, k_pool, v_pool,
                          k_scales, v_scales, tables, base, run,
                          block_size: int, act):
@@ -93,24 +60,24 @@ def paged_verify_forward(params, cfg, embeds, positions, k_pool, v_pool,
 
     embeds (B, Sq, H); positions (B, Sq) rope positions; base (B,) pool
     slot of token 0 (token j -> slot base+j).  Returns (hidden, pools...).
-    Slots landing past the row's table (or on parked rows) write dummy
-    block 0 — never attended, overwritten by later admissions."""
+    The per-layer append+attend is the fused Sq-token Pallas kernel
+    (ops/pallas/paged_attention.py:paged_verify_attention) — the pools ride
+    the layer scan aliased in place, no XLA pool scatter ever materializes
+    (the same ~16 ms/step-at-7B-B=8 lesson as the decode kernel).  Slots
+    landing past the row's table (or on parked rows) write dummy block 0 —
+    never attended, overwritten by later admissions."""
+    from ..ops.pallas.paged_attention import paged_verify_attention
+
     B, Sq, H = embeds.shape
     hd = cfg.head_dim
     N, Nkv = cfg.num_attention_heads, cfg.num_key_value_heads
-    BS = block_size
-    NB = k_pool.shape[1]
-    max_blocks = tables.shape[1]
-    scale = 1.0 / (hd ** 0.5)
     cos, sin = rope_table(positions, hd, cfg.rope_theta)
-
-    # per-(row, j) append targets; invalid slots -> dummy block 0
-    slots = base[:, None] + jnp.arange(Sq, dtype=jnp.int32)[None, :]  # (B,Sq)
-    blk_idx = jnp.clip(slots // BS, 0, max_blocks - 1)
-    blk = jnp.take_along_axis(tables.astype(jnp.int32), blk_idx, axis=1)
-    valid = run[:, None] & (slots // BS < max_blocks) & (slots >= 0)
-    blk = jnp.where(valid, blk, 0)
-    off = jnp.where(valid, slots % BS, 0)
+    # context length INCLUDING the Sq new tokens.  Parked rows must touch
+    # only dummy block 0 — and a parked row's table may be NON-empty (a
+    # mid-chunked-admission row has its blocks reserved and its prompt KV
+    # half-written), so the mask must zero the TABLE, not just the length.
+    lens_total = jnp.where(run, base + Sq, Sq).astype(jnp.int32)
+    tables = jnp.where(run[:, None], tables.astype(jnp.int32), 0)
 
     from ..ops import quantization as qz
 
@@ -126,28 +93,15 @@ def paged_verify_forward(params, cfg, embeds, positions, k_pool, v_pool,
         k = _linear(x, p["k_proj"]).reshape(B, Sq, Nkv, hd)
         v = _linear(x, p["v_proj"]).reshape(B, Sq, Nkv, hd)
         q, k = apply_rope(q, k, cos, sin)
-        KVL = Nkv * hd
-        lidx = jnp.broadcast_to(l, blk.shape)
         if int8_kv:
             kq, ksc = quantize_kv(k)
             vq, vsc = quantize_kv(v)
-            kp = kp.at[lidx, blk, off].set(kq.reshape(B, Sq, KVL))
-            vp = vp.at[lidx, blk, off].set(vq.reshape(B, Sq, KVL))
-            ks = ks.at[lidx, blk, off].set(ksc)
-            vs = vs.at[lidx, blk, off].set(vsc)
+            attn, kp, vp, ks, vs = paged_verify_attention(
+                q, kq, vq, kp, vp, tables, lens_total, l, ksc, vsc, ks, vs)
         else:
-            kp = kp.at[lidx, blk, off].set(
-                k.reshape(B, Sq, KVL).astype(kp.dtype))
-            vp = vp.at[lidx, blk, off].set(
-                v.reshape(B, Sq, KVL).astype(vp.dtype))
-        kp_l = jax.lax.dynamic_index_in_dim(kp, l, 0, keepdims=False)
-        vp_l = jax.lax.dynamic_index_in_dim(vp, l, 0, keepdims=False)
-        ks_l = (jax.lax.dynamic_index_in_dim(ks, l, 0, keepdims=False)
-                if int8_kv else None)
-        vs_l = (jax.lax.dynamic_index_in_dim(vs, l, 0, keepdims=False)
-                if int8_kv else None)
-        attn = _dense_verify_attention(
-            q, kp_l, vp_l, tables, base, run, ks_l, vs_l, scale, BS)
+            attn, kp, vp, _, _ = paged_verify_attention(
+                q, k.astype(kp.dtype), v.astype(vp.dtype), kp, vp, tables,
+                lens_total, l)
         h = h + _linear(attn.reshape(B, Sq, N * hd), p["o_proj"])
         x2 = rms_norm(h, p["post_norm"], cfg.rms_norm_eps)
         gate = act(_linear(x2, p["gate_proj"])) * _linear(x2, p["up_proj"])

@@ -579,3 +579,378 @@ def paged_append_attention(
         return o, kp2, vp2, ks2, vs2
     o, kp2, vp2 = outs
     return o, kp2, vp2, None, None
+
+
+# ---------------------------------------------------------------------------
+# Sq>1 verify: fused multi-token append + causal attention (speculative
+# decoding's batched verify step, engine/paged_spec.py)
+# ---------------------------------------------------------------------------
+
+def _verify_kernel(
+    tables_ref,  # (B, max_blocks) int32 — scalar prefetch
+    lens_ref,  # (B, 1) int32 — context length INCLUDING the Sq new tokens
+    layer_ref,  # (1,) int32
+    app_ref,  # (B, 2) int32 — pool block ids [blkA, blkB] receiving the
+    #           new tokens (blkB == blkA when they fit one block; 0=dummy)
+    q_ref,  # (1, N*Sq, hd) — row-major n, minor j: row = n*Sq + j
+    kn_ref,  # (B*Sq, Nkv*hd) — new-token K, pool dtype
+    vn_ref,
+    k_ref,  # (1, 1, BS, Nkv*hd) pool block (layer via prefetch)
+    v_ref,
+    *refs,
+    scale: float,
+    block_size: int,
+    heads_per_kv: int,  # ALREADY scaled by Sq (= (N // Nkv) * Sq)
+    sq: int,
+    kv_int8: bool = False,
+):
+    """Generalizes ``_append_kernel`` to Sq new tokens per row.
+
+    Unlike the decode kernel's analytic new-token term, the new rows are
+    SUBSTITUTED into the (at most two) append blocks' VMEM content before
+    the score dot, and a per-query causal mask (slot <= base + j) makes
+    old-context and new-token attention one uniform path — the
+    substitution select runs only on the append blocks (``pl.when``), so
+    the per-block hot path stays as lean as the decode kernel's.  The
+    substituted content doubles as the append write-back: the ko/vo output
+    index map walks blkA then blkB, so each flush carries the already-
+    built block."""
+    if kv_int8:
+        (ksn_ref, vsn_ref, ks_ref, vs_ref,
+         o_ref, ko_ref, vo_ref, kso_ref, vso_ref,
+         qb_ref, m_ref, l_ref, acc_ref) = refs
+    else:
+        o_ref, ko_ref, vo_ref, qb_ref, m_ref, l_ref, acc_ref = refs
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    NSq, hd = q_ref.shape[1], q_ref.shape[2]
+    KVL = k_ref.shape[3]
+    Nkv = KVL // hd
+    BS = block_size
+    Sq = sq
+    cdt = qb_ref.dtype
+
+    length = lens_ref[b, 0]  # INCLUDING the Sq new tokens
+    base = length - Sq  # pool slot of new token 0
+    n_blocks = (length + BS - 1) // BS
+    last = n_blocks - 1
+    iA = base // BS
+    iB = (base + Sq - 1) // BS
+
+    @pl.when(i == 0)
+    def _init():
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        rowkv = jax.lax.broadcasted_iota(
+            jnp.int32, (NSq, KVL), 0) // heads_per_kv
+        colkv = jax.lax.broadcasted_iota(jnp.int32, (NSq, KVL), 1) // hd
+        q = q_ref[0].astype(jnp.float32) * scale  # (NSq, hd)
+        qt = jnp.concatenate([q] * Nkv, axis=1) if Nkv > 1 else q
+        qb_ref[:] = jnp.where(rowkv == colkv, qt, 0.0).astype(cdt)
+
+    def pick_rows(ref, dtype=None):
+        """(B*Sq, C) -> (Sq, C): rows [b*Sq, (b+1)*Sq) via a selection
+        matmul (Mosaic cannot prove a dynamic sublane slice aligned)."""
+        x = ref[...]
+        if x.dtype == jnp.int8:
+            x = x.astype(jnp.int32)
+        sel_r = jax.lax.broadcasted_iota(jnp.int32, (Sq, x.shape[0]), 0)
+        sel_c = jax.lax.broadcasted_iota(jnp.int32, (Sq, x.shape[0]), 1)
+        sel = (sel_c == b * Sq + sel_r).astype(jnp.float32)
+        out = jax.lax.dot_general(
+            sel, x.astype(jnp.float32), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return out.astype(dtype) if dtype is not None else out
+
+    def substituted(block, new, start):
+        """Blend new rows [start, start+Sq) of ``block`` (BS, C) from
+        ``new`` (Sq, C) — rows outside [base, base+Sq) keep ``block``.
+        ``start`` = base - i*BS may be negative for block iB."""
+        r = jax.lax.broadcasted_iota(jnp.int32, (BS, block.shape[1]), 0)
+        idx = r - start  # which new row lands here
+        inside = (idx >= 0) & (idx < Sq)
+        sel_r = jax.lax.broadcasted_iota(jnp.int32, (BS, Sq), 0) - start
+        sel_c = jax.lax.broadcasted_iota(jnp.int32, (BS, Sq), 1)
+        sel = (sel_r == sel_c).astype(jnp.float32)
+        placed = jax.lax.dot_general(
+            sel, new.astype(jnp.float32), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return jnp.where(inside, placed.astype(block.dtype), block)
+
+    def scale_rows(sc):  # (BS, Nkv) -> (NSq, BS)
+        sel_r = jax.lax.broadcasted_iota(
+            jnp.int32, (NSq, Nkv), 0) // heads_per_kv
+        sel_c = jax.lax.broadcasted_iota(jnp.int32, (NSq, Nkv), 1)
+        sel = (sel_r == sel_c).astype(jnp.float32)
+        return jax.lax.dot_general(
+            sel, sc, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    def fold(x):  # (NSq, KVL) -> (NSq, hd)
+        grp = jax.lax.broadcasted_iota(jnp.int32, (NSq, 1), 0) // heads_per_kv
+        o = jnp.where(grp == 0, x[:, :hd], 0.0)
+        for kvh in range(1, Nkv):
+            sl = slice(kvh * hd, (kvh + 1) * hd)
+            o = o + jnp.where(grp == kvh, x[:, sl], 0.0)
+        return o
+
+    is_app = (i == iA) | ((i == iB) & (iB != iA))
+    start = base - i * BS
+
+    def content(ref, new_ref):
+        cur = ref[0, 0].astype(cdt)
+        return jnp.where(
+            is_app,
+            substituted(cur, pick_rows(new_ref, cdt), start), cur)
+
+    @pl.when(i < n_blocks)
+    def _step():
+        qb = qb_ref[...]
+        k = content(k_ref, kn_ref)  # (BS, KVL), new rows substituted
+        v = content(v_ref, vn_ref)
+        s = jax.lax.dot_general(
+            qb, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (NSq, BS)
+        if kv_int8:
+            ksc = jnp.where(
+                is_app,
+                substituted(ks_ref[0, 0], pick_rows(ksn_ref), start),
+                ks_ref[0, 0]).astype(jnp.float32)
+            s = s * scale_rows(ksc)
+        slot = i * BS + jax.lax.broadcasted_iota(jnp.int32, (NSq, BS), 1)
+        j = jax.lax.broadcasted_iota(jnp.int32, (NSq, BS), 0) % Sq
+        s = jnp.where(slot <= base + j, s, NEG_INF)
+        m_prev, l_prev, acc_prev = m_ref[:], l_ref[:], acc_ref[:]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m_prev - m_new)
+        m_ref[:] = m_new
+        l_ref[:] = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        if kv_int8:
+            vsc = jnp.where(
+                is_app,
+                substituted(vs_ref[0, 0], pick_rows(vsn_ref), start),
+                vs_ref[0, 0]).astype(jnp.float32)
+            p = p * scale_rows(vsc)
+        pv = jax.lax.dot_general(
+            p.astype(cdt), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc_ref[:] = acc_prev * alpha + fold(pv)
+
+    @pl.when(is_app)
+    def _append():  # the attended content IS the write-back content
+        ko_ref[0, 0] = content(k_ref, kn_ref).astype(ko_ref.dtype)
+        vo_ref[0, 0] = content(v_ref, vn_ref).astype(vo_ref.dtype)
+        if kv_int8:
+            kso_ref[0, 0] = jnp.where(
+                is_app, substituted(ks_ref[0, 0], pick_rows(ksn_ref), start),
+                ks_ref[0, 0])
+            vso_ref[0, 0] = jnp.where(
+                is_app, substituted(vs_ref[0, 0], pick_rows(vsn_ref), start),
+                vs_ref[0, 0])
+
+    @pl.when(i == pl.num_programs(1) - 1)
+    def _finish():
+        l = l_ref[:]
+        safe_l = jnp.where(l == 0.0, 1.0, l)
+        o_ref[0] = (acc_ref[:] / safe_l).astype(o_ref.dtype)
+
+
+def _dense_verify(q, k_new, v_new, k_pool, v_pool, tables, lens, layer,
+                  k_new_scales, v_new_scales, k_scales, v_scales, scale):
+    """XLA fallback: scatter the Sq new tokens, then causal dense attention
+    over the gathered row blocks.  The correctness-defining reference for
+    the verify kernel and the kernel-unsafe-shape / CPU-test path."""
+    B, Sq, Nkv, hd = k_new.shape
+    L, NB, BS, KVL = k_pool.shape
+    max_blocks = tables.shape[1]
+    base = (lens - Sq).astype(jnp.int32)  # (B,) slot of new token 0
+    slots = base[:, None] + jnp.arange(Sq, dtype=jnp.int32)[None, :]
+    blk_idx = jnp.clip(slots // BS, 0, max_blocks - 1)
+    blk = jnp.take_along_axis(tables.astype(jnp.int32), blk_idx, axis=1)
+    valid = (slots >= 0) & (slots // BS < max_blocks)
+    blk = jnp.where(valid, blk, 0)
+    off = jnp.where(valid, slots % BS, 0)
+    lidx = jnp.broadcast_to(jnp.asarray(layer, jnp.int32), blk.shape)
+    k_pool = k_pool.at[lidx, blk, off].set(k_new.reshape(B, Sq, KVL))
+    v_pool = v_pool.at[lidx, blk, off].set(v_new.reshape(B, Sq, KVL))
+    kp_l = jax.lax.dynamic_index_in_dim(k_pool, layer, 0, keepdims=False)
+    vp_l = jax.lax.dynamic_index_in_dim(v_pool, layer, 0, keepdims=False)
+    if k_scales is not None:
+        k_scales = k_scales.at[lidx, blk, off].set(k_new_scales)
+        v_scales = v_scales.at[lidx, blk, off].set(v_new_scales)
+        ks_l = jax.lax.dynamic_index_in_dim(k_scales, layer, 0, keepdims=False)
+        vs_l = jax.lax.dynamic_index_in_dim(v_scales, layer, 0, keepdims=False)
+    else:
+        ks_l = vs_l = None
+    N = q.shape[2]
+    rep = N // Nkv
+
+    def row(qb, tb, bs):
+        k = kp_l[tb].reshape(-1, Nkv, hd).astype(jnp.float32)
+        v = vp_l[tb].reshape(-1, Nkv, hd).astype(jnp.float32)
+        if ks_l is not None:
+            k = k * ks_l[tb].reshape(-1, Nkv)[..., None].astype(jnp.float32)
+            v = v * vs_l[tb].reshape(-1, Nkv)[..., None].astype(jnp.float32)
+        if rep > 1:
+            k = jnp.repeat(k, rep, axis=1)
+            v = jnp.repeat(v, rep, axis=1)
+        s = jnp.einsum("jnh,snh->njs", qb.astype(jnp.float32) * scale, k)
+        slot = jnp.arange(k.shape[0])[None, None, :]
+        lim = (bs + jnp.arange(Sq))[None, :, None]
+        s = jnp.where(slot <= lim, s, NEG_INF)
+        p = jax.nn.softmax(s, axis=-1)
+        return jnp.einsum("njs,snh->jnh", p, v).astype(qb.dtype)
+
+    o = jax.vmap(row)(q, tables.astype(jnp.int32), base)
+    return o, k_pool, v_pool, k_scales, v_scales
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "interpret"))
+def paged_verify_attention(
+    q: jnp.ndarray,  # (B, Sq, N, hd) — rope'd queries for the Sq new tokens
+    k_new: jnp.ndarray,  # (B, Sq, Nkv, hd) — POOL dtype (int8 pre-quantized)
+    v_new: jnp.ndarray,
+    k_pool: jnp.ndarray,  # (L, num_blocks, BS, Nkv*hd)
+    v_pool: jnp.ndarray,
+    block_tables: jnp.ndarray,  # (B, max_blocks) int32
+    context_lens: jnp.ndarray,  # (B,) int32 INCLUDING the Sq new tokens
+    layer: jnp.ndarray,  # () int32
+    k_new_scales: jnp.ndarray | None = None,  # (B, Sq, Nkv) f32 when int8
+    v_new_scales: jnp.ndarray | None = None,
+    k_scales: jnp.ndarray | None = None,
+    v_scales: jnp.ndarray | None = None,
+    *,
+    scale: float | None = None,
+    interpret: bool | None = None,
+):
+    """Fused Sq-token KV append + causal paged attention (the speculative
+    verify step).  Returns ``(o (B, Sq, N, hd), pools...)`` with the pools
+    updated in place (``input_output_aliases``).  Token j appends at pool
+    slot ``lens - Sq + j`` and attends slots ``<= lens - Sq + j``.  Parked
+    rows pass ``context_lens == Sq`` with an all-dummy table."""
+    B, Sq, N, hd = q.shape
+    _, _, Nkv, _ = k_new.shape
+    L, num_blocks, BS, KVL = k_pool.shape
+    assert KVL == Nkv * hd and Sq <= BS
+    heads_per_kv = N // Nkv
+    kv_int8 = k_pool.dtype == jnp.int8
+    if scale is None:
+        scale = 1.0 / math.sqrt(hd)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    bs_min = 32 if kv_int8 else _min_sublane(k_pool.dtype)
+    kernel_safe = BS % bs_min == 0 and (hd % 128 == 0 or Nkv == 1)
+    if not interpret and not kernel_safe:
+        return _dense_verify(q, k_new, v_new, k_pool, v_pool, block_tables,
+                             context_lens, layer, k_new_scales, v_new_scales,
+                             k_scales, v_scales, scale)
+    max_blocks = block_tables.shape[1]
+    NSq = N * Sq
+
+    # row layout n-major (row = n*Sq + j): the block-diagonal mask's
+    # row -> kv-head map stays a single integer divide (heads_per_kv * Sq)
+    qr = q.transpose(0, 2, 1, 3).reshape(B, NSq, hd)
+    kn = k_new.reshape(B * Sq, KVL)
+    vn = v_new.reshape(B * Sq, KVL)
+    lens = context_lens.reshape(B, 1).astype(jnp.int32)
+    lay = jnp.reshape(layer, (1,)).astype(jnp.int32)
+    # append block ids, validity-masked to dummy 0 (slots past the table)
+    base = (context_lens - Sq).astype(jnp.int32)
+    iA = jnp.clip(base // BS, 0, max_blocks - 1)
+    iB = jnp.clip((base + Sq - 1) // BS, 0, max_blocks - 1)
+    rows = jnp.arange(B)
+    blkA = jnp.where((base >= 0) & (base // BS < max_blocks),
+                     block_tables[rows, iA].astype(jnp.int32), 0)
+    blkB = jnp.where((base + Sq - 1) // BS < max_blocks,
+                     block_tables[rows, iB].astype(jnp.int32), 0)
+    app = jnp.stack([blkA, blkB], axis=1)
+
+    def kv_index(b, i, tables, lens, lay, app):
+        last = jnp.maximum((lens[b, 0] + BS - 1) // BS - 1, 0)
+        return (lay[0], tables[b, jnp.minimum(i, last)], 0, 0)
+
+    def app_index(b, i, tables, lens, lay, app):
+        ia = jnp.maximum(lens[b, 0] - Sq, 0) // BS
+        return (lay[0], jnp.where(i <= ia, app[b, 0], app[b, 1]), 0, 0)
+
+    def q_index(b, i, tables, lens, lay, app):
+        return (b, 0, 0)
+
+    def full_index(b, i, tables, lens, lay, app):
+        return (0, 0)
+
+    in_specs = [
+        pl.BlockSpec((1, NSq, hd), q_index, memory_space=pltpu.VMEM),
+        pl.BlockSpec((B * Sq, KVL), full_index, memory_space=pltpu.VMEM),
+        pl.BlockSpec((B * Sq, KVL), full_index, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, BS, KVL), kv_index, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, BS, KVL), kv_index, memory_space=pltpu.VMEM),
+    ]
+    operands = [qr, kn, vn, k_pool, v_pool]
+    out_specs = [
+        pl.BlockSpec((1, NSq, hd), q_index, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, BS, KVL), app_index, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, BS, KVL), app_index, memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((B, NSq, hd), q.dtype),
+        jax.ShapeDtypeStruct(k_pool.shape, k_pool.dtype),
+        jax.ShapeDtypeStruct(v_pool.shape, v_pool.dtype),
+    ]
+    # flattened inputs (scalar prefetch first): tables=0 lens=1 lay=2 app=3
+    # q=4 kn=5 vn=6 kp=7 vp=8 [ksn=9 vsn=10 ks=11 vs=12]
+    aliases = {7: 1, 8: 2}
+    if kv_int8:
+        in_specs += [
+            pl.BlockSpec((B * Sq, Nkv), full_index, memory_space=pltpu.VMEM),
+            pl.BlockSpec((B * Sq, Nkv), full_index, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, BS, Nkv), kv_index, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, BS, Nkv), kv_index, memory_space=pltpu.VMEM),
+        ]
+        operands += [
+            k_new_scales.reshape(B * Sq, Nkv).astype(jnp.float32),
+            v_new_scales.reshape(B * Sq, Nkv).astype(jnp.float32),
+            k_scales, v_scales]
+        out_specs += [
+            pl.BlockSpec((1, 1, BS, Nkv), app_index, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, BS, Nkv), app_index, memory_space=pltpu.VMEM),
+        ]
+        out_shape += [
+            jax.ShapeDtypeStruct(k_scales.shape, jnp.float32),
+            jax.ShapeDtypeStruct(v_scales.shape, jnp.float32),
+        ]
+        aliases = {7: 1, 8: 2, 11: 3, 12: 4}
+
+    cdt = k_pool.dtype if k_pool.dtype != jnp.int8 else jnp.bfloat16
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(B, max_blocks),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        scratch_shapes=[
+            pltpu.VMEM((NSq, KVL), cdt),  # qb block-diagonal queries
+            pltpu.VMEM((NSq, 1), jnp.float32),  # m
+            pltpu.VMEM((NSq, 1), jnp.float32),  # l
+            pltpu.VMEM((NSq, hd), jnp.float32),  # acc
+        ],
+    )
+    outs = pl.pallas_call(
+        functools.partial(
+            _verify_kernel, scale=scale, block_size=BS,
+            heads_per_kv=heads_per_kv * Sq, sq=Sq, kv_int8=kv_int8,
+        ),
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        input_output_aliases=aliases,
+        interpret=interpret,
+    )(block_tables.astype(jnp.int32), lens, lay, app, *operands)
+    if kv_int8:
+        o, kp2, vp2, ks2, vs2 = outs
+    else:
+        o, kp2, vp2 = outs
+        ks2 = vs2 = None
+    o = o.reshape(B, N, Sq, hd).transpose(0, 2, 1, 3)
+    return o, kp2, vp2, ks2, vs2
