@@ -229,14 +229,34 @@ def batch8_setup(engine, cfg):
 def _run_batch8(engine, cfg, input_ids, pixel_values, img_start_pos):
     """Aggregate decode throughput with 8 rows sharing every step.
 
-    Builds the post-prefill DecodeState by hand (zeros cache, 128 valid slots)
-    so only the decode-loop program compiles — the B=8 multimodal-prefill graph
-    is the one the tunnel's compile helper tends to reject, and prefill isn't
-    part of this metric anyway.  Decode math is identical: every step reads the
-    full weights + the 8 rows' KV."""
+    The post-prefill DecodeState comes from the REAL B=8 multimodal prefill
+    (round 5): Engine.start auto-splits batched image prefills into two
+    programs (vision encode+splice, then text forward — the one COMBINED
+    B>=2 graph is what the tunnel's compile helper rejects, bench round-4
+    note), so the path batch eval runs is the path this bench proves.  If
+    the split prefill still fails to build in an unhealthy tunnel window,
+    the old hand-built state keeps the decode metric alive (noted on
+    stderr — decode math is identical either way)."""
     import gc
 
     engine8, s8, fresh_state, B8 = batch8_setup(engine, cfg)
+
+    def real_state():
+        ids8 = np.repeat(np.asarray(input_ids), B8, axis=0)
+        pv8 = jnp.repeat(jnp.asarray(pixel_values), B8, axis=0)
+        pos8 = np.repeat(np.asarray(img_start_pos), B8, axis=0)
+        st = engine8.start(ids8, pv8, pos8, s8)
+        _sync(st.last_token)
+        return st
+
+    try:
+        real_state()  # compile both split-prefill programs
+        fresh_state = real_state  # the metric now spans the REAL path
+        print("# B8 state: real two-stage multimodal prefill", file=sys.stderr)
+    except Exception as e:  # noqa: BLE001
+        print(f"# B8 split prefill unavailable ({str(e)[:90]}); "
+              "hand-built state fallback", file=sys.stderr)
+        gc.collect()
 
     # the fused-loop compile is rejected when the tunnel's compile helper is
     # in an unhealthy window (it compiled fine in healthy ones — see

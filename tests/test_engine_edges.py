@@ -88,3 +88,45 @@ def test_top_bucket_prompt_still_gets_decode_headroom():
     # streaming honors the grown cache too
     toks = list(eng.stream(ids, None, None, scfg))
     assert len(toks) == out.shape[1]
+
+
+def test_split_prefill_identical_to_fused():
+    """The two-stage (embed program + text program) prefill must produce
+    exactly the fused program's tokens — the program boundary sits at the
+    precomputed-embeds splice, which is associative with jit."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from visualcla_tpu.core.config import tiny_visualcla_config
+    from visualcla_tpu.engine.generate import Engine
+    from visualcla_tpu.engine.sampling import SamplingConfig
+    from visualcla_tpu.models import visualcla as vmod
+
+    cfg = tiny_visualcla_config(vocab_size=96)
+    params = vmod.init_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+    eng = Engine(params, cfg, eos_token_id=2, pad_token_id=0,
+                 max_seq_len=96, prompt_buckets=(48,), dtype=jnp.float32)
+    rng = np.random.default_rng(3)
+    B = 3
+    K = cfg.num_image_tokens
+    ids = rng.integers(4, 90, size=(B, 40)).astype(np.int32)
+    img_pos = np.array([2, 5, 1], np.int32)
+    px = rng.standard_normal(
+        (B, 3, cfg.vision_config.image_size, cfg.vision_config.image_size)
+    ).astype(np.float32)
+    sampling = SamplingConfig.greedy(max_new_tokens=6)
+    old = os.environ.get("VISUALCLA_PREFILL_SPLIT")
+    try:
+        os.environ["VISUALCLA_PREFILL_SPLIT"] = "0"
+        fused = eng.generate(ids, px, img_pos, sampling)
+        os.environ["VISUALCLA_PREFILL_SPLIT"] = "1"
+        split = eng.generate(ids, px, img_pos, sampling)
+    finally:
+        if old is None:
+            os.environ.pop("VISUALCLA_PREFILL_SPLIT", None)
+        else:
+            os.environ["VISUALCLA_PREFILL_SPLIT"] = old
+    np.testing.assert_array_equal(fused, split)

@@ -127,6 +127,10 @@ class Engine:
         self._prefill = self._scoped(jax.jit(
             self._prefill_impl, static_argnames=("sampling",), donate_argnames=("cache",)
         ))
+        self._embed = self._scoped(jax.jit(self._embed_impl))
+        self._prefill_from_embeds = self._scoped(jax.jit(
+            self._prefill_from_embeds_impl, static_argnames=("sampling",),
+            donate_argnames=("cache",)))
         self._decode_step = self._scoped(jax.jit(
             self._decode_step_impl, static_argnames=("sampling",), donate_argnames=("state",)
         ))
@@ -213,14 +217,39 @@ class Engine:
 
     # -- jitted impls ---------------------------------------------------------
 
+    def _embed_impl(self, params, input_ids, img_start_pos, pixel_values):
+        """Stage 1 of the SPLIT prefill: ViT encode + resampler + splice.
+        Its own jitted program so the B>=2 multimodal prefill never builds
+        the one combined graph this deployment's compile helper rejects
+        (bench.py round-4 note; DEVNOTES roadmap) — the text tower's stage
+        2 then takes precomputed embeds."""
+        return visualcla.multimodal_embeds(
+            params, self.cfg, input_ids, img_start_pos, pixel_values)
+
     def _prefill_impl(
         self, params, input_ids, attention_mask, img_start_pos, pixel_values,
         cache, key, sampling: SamplingConfig,
     ):
+        embeds = visualcla.multimodal_embeds(
+            params, self.cfg, input_ids, img_start_pos, pixel_values)
+        return self._prefill_core(params, embeds, attention_mask, cache, key,
+                                  sampling)
+
+    def _prefill_from_embeds_impl(self, params, embeds, attention_mask,
+                                  cache, key, sampling: SamplingConfig):
+        """Stage 2 of the split prefill: text tower from precomputed embeds
+        (same math as _prefill_impl — the splice is associative with the
+        program boundary)."""
+        return self._prefill_core(params, embeds, attention_mask, cache, key,
+                                  sampling)
+
+    def _prefill_core(
+        self, params, embeds, attention_mask, cache, key,
+        sampling: SamplingConfig,
+    ):
         cfg = self.cfg
-        B, S = input_ids.shape
+        B, S = embeds.shape[:2]
         Smax = cache["k"].shape[3]
-        embeds = visualcla.multimodal_embeds(params, cfg, input_ids, img_start_pos, pixel_values)
         positions = jnp.maximum(jnp.cumsum(attention_mask, axis=-1) - 1, 0).astype(jnp.int32)
         kv_valid = jnp.concatenate(
             [attention_mask.astype(bool), jnp.zeros((B, Smax - S), bool)], axis=-1
@@ -483,10 +512,37 @@ class Engine:
                 for k, v in cache.items()
             }
         key = jax.random.PRNGKey(seed)
+        if self._split_prefill(B, pixel_values):
+            # TWO-STAGE multimodal prefill: vision encode+splice and text
+            # forward as separate programs.  The combined B>=2 image+text
+            # prefill graph is the one this deployment's compile helper
+            # deterministically rejects (bench.py round-4 note) — batch
+            # eval (apps/evaluate.py) and the B8 bench run THIS path on
+            # the real chip instead of sidestepping prefill entirely.
+            embeds = self._embed(
+                self.params, jnp.asarray(padded), jnp.asarray(img_pos),
+                pixel_values)
+            return self._prefill_from_embeds(
+                self.params, embeds, jnp.asarray(mask), cache, key, sampling)
         return self._prefill(
             self.params, jnp.asarray(padded), jnp.asarray(mask),
             jnp.asarray(img_pos), pixel_values, cache, key, sampling,
         )
+
+    @staticmethod
+    def _split_prefill(B: int, pixel_values) -> bool:
+        """Two-stage prefill policy: on a real TPU, batched multimodal
+        prefills split (the fused graph never compiles through the tunnel
+        helper at B>=2 — measured, not assumed); single-row and text-only
+        prefills keep the fused single program.  VISUALCLA_PREFILL_SPLIT=0/1
+        pins either way (A/B probing)."""
+        import os
+
+        env = os.environ.get("VISUALCLA_PREFILL_SPLIT")
+        if env in ("0", "1"):
+            return env == "1"
+        return (pixel_values is not None and B >= 2
+                and jax.default_backend() == "tpu")
 
     def generate(
         self,
