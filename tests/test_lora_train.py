@@ -155,3 +155,80 @@ def test_export_adapter_roundtrip(cfg, base_params, batch, tmp_path):
         np.asarray(merged["text"]["layers"]["q_proj"]),
         atol=1e-5,
     )
+
+
+def test_subset_step_matches_masked_full_step(cfg, base_params, batch):
+    """The 7B-scale subset-gradient step (grads + optimizer state only for
+    the trainable partition) must update exactly like the masked full-tree
+    step on a float toy model."""
+    from visualcla_tpu.train.trainer import (
+        make_train_step_subset, merge_params, partition_params,
+    )
+
+    lp = add_lora(base_params, r=4, alpha=8, rng=jax.random.PRNGKey(1))
+    opt = make_optimizer(learning_rate=5e-3, schedule="const")
+
+    full = jax.jit(make_train_step(cfg, opt, trainable=lora_trainable))
+    fs = init_train_state(lp, opt)
+
+    train, frozen = partition_params(lp, lora_trainable)
+    sub = jax.jit(make_train_step_subset(cfg, opt, trainable=lora_trainable))
+    from visualcla_tpu.train.trainer import TrainState
+    ss = TrainState(params=train, opt_state=opt.init(train),
+                    step=jnp.int32(0))
+
+    for _ in range(3):
+        fs, fm = full(fs, batch)
+        ss, sm = sub(ss, frozen, batch)
+        np.testing.assert_allclose(float(fm["loss"]), float(sm["loss"]),
+                                   rtol=1e-6)
+    merged = merge_params(ss.params, frozen)
+    for path in (("text", "layers", "q_proj", "lora_B"),
+                 ("text", "embed_tokens"),
+                 ("resampler", "pooler_w")):
+        a, b = fs.params, merged
+        for k in path:
+            if k not in a:  # tolerate naming differences in small trees
+                break
+            a, b = a[k], b[k]
+        else:
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=2e-6, err_msg=str(path))
+
+
+def test_subset_step_qlora_int8_base(cfg, base_params, batch):
+    """QLoRA: int8 frozen base + float LoRA through the subset step — the
+    full-tree step cannot even differentiate an integer carrier; the subset
+    step never sees it.  Loss must fall, base must stay bit-identical."""
+    from visualcla_tpu.checkpoint.serialize import flatten_tree, unflatten_tree
+    from visualcla_tpu.ops.quantization import INT8_TEXT_LEAVES, quantize
+    from visualcla_tpu.train.trainer import (
+        TrainState, make_train_step_subset, partition_params,
+    )
+
+    flat = flatten_tree(base_params["text"])
+    q8 = {}
+    for k, v in flat.items():
+        key = "text/" + k
+        # embed/lm_head are modules_to_save — they TRAIN, so they stay
+        # float (the QLoRA recipe quantizes only the frozen decoder base)
+        if key in INT8_TEXT_LEAVES and k not in ("embed_tokens", "lm_head"):
+            q8[k] = quantize(np.asarray(v, np.float32))
+        else:
+            q8[k] = v
+    qparams = dict(base_params)
+    qparams["text"] = unflatten_tree(q8)
+    lp = add_lora(qparams, r=4, alpha=8, rng=jax.random.PRNGKey(2))
+    opt = make_optimizer(learning_rate=5e-3, schedule="const")
+    train, frozen = partition_params(lp, lora_trainable)
+    step = jax.jit(make_train_step_subset(cfg, opt, trainable=lora_trainable))
+    st = TrainState(params=train, opt_state=opt.init(train),
+                    step=jnp.int32(0))
+    losses = []
+    for _ in range(5):
+        st, m = step(st, frozen, batch)
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0], losses
+    # the quantized base never moved (it lives in the frozen tree)
+    node = frozen["text"]["layers"]["q_proj"]["w"]
+    assert node["q"].dtype == jnp.int8

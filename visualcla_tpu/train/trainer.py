@@ -192,3 +192,95 @@ def init_train_state(params: Params, optimizer: optax.GradientTransformation) ->
     return TrainState(
         params=params, opt_state=optimizer.init(params), step=jnp.int32(0)
     )
+
+
+# ---------------------------------------------------------------------------
+# subset-gradient training (QLoRA at 7B scale)
+# ---------------------------------------------------------------------------
+#
+# make_train_step differentiates the WHOLE tree and masks — fine at toy
+# scale, impossible at 7B (a full-tree f32 grad is ~27 GB, and jax.grad
+# through the frozen int8 carriers is meaningless).  These helpers split
+# the tree: grads and optimizer state exist ONLY for the trainable leaves
+# (LoRA A/B, resampler/projection, embed/lm_head), the frozen remainder —
+# including the int8/int4 quantized base — rides through the loss as a
+# closed-over constant.  None marks "the other partition's leaf"; None is
+# an empty pytree node to JAX, so flattening skips it everywhere.
+
+def partition_params(params: Params, trainable: Callable[[tuple], bool]):
+    """-> (train_tree, frozen_tree), same structure, disjoint leaves.
+
+    Raises if an integer-dtype leaf lands in the trainable partition —
+    that always means a quantized carrier under a trainable path (e.g. a
+    quantized lm_head, which is a modules_to_save leaf and must stay
+    float to train); jax.grad's own error points nowhere useful."""
+    mask = _mask_tree(params, trainable)
+    bad = []
+
+    def check(path, p, m):
+        if m and hasattr(p, "dtype") and not jnp.issubdtype(
+                p.dtype, jnp.inexact):
+            bad.append(("/".join(str(x) for x in path), str(p.dtype)))
+
+    def walk(tree, msk, prefix=()):
+        if isinstance(tree, Mapping):
+            for k in tree:
+                walk(tree[k], msk[k], prefix + (k,))
+        else:
+            check(prefix, tree, msk)
+
+    walk(params, mask)
+    if bad:
+        raise ValueError(
+            f"integer-dtype leaves in the TRAINABLE partition {bad} — "
+            "quantized weights cannot train; keep modules_to_save leaves "
+            "(embed_tokens/lm_head/...) unquantized for QLoRA")
+    train = jax.tree.map(lambda p, m: p if m else None, params, mask)
+    frozen = jax.tree.map(lambda p, m: None if m else p, params, mask)
+    return train, frozen
+
+
+def merge_params(train: Params, frozen: Params) -> Params:
+    """Inverse of partition_params."""
+    return jax.tree.map(
+        lambda a, b: b if a is None else a, train, frozen,
+        is_leaf=lambda x: x is None,
+    )
+
+
+def make_train_step_subset(
+    cfg: VisualCLAConfig,
+    optimizer: optax.GradientTransformation,
+    trainable: Callable[[tuple], bool],
+    remat: bool = False,
+    pipeline_mesh=None,
+    n_micro: int = 1,
+):
+    """Like make_train_step, but ``state.params`` holds ONLY the trainable
+    partition; the frozen partition is a step argument (donate-free, never
+    copied).  ``train_step(state, frozen, batch) -> (state, metrics)``."""
+
+    def loss_fn(train_tree, frozen_tree, batch):
+        params = merge_params(train_tree, frozen_tree)
+        logits = train_forward_logits(
+            params, cfg,
+            batch["input_ids"], batch["attention_mask"],
+            batch["img_start_pos"], batch.get("pixel_values"),
+            remat=remat, pipeline_mesh=pipeline_mesh, n_micro=n_micro,
+        )
+        return causal_lm_loss(logits, batch["labels"])
+
+    def train_step(state: TrainState, frozen_tree, batch):
+        loss, grads = jax.value_and_grad(loss_fn)(
+            state.params, frozen_tree, batch)
+        updates, opt_state = optimizer.update(
+            grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        gnorm = optax.global_norm(grads)
+        return (
+            TrainState(params=params, opt_state=opt_state,
+                       step=state.step + 1),
+            {"loss": loss, "grad_norm": gnorm},
+        )
+
+    return train_step
