@@ -504,7 +504,8 @@ class Scheduler:
     """Host thread multiplexing a request queue onto the pool."""
 
     def __init__(self, engine: ServingEngine, poll_interval: float = 0.0,
-                 step_chunk: int = 8, prefill_chunk: int = 256):
+                 step_chunk: int = 8, prefill_chunk: int = 256,
+                 chunked_backlog_limit: int = 1):
         self.engine = engine
         self.requests: queue.Queue = queue.Queue()
         self.poll_interval = poll_interval
@@ -520,6 +521,9 @@ class Scheduler:
         # whole prompt's.  0 disables; only engines exposing begin_prefill
         # (the paged engine) use it.
         self.prefill_chunk = max(0, int(prefill_chunk))
+        # chunked admission only while the waiting queue is at most this
+        # deep — see the adaptive-admission note in _run_inner
+        self.chunked_backlog_limit = int(chunked_backlog_limit)
         self._rows: dict = {}  # row -> (Request, emitted_count)
         self._pending = None  # in-flight chunked admission (set by _run_inner)
         self._stop = threading.Event()
@@ -634,9 +638,20 @@ class Scheduler:
                                  "request exceeds the engine's KV pool"))
                     continue
                 begin = getattr(eng, "begin_prefill", None)
+                # ADAPTIVE admission (round-5 SLO measurement): chunked
+                # admission bounds running rows' stalls, but it serializes
+                # admissions (one in flight) — under a backlog it leaves
+                # free rows empty and measured HALF the throughput with a
+                # 3.4x WORSE TTFT p95 (pool 32 ctx 512: 298 tok/s /
+                # p95 7.3 s chunked vs 637 / 2.1 s sync, BENCHMARKS
+                # round 5).  So: chunk only when the queue is shallow
+                # (interactive regime); drain a backlog with sync
+                # prefills (throughput regime).
+                backlog = self.requests.qsize() + (deferred is not None)
                 wants_chunked = (
                     begin is not None and self.prefill_chunk > 0
                     and (self._rows or self._pending is not None)
+                    and backlog <= self.chunked_backlog_limit
                     and len(req.input_ids) > self.prefill_chunk)
                 if wants_chunked and self._pending is not None:
                     # one chunked admission at a time; short prompts behind
