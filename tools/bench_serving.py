@@ -191,7 +191,10 @@ def measure_slo(quant: str = "int8", pool: int = 8, ctx: int = 512,
                 img_start_pos=None, max_new_tokens=max_new, out=q))
             stamps = []
             while True:
-                kind, payload = q.get(timeout=1200)
+                # cold compiles of a new (bucket, chunk, pool) program set
+                # through the tunnel helper can exceed 20 min — a shorter
+                # timeout kills the warm wave and wedges the engine
+                kind, payload = q.get(timeout=2700)
                 if kind == "token":
                     stamps.append(time.perf_counter())
                 elif kind == "done":
