@@ -132,7 +132,7 @@ def measure(quant: str = "int8", n_req: int = 64, max_new: int = 96,
 def measure_slo(quant: str = "int8", pool: int = 8, ctx: int = 512,
                 max_new: int = 96, n_req: int = 0, step_chunk: int = 8,
                 prefill_chunk: int = 256, kv_quant: str = "int8",
-                params=None, eng=None):
+                params=None, eng=None, spec_k: int = 0):
     """Per-request latency SLOs under load (VERDICT r4 item 2).
 
     Closed-loop at concurrency == pool: `pool` client threads each submit a
@@ -168,6 +168,7 @@ def measure_slo(quant: str = "int8", pool: int = 8, ctx: int = 512,
             prompt_buckets=(min(256, ctx), ctx),
             sampling=SamplingConfig.greedy(max_new_tokens=max_new),
             dtype=jnp.bfloat16, kv_quant=kv_quant,
+            spec_k=spec_k, spec_max_active=pool,
         )
     sched = Scheduler(eng, step_chunk=step_chunk, prefill_chunk=prefill_chunk)
     rng = np.random.default_rng(0)
@@ -222,10 +223,12 @@ def measure_slo(quant: str = "int8", pool: int = 8, ctx: int = 512,
         gaps = np.concatenate([np.diff(s) for _, s in results
                                if len(s) > 1]) * 1e3
         total = sum(len(s) for _, s in results)
+        st = sched.stats()
         return {
             "quant": quant, "pool": pool, "ctx": ctx, "max_new": max_new,
             "n_req": len(results), "step_chunk": step_chunk,
             "prefill_chunk": prefill_chunk, "kv_quant": kv_quant,
+            "spec_k": spec_k, "spec_dispatches": st.get("spec_dispatches", 0),
             "ttft_ms_p50": round(float(np.percentile(ttfts, 50)), 1),
             "ttft_ms_p95": round(float(np.percentile(ttfts, 95)), 1),
             "intertok_ms_p50": round(float(np.percentile(gaps, 50)), 2),
@@ -254,8 +257,16 @@ def slo_main():
                 dict(step_chunk=1, prefill_chunk=256)]
     if "--quick" in sys.argv:
         variants = variants[:1]
+    spec_k = 0
+    if "--spec" in sys.argv:
+        # Scheduler-path spec validation: zeros weights make acceptance
+        # ~full, so treat the numbers as the FULL-ACCEPT UPPER BOUND of
+        # speculative serving, not an expected-production figure
+        spec_k = 4
+        eng = None  # spec engine is a different construction
     for v in variants:
-        m, eng = measure_slo(quant, pool=pool, ctx=ctx, eng=eng, **v)
+        m, eng = measure_slo(quant, pool=pool, ctx=ctx, eng=eng,
+                             spec_k=spec_k, **v)
         print(json.dumps(m), flush=True)
 
 
