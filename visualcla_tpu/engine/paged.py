@@ -264,9 +264,13 @@ class PagedServingEngine:
         spec_k: int = 0,  # >0: per-row prompt-lookup speculative decoding
         #   (engine/paged_spec.py) — draft spec_k tokens, verify in one
         #   (B, k+1) forward; greedy rows token-identical to plain stepping
-        spec_max_active: int = 4,  # Scheduler uses spec dispatches only at
-        #   or below this occupancy (verify compute scales with B*(k+1);
-        #   decode stops being weight-bound as the pool fills)
+        spec_max_active: int | None = None,  # Scheduler uses spec dispatches
+        #   only at or below this occupancy (verify compute scales with
+        #   B*(k+1); decode stops being weight-bound as the pool fills).
+        #   None = auto by tier from the measured cost ratios
+        #   (BENCHMARKS round 5): int8 4 (ratio <=1.4 there), int4 2
+        #   (its verify matmuls leave the weight-bound regime sooner —
+        #   ratio 1.9 already at pool 4)
         spec_max_ngram: int = 3,
     ):
         self.params = params
@@ -386,6 +390,15 @@ class PagedServingEngine:
             self._finish_chunked_impl, static_argnames=("sampling",),
             donate_argnames=("state",)))
         self.spec_k = int(spec_k)
+        if spec_max_active is None:
+            from ..ops.quantization import is_packed_grouped
+
+            int4 = any(
+                isinstance(x, dict) and is_packed_grouped(x)
+                for x in jax.tree.leaves(
+                    params, is_leaf=lambda n: isinstance(n, dict)
+                    and "q" in n))
+            spec_max_active = 2 if int4 else 4
         self.spec_max_active = int(spec_max_active)
         self.spec_max_ngram = int(spec_max_ngram)
         if self.spec_k > 0:
