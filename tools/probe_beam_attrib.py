@@ -97,7 +97,7 @@ def main():
             def body(c):
                 cache = c["cache"]
                 if variant == "+reorder":
-                    cache = _reorder_tail(cache, c["beams"], S)
+                    cache = _reorder_tail(cache, c["beams"], S, end=Scap)
                 kv_valid = c["kv_valid"].at[:, c["slot"]].set(True)
                 embeds = llama.embed(params_["text"], c["tokens"][:, None])
                 hidden, cache = llama.forward(
@@ -140,17 +140,26 @@ def main():
         print(f"{variant:9s} nb={nb} S={S}: {dt / T * 1e3:6.1f} ms/token",
               flush=True)
 
-    kw = dict(num_beams=nb, max_new_tokens=T, eos_token_id=-7,
-              pad_token_id=49954, max_seq_len=Scap, dtype=dtype)
     rng = np.random.default_rng(0)
     ids = rng.integers(5, 30000, size=(1, S)).astype(np.int32)
-    out = beam_generate_fused(params, cfg, ids, None, None, **kw)  # compile
-    t0 = time.perf_counter()
-    out = beam_generate_fused(params, cfg, ids, None, None, **kw)
-    dt = time.perf_counter() - t0
-    n = max(len(out), 1)
-    print(f"full      nb={nb} S={S}: {dt / n * 1e3:6.1f} ms/token "
-          f"({n} tokens)", flush=True)
+
+    def run_full(T_):
+        kw = dict(num_beams=nb, max_new_tokens=T_, eos_token_id=-7,
+                  pad_token_id=49954, max_seq_len=S + T_ + 8, dtype=dtype)
+        out = beam_generate_fused(params, cfg, ids, None, None, **kw)
+        t0 = time.perf_counter()
+        out = beam_generate_fused(params, cfg, ids, None, None, **kw)
+        return time.perf_counter() - t0, max(len(out), 1)
+
+    dt1, n1 = run_full(T)
+    dt2, n2 = run_full(2 * T)
+    print(f"full      nb={nb} S={S}: {dt1 / n1 * 1e3:6.1f} ms/token "
+          f"({n1} tokens, incl. prefill+dispatch)", flush=True)
+    # slope removes the fixed prefill + dispatch + finalize cost — the
+    # honest marginal per-token figure to compare against the variants
+    print(f"full-slope nb={nb} S={S}: "
+          f"{(dt2 - dt1) / max(n2 - n1, 1) * 1e3:6.1f} ms/token "
+          f"((t({n2})-t({n1}))/{n2 - n1})", flush=True)
 
 
 if __name__ == "__main__":

@@ -26,26 +26,31 @@ import numpy as np
 from ..models import llama, visualcla
 
 
-def _reorder_tail(cache: dict, beam_idx, prompt_len: int) -> dict:
-    """Beam-reorder only the generated KV tail.
+def _reorder_tail(cache: dict, beam_idx, prompt_len: int,
+                  end: int | None = None) -> dict:
+    """Beam-reorder only the LIVE generated KV tail.
 
     Every beam descends from one shared prefill, so cache slots
     ``[0, prompt_len)`` are identical across the beam axis and slots at or
     beyond the current write slot hold identical zeros — gathering the whole
     ``(L, nb, Nkv, Smax, hd)`` buffer per step (the naive ``v[:, beam_idx]``)
     pays whole-cache HBM traffic to move bytes that cannot differ.  Gather
-    the ``[prompt_len, Smax)`` tail only and write it back in place; the
-    per-step copy shrinks from O(Smax) to O(max_new_tokens) slots.
-    ``prompt_len`` is the static prompt length, so the slice shapes are
-    static and XLA updates the carry buffer in place.
+    the ``[prompt_len, end)`` window only and write it back in place:
+    ``end`` is the static decode cap (Scap), NOT the kernel-block-rounded
+    allocation Smax — the rounding slack (up to 256 slots) is zeros forever
+    and gathering it measured +~4 ms/token of the fused beam's 5.8 ms/token
+    reorder cost at nb=4 S=512 (tools/probe_beam_attrib.py round 5).
+    Both bounds are static, so the slice shapes are static and XLA updates
+    the carry buffer in place.
     """
     def r(v):
         # slot axis is 3 for every cache leaf: k/v are (L, B, Nkv, S, hd),
         # int8-KV scales are (L, B, Nkv, S)  (models/llama.py:init_kv_cache)
-        tail = jax.lax.slice_in_dim(v, prompt_len, v.shape[3], axis=3)
+        hi = v.shape[3] if end is None else min(end, v.shape[3])
+        tail = jax.lax.slice_in_dim(v, prompt_len, hi, axis=3)
         tail = tail[:, beam_idx]
         idx = (slice(None), slice(None), slice(None),
-               slice(prompt_len, None))
+               slice(prompt_len, hi))
         return v.at[idx].set(tail)
 
     return {k: r(v) for k, v in cache.items()}
@@ -516,31 +521,52 @@ def beam_generate_fused(
 
     def process_candidates(cand_s, cand_b, cand_t, gen, i, hyp):
         """The host loop 'route EOS into hypotheses, collect nb non-EOS
-        continuations, stop once full' as a fori over the 2nb candidates."""
-        next_s = jnp.full((nb,), NEG, jnp.float32)
-        next_b = jnp.zeros((nb,), jnp.int32)
-        next_t = jnp.full((nb,), jnp.int32(pad_token_id))
-        next_count = jnp.int32(0)
+        continuations, stop once full'.
 
-        def one(c, carry):
-            next_s, next_b, next_t, next_count, hyp = carry
-            active = next_count < nb  # host breaks once nb continuations set
-            tok = cand_t[c]
-            is_eos = tok == eos_token_id
-            eos_ids = gen[cand_b[c]].at[i].set(eos_token_id)
-            hyp = hyp_add(hyp, eos_ids, i + 1, cand_s[c], active & is_eos)
-            take = active & ~is_eos
-            w = jnp.minimum(next_count, nb - 1)
-            next_s = jnp.where(take, next_s.at[w].set(cand_s[c]), next_s)
-            next_b = jnp.where(take, next_b.at[w].set(cand_b[c]), next_b)
-            next_t = jnp.where(take, next_t.at[w].set(tok), next_t)
-            next_count = next_count + jnp.where(take, 1, 0)
-            return next_s, next_b, next_t, next_count, hyp
+        COMMON step (no EOS among the 2nb candidates — every step of a
+        sequence except its last): the continuations are simply the top nb
+        candidates and the hypothesis state is untouched, so a vectorized
+        fast path returns them directly.  The sequential fori (whose
+        hyp-eviction order is the exactness contract vs HF) runs only under
+        ``lax.cond`` when an EOS candidate exists — the fori's 2nb serial
+        iterations measured ~8 ms/token of the fused beam's step cost at
+        nb=4 (tools/probe_beam_attrib.py round 5), paid now only on the
+        rare EOS steps.  The cond's operands are nb-sized arrays + the
+        (nb, T) hypothesis buffers — no cache rides through it (the
+        round-2 cond-wrapped-forward relayout trap does not apply)."""
 
-        next_s, next_b, next_t, _, hyp = jax.lax.fori_loop(
-            0, 2 * nb, one, (next_s, next_b, next_t, next_count, hyp)
-        )
-        return next_s, next_b, next_t, hyp
+        def fast(cand_s, cand_b, cand_t, gen, i, hyp):
+            return cand_s[:nb], cand_b[:nb], cand_t[:nb], hyp
+
+        def slow(cand_s, cand_b, cand_t, gen, i, hyp):
+            next_s = jnp.full((nb,), NEG, jnp.float32)
+            next_b = jnp.zeros((nb,), jnp.int32)
+            next_t = jnp.full((nb,), jnp.int32(pad_token_id))
+            next_count = jnp.int32(0)
+
+            def one(c, carry):
+                next_s, next_b, next_t, next_count, hyp = carry
+                active = next_count < nb  # host breaks once nb set
+                tok = cand_t[c]
+                is_eos = tok == eos_token_id
+                eos_ids = gen[cand_b[c]].at[i].set(eos_token_id)
+                hyp = hyp_add(hyp, eos_ids, i + 1, cand_s[c], active & is_eos)
+                take = active & ~is_eos
+                w = jnp.minimum(next_count, nb - 1)
+                next_s = jnp.where(take, next_s.at[w].set(cand_s[c]), next_s)
+                next_b = jnp.where(take, next_b.at[w].set(cand_b[c]), next_b)
+                next_t = jnp.where(take, next_t.at[w].set(tok), next_t)
+                next_count = next_count + jnp.where(take, 1, 0)
+                return next_s, next_b, next_t, next_count, hyp
+
+            next_s, next_b, next_t, _, hyp = jax.lax.fori_loop(
+                0, 2 * nb, one, (next_s, next_b, next_t, next_count, hyp)
+            )
+            return next_s, next_b, next_t, hyp
+
+        return jax.lax.cond(
+            jnp.any(cand_t == eos_token_id), slow, fast,
+            cand_s, cand_b, cand_t, gen, i, hyp)
 
     def forward_step(params_, cache, kv_valid, tokens, beam_scores, slot, pos):
         kv_valid = kv_valid.at[:, slot].set(True)
@@ -585,7 +611,7 @@ def beam_generate_fused(
             li = c["li"]
 
             def start(c):
-                cache = _reorder_tail(c["cache"], c["beams"], S)
+                cache = _reorder_tail(c["cache"], c["beams"], S, end=Scap)
                 return dict(
                     c, cache=cache,
                     kv_valid=c["kv_valid"].at[:, c["slot"]].set(True),
@@ -675,7 +701,7 @@ def beam_generate_fused(
 
         def body(c):
             i = c["i"]
-            cache = _reorder_tail(c["cache"], c["beams"], S)
+            cache = _reorder_tail(c["cache"], c["beams"], S, end=Scap)
             cand_s, cand_b, cand_t, cache, kv_valid = forward_step(
                 params_, cache, c["kv_valid"], c["tokens"], c["scores"],
                 c["slot"], c["pos"])
