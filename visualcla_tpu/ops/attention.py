@@ -160,9 +160,31 @@ def _flash_sharded(q, k, v, kv_valid, write_slot, mesh, *,
     return fn(q, k, v, kv_valid, write_slot, k_scale, v_scale)
 
 
+@contextlib.contextmanager
+def attention_impl_scope(name: str):
+    """Trace-time, THREAD-LOCAL backend override (mirrors
+    attention_mesh_scope).  Training uses it to pin the dense-XLA path:
+    the flash kernels are inference-only (pallas_call has no JVP rule —
+    the 7B QLoRA probe hit exactly that), and at SFT sequence lengths
+    attention is ~1–2% of the step's FLOPs, so a flash backward kernel
+    buys nothing a remat'd dense attention doesn't."""
+    assert name in ("flash", "xla")
+    stack = getattr(_TLS, "impl_override", None)
+    if stack is None:
+        stack = _TLS.impl_override = []
+    stack.append(name)
+    try:
+        yield
+    finally:
+        stack.pop()
+
+
 def attention_impl() -> str:
     import os
 
+    stack = getattr(_TLS, "impl_override", None)
+    if stack:
+        return stack[-1]
     if _ATTN_IMPL is not None:
         return _ATTN_IMPL
     env = os.environ.get("VISUALCLA_ATTN")

@@ -76,26 +76,33 @@ def train_forward_logits(
     (parallel/pipeline.py); reverse-mode AD flows through the GPipe schedule
     (ppermute transposes to the reverse ring), so the same loss/grads come out
     — verified to machine precision in tests/test_pipeline_parallel.py."""
-    B, S = input_ids.shape
-    embeds = visualcla.multimodal_embeds(
-        params, cfg, input_ids, img_start_pos, pixel_values, remat=remat
-    )
-    positions = jnp.maximum(jnp.cumsum(attention_mask, axis=-1) - 1, 0).astype(jnp.int32)
-    cache = llama.init_kv_cache(cfg.text_config, B, S, embeds.dtype)
-    if pipeline_mesh is not None:
-        from ..parallel import pipeline as pp
+    from ..ops.attention import attention_impl_scope
 
-        hidden, _ = pp.pipeline_forward(
-            params["text"], cfg.text_config, embeds, positions, cache,
-            attention_mask.astype(bool), jnp.int32(0), pipeline_mesh,
-            n_micro=n_micro, remat=remat,
+    B, S = input_ids.shape
+    # the flash kernels are inference-only (no pallas JVP rule); training
+    # pins dense-XLA attention — at SFT lengths attention is ~1-2% of the
+    # step FLOPs, and remat handles its memory (see attention_impl_scope)
+    with attention_impl_scope("xla"):
+        embeds = visualcla.multimodal_embeds(
+            params, cfg, input_ids, img_start_pos, pixel_values, remat=remat
         )
-    else:
-        hidden, _ = llama.forward(
-            params["text"], cfg.text_config, embeds, positions, cache,
-            attention_mask.astype(bool), jnp.int32(0), remat=remat,
-        )
-    return llama.logits(params["text"], hidden)
+        positions = jnp.maximum(
+            jnp.cumsum(attention_mask, axis=-1) - 1, 0).astype(jnp.int32)
+        cache = llama.init_kv_cache(cfg.text_config, B, S, embeds.dtype)
+        if pipeline_mesh is not None:
+            from ..parallel import pipeline as pp
+
+            hidden, _ = pp.pipeline_forward(
+                params["text"], cfg.text_config, embeds, positions, cache,
+                attention_mask.astype(bool), jnp.int32(0), pipeline_mesh,
+                n_micro=n_micro, remat=remat,
+            )
+        else:
+            hidden, _ = llama.forward(
+                params["text"], cfg.text_config, embeds, positions, cache,
+                attention_mask.astype(bool), jnp.int32(0), remat=remat,
+            )
+        return llama.logits(params["text"], hidden)
 
 
 # ---------------------------------------------------------------------------
