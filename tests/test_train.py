@@ -83,3 +83,35 @@ def test_stage1_mask_freezes_text(cfg, batch):
     same = jax.tree.map(np.array_equal, before_text, after_text)
     assert all(jax.tree.leaves(same)), "text tower must stay frozen in stage 1"
     assert not np.array_equal(before_res, np.asarray(state.params["resampler"]["layers"]["q_proj"]))
+
+
+def test_cache_free_training_forward_matches_cached():
+    """The cache-free training path (llama.forward with kv_cache=None —
+    the fix for the L^2 scan-residual OOM at 7B) must produce exactly the
+    cached dense path's hidden states."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from visualcla_tpu.core.config import tiny_visualcla_config
+    from visualcla_tpu.models import llama, visualcla as vmod
+
+    cfg = tiny_visualcla_config(vocab_size=96)
+    params = vmod.init_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+    t = cfg.text_config
+    rng = np.random.default_rng(0)
+    B, S = 2, 24
+    embeds = jnp.asarray(rng.standard_normal((B, S, t.hidden_size)),
+                         jnp.float32)
+    mask = np.ones((B, S), np.int32)
+    mask[1, -5:] = 0  # ragged row
+    pos = jnp.asarray(np.maximum(np.cumsum(mask, -1) - 1, 0), jnp.int32)
+    kv_valid = jnp.asarray(mask.astype(bool))
+    cache = llama.init_kv_cache(t, B, S, jnp.float32)
+    h_cached, _ = llama.forward(params["text"], t, embeds, pos, cache,
+                                kv_valid, jnp.int32(0))
+    h_free, c = llama.forward(params["text"], t, embeds, pos, None,
+                              kv_valid, jnp.int32(0))
+    assert c is None
+    np.testing.assert_allclose(np.asarray(h_free), np.asarray(h_cached),
+                               atol=1e-5)

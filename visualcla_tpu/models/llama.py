@@ -149,7 +149,8 @@ def decoder_stack(
     local layer slice with the identical math (parallel/pipeline.py)."""
     B, Sq, H = inputs_embeds.shape
     N, Nkv, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
-    quant = "k_scale" in kv_cache  # int8 KV cache (per-token-per-head scales)
+    # kv_cache=None: the cache-free training path (see layer_forward)
+    quant = kv_cache is not None and "k_scale" in kv_cache
     if getattr(cfg, "attention_bias", False):
         raise NotImplementedError(
             "attention_bias=true checkpoints (bias terms on q/k/v/o) are not "
@@ -189,6 +190,30 @@ def decoder_stack(
         unroll=L if unroll else 1,
     )
     return h, kv_cache
+
+
+def _chunk_causal_attention(q, k, v, valid):
+    """Causal attention over a chunk's own K/V (the cache-free training
+    path).  q (B, Sq, N, hd); k/v (B, Nkv, Sq, hd) cache order; valid
+    (B, Sq) bool.  f32 scores/softmax — the same numerics class as the
+    dense cached path (ops/attention.py), checked equal by
+    tests/test_train.py."""
+    B, Sq, N, hd = q.shape
+    Nkv = k.shape[1]
+    rep = N // Nkv
+    if rep > 1:
+        k = jnp.repeat(k, rep, axis=1)
+        v = jnp.repeat(v, rep, axis=1)
+    s = jnp.einsum(
+        "binh,bnjh->bnij", q.astype(jnp.float32), k.astype(jnp.float32)
+    ) * (1.0 / float(hd) ** 0.5)
+    i = jnp.arange(Sq)[None, None, :, None]
+    j = jnp.arange(Sq)[None, None, None, :]
+    mask = (j <= i) & valid[:, None, None, :]
+    s = jnp.where(mask, s, -1e30)
+    p = jax.nn.softmax(s, axis=-1)
+    o = jnp.einsum("bnij,bnjh->binh", p, v.astype(jnp.float32))
+    return o.astype(q.dtype)
 
 
 def put_chunk(buf, chunk, l, slot):
@@ -235,7 +260,7 @@ def layer_forward(
     loop carry."""
     B, Sq, H = h.shape
     N, Nkv, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
-    quant = "k_scale" in cache
+    quant = cache is not None and "k_scale" in cache
     x = rms_norm(h, p["input_norm"], cfg.rms_norm_eps)
     q = linear(x, p["q_proj"]).reshape(B, Sq, N, hd)
     k = linear(x, p["k_proj"]).reshape(B, Sq, Nkv, hd)
@@ -245,17 +270,32 @@ def layer_forward(
     # to cache order (B, Nkv, Sq, hd); free for decode (Sq == 1 bitcast)
     k = k.transpose(0, 2, 1, 3)
     v = v.transpose(0, 2, 1, 3)
-    if quant:
-        from ..ops.quantization import quantize_kv
+    if cache is None and ring_axis is None:
+        # TRAINING (cache=None): attend over the chunk's own K/V — no cache
+        # buffer exists.  Carrying the stacked (L, ...) cache through the
+        # layer scan under AD saves it ONCE PER SCAN STEP (an L^2 blowup:
+        # two 4 GB bf16[32,32,1,32,512,128] residuals OOM'd the 7B QLoRA
+        # step at seq 512 on the 16 GB chip before this path existed).
+        # Same math as the dense cached path restricted to the chunk's
+        # slots: query i sees kv j <= i among the valid.
+        attn = _chunk_causal_attention(q, k, v, kv_valid[:, :Sq])
+        h = h + linear(attn.reshape(B, Sq, N * hd), p["o_proj"])
+        x2 = rms_norm(h, p["post_norm"], cfg.rms_norm_eps)
+        gate = act(linear(x2, p["gate_proj"])) * linear(x2, p["up_proj"])
+        h = h + linear(gate, p["down_proj"])
+        return h, None
+    if cache is not None:
+        if quant:
+            from ..ops.quantization import quantize_kv
 
-        kq, ksc = quantize_kv(k)
-        vq, vsc = quantize_kv(v)
-        writes = {"k": kq, "v": vq, "k_scale": ksc, "v_scale": vsc}
-    else:
-        kv_dtype = cache["k"].dtype
-        writes = {"k": k.astype(kv_dtype), "v": v.astype(kv_dtype)}
-    cache = {name: put_chunk(cache[name], chunk, l, slot)
-             for name, chunk in writes.items()}
+            kq, ksc = quantize_kv(k)
+            vq, vsc = quantize_kv(v)
+            writes = {"k": kq, "v": vq, "k_scale": ksc, "v_scale": vsc}
+        else:
+            kv_dtype = cache["k"].dtype
+            writes = {"k": k.astype(kv_dtype), "v": v.astype(kv_dtype)}
+        cache = {name: put_chunk(cache[name], chunk, l, slot)
+                 for name, chunk in writes.items()}
     if ring_axis is not None and Sq > 1:
         # Context-parallel prefill: attention over THIS chunk's fresh K/V via
         # ring attention (sequence sharded over the ``ring_axis`` mesh axis,

@@ -88,7 +88,13 @@ def train_forward_logits(
         )
         positions = jnp.maximum(
             jnp.cumsum(attention_mask, axis=-1) - 1, 0).astype(jnp.int32)
-        cache = llama.init_kv_cache(cfg.text_config, B, S, embeds.dtype)
+        # pipeline stages still thread a cache (their hop protocol carries
+        # it); the single-mesh path runs CACHE-FREE — carrying the stacked
+        # (L, ...) cache through the layer scan under AD saves it once per
+        # scan step, an L^2 residual blowup that OOM'd the 7B QLoRA step
+        # (llama.layer_forward cache=None path)
+        cache = (llama.init_kv_cache(cfg.text_config, B, S, embeds.dtype)
+                 if pipeline_mesh is not None else None)
         if pipeline_mesh is not None:
             from ..parallel import pipeline as pp
 
