@@ -58,13 +58,25 @@ MAX_TOKENS = 256
 
 
 def _pick_tile(G: int, gsh: int, out: int, B: int = 1) -> int:
+    import os
+
+    env = os.environ.get("VISUALCLA_INT4_TILE")  # A/B probing override
+    if env:
+        return min(int(env), ((out + 127) // 128) * 128)
     per_lane = 2 * G * (gsh + 4)  # carrier (1B) + scale (4B), double-buffered
     budget = _VMEM_BUDGET
     if B > 8:  # prefill regime: the x block and f32 out/acc now matter
         budget = max(budget - B * G * 2 * gsh * 2, per_lane * 128)
         per_lane += B * 4 * 2
     to = budget // per_lane
-    to = min(2048, max(128, (to // 128) * 128))
+    # tile cap 1024, not the VMEM-maximal 2048 (round-5 end-to-end A/B):
+    # at out=4096 a 2048 tile leaves TWO grid steps per call — too few for
+    # Mosaic to pipeline the weight DMA behind the unpack+dot — and the
+    # per-site trace showed qkv/o at 462 GB/s effective vs gate/up's 550.
+    # Capping at 1024 (>=4 steps/call) measured 147.0 vs 133.4 tok/s B1
+    # and 855.0 vs 792.8 B8 (tools/probe_decode_tput.py, int4 7B);
+    # 512 over-pays grid iteration overhead (142.6 B1).
+    to = min(1024, max(128, (to // 128) * 128))
     return min(to, ((out + 127) // 128) * 128)
 
 
