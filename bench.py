@@ -169,9 +169,13 @@ def run(max_seq_len: int, quant: str = "bf16"):
     import gc
 
     del st  # free the B1 KV cache before allocating 8 rows (16GB chip)
-    # the decode loop never touches the vision tower/resampler/projector —
-    # drop them (~0.75 GB) for extra HBM headroom under the B8 cache rows
-    engine.params = {"text": engine.params["text"]}
+    if quant == "bf16":
+        # bf16's 13.4 GB weights leave no room for 8 KV rows + the vision
+        # tower (~0.75 GB): drop it — the B8 section then uses the
+        # hand-built-state fallback (the decode loop never touches vision).
+        # Quantized tiers KEEP it so the B8 metric spans the REAL two-stage
+        # multimodal prefill (round-5 verdict item 3).
+        engine.params = {"text": engine.params["text"]}
     gc.collect()
     tok_s_b8 = None
     for b8_attempt in range(3):
