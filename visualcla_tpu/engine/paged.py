@@ -390,6 +390,15 @@ class PagedServingEngine:
             self._finish_chunked_impl, static_argnames=("sampling",),
             donate_argnames=("state",)))
         self.spec_k = int(spec_k)
+        if self.spec_k > 0 and mesh is not None:
+            # the Sq-token verify kernel has no shard_map dispatch yet (the
+            # single-token append kernel does — _paged_append); running it
+            # over TP-sharded pools would hand pallas_call to GSPMD.  Fail
+            # loudly rather than produce a silently-replicated program.
+            raise NotImplementedError(
+                "speculative decoding (spec_k>0) is single-chip-first: the "
+                "verify kernel has no TP shard_map path yet — run the paged "
+                "pool unmeshed or set spec_k=0 under a mesh")
         if spec_max_active is None:
             from ..ops.quantization import is_packed_grouped
 
