@@ -7,8 +7,10 @@ int8 despite half the HBM bytes (tools/probe_int4.py), and the round-2
 grouped dot_general shipped at 47.6 tok/s vs int8's 101.0 at 7B B=1
 (BENCH_r02).  Here the packed bytes stream HBM->VMEM untouched (0.5 B/param),
 nibbles unpack in VREGs with int32 shifts (Mosaic has no int8 shifts), and
-the MXU consumes bf16 halves — measured 230-570 GB/s effective weight
-bandwidth across the 7B matmul shapes in the round-3 prototype.
+the MXU consumes bf16 halves — in-loop per-site trace means (round 5,
+shipped tile): 547-663 GB/s effective weight bandwidth across the 7B
+decode shapes, 67-81% of the 819 GB/s chip roofline (BENCHMARKS round-5
+closing table; the residual is VPU nibble-unpack compute).
 
 Format (ops/quantization.py "v2"): carrier uint8 (L, G, gs/2, out) where
 byte[g, r, o] holds W4[g, r, o] (low nibble) and W4[g, r + gs/2, o] (high);
@@ -196,10 +198,14 @@ def _kernel_scratch_tiled(layer_ref, xs_ref, qw_ref, s_ref, o_ref, w_ref, *,
     per OUTPUT tile (j == 0; the scratch persists across grid steps and the
     qw BlockSpec ignores the token index, so Mosaic neither re-fetches nor
     re-unpacks) and every token tile consumes it with one MXU dot.  Weight
-    HBM traffic stays 0.5 B/param for the whole matmul at ANY token count —
-    the dequant-dense fallback this replaces wrote + read a full bf16
-    weight temp (2+2 B/param) plus the per-layer carrier slice, measured
-    +49 ms on a 7B S=2048 prefill (tools/probe_prefill.py round 5)."""
+    HBM traffic stays 0.5 B/param at ANY token count, but the X BLOCK is
+    re-read once per output tile — so this form wins only where the VMEM
+    plan allows wide tiles (qkv/gate-up: end-to-end 7B S=1024 prefill
+    146.5 ms vs 184.1 all-dequant) and LOSES on narrow-tile shapes (the
+    down_proj at S=2048); the per-shape router
+    (ops/quantization.py:_tiled_prefill_wins) models exactly that traffic
+    trade, landing S=2048 at 255.1 ms vs 282.8 all-dequant / 302.3
+    all-tiled (tools/probe_prefill.py round 5)."""
     j = pl.program_id(1)
 
     @pl.when(j == 0)
